@@ -1,0 +1,73 @@
+"""Oracle-differential harness mirroring the driver's correctness gate:
+run the Spark query and the DuckDB oracle SQL on the same parquet,
+compare row-count + column set + order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    for c in out.columns:
+        s = out[c]
+        if isinstance(s.dtype, pd.DatetimeTZDtype):
+            out[c] = s.dt.tz_localize(None)
+        if str(out[c].dtype).startswith("datetime64"):
+            out[c] = out[c].astype("datetime64[us]")
+        elif s.dtype == object:
+            pass
+        elif np.issubdtype(s.dtype, np.integer):
+            out[c] = s.astype("int64")
+        elif np.issubdtype(s.dtype, np.floating):
+            out[c] = s.astype("float64")
+    out = out[sorted(out.columns)]
+    return out.sort_values(by=list(out.columns), ignore_index=True, na_position="last")
+
+
+def compare(spark_df, oracle_df: pd.DataFrame, name: str = "") -> None:
+    got = _canon(spark_df.toPandas())
+    want = _canon(oracle_df)
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rowcount {len(got)} vs {len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
+            g = g.astype("float64")
+            w = w.astype("float64")
+            both_nan = g.isna() & w.isna()
+            eq = both_nan | np.isclose(g.fillna(0), w.fillna(0), rtol=0, atol=0, equal_nan=True)
+            exact = eq.all()
+            if not exact:
+                close = (both_nan | np.isclose(g.fillna(0), w.fillna(0), rtol=1e-9)).all()
+                bad = (~eq).idxmax()
+                raise AssertionError(
+                    f"{name}.{c}: float mismatch at row {bad}: {g[bad]!r} vs {w[bad]!r}"
+                    + (" (within 1e-9 — rounding drift)" if close else "")
+                )
+        else:
+            eq = (g.isna() & w.isna()) | (g == w)
+            if not eq.all():
+                bad = (~eq).idxmax()
+                raise AssertionError(
+                    f"{name}.{c}: mismatch at row {bad}: {g[bad]!r} vs {w[bad]!r}"
+                )

@@ -1,0 +1,43 @@
+"""Oracle-differential tests for every registry query (the driver's
+correctness gate, run locally at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import compare, duckdb_conn
+
+
+def _registry():
+    import __spark_entry__ as entry
+
+    return entry.queries(), entry.oracle_sql()
+
+
+QUERIES, ORACLES = _registry()
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_oracle):
+    con = duckdb_conn(sf_oracle)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_oracle, oracle_con):
+    if name not in ORACLES:
+        df = QUERIES[name](spark, sf_oracle)
+        assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    spark_df = QUERIES[name](spark, sf_oracle)
+    want = oracle_con.execute(ORACLES[name]).df()
+    compare(spark_df, want, name=name)
+
+
+def test_entry_smoke(spark, sf_small):
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
