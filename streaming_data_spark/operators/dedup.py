@@ -1,0 +1,199 @@
+"""[EXT] Deduplication operators (SURVEY.md §2.11 X1/X2).
+
+Scale design (the 100 TB constraint — nothing here does a global
+all-pairs pass):
+
+- exact dedup: hash-groupBy on a content digest — one shuffle keyed by
+  digest; AQE handles skew from pathological duplicates.
+- n-gram Jaccard near-dup: shingle→explode→equi-join on shingle →
+  per-pair intersection counts. Only pairs SHARING a shingle are ever
+  materialized; hot shingles (df > cap) are dropped like stopwords —
+  the standard set-similarity-join pruning.
+- MinHash: k deterministic universal-hash permutations over a single
+  md5-derived base hash; signatures via ONE groupBy with k min() aggs.
+- LSH banding: signatures split into b bands of r rows; candidate
+  pairs come from an equi-join on (band index, band key) — join
+  fan-out is bounded by bucket sizes, never n².
+- SimHash: 32-bit signature via per-bit sign sums — explode tokens,
+  ONE groupBy with 32 conditional sums.
+
+All hashing is md5-derived (both Spark and DuckDB expose md5), so
+every operator has an exact SQL oracle. Generalizes the reference's
+exact-key dedup (drop_duplicates at insert_csv_to_postgres.py:61 and
+ON CONFLICT keys, upbit_data_pipeline.py:116).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1; with base hash < 2^28 and a,b < p the
+# products stay < 2^59 — no 64-bit overflow in either engine.
+MINHASH_PRIME = 2_147_483_647
+# Deterministic (a, b) parameter pairs for k=16 universal hashes,
+# generated once from a fixed seed and frozen here as constants.
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
+    (319860338, 1945836712), (1956143625, 717436824),
+    (137232829, 1802335202), (2025738368, 386381432),
+    (1644055472, 1048108784), (1094126957, 1802194358),
+    (1676998832, 909307022), (864914510, 2063853269),
+    (560999185, 492388557), (1695263977, 1875936893),
+    (1176880740, 1301073852), (1217190995, 1970997088),
+    (940730613, 1969702949), (1634523528, 1057290752),
+    (632048986, 135477598), (1975904769, 1998987651),
+)
+
+
+def content_digest(cols: list[str] | None = None, text: str | None = None) -> Column:
+    """sha2-256 digest of the dedup key (whole-row or content column)."""
+    if text is not None:
+        return F.sha2(F.col(text), 256)
+    return F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in (cols or [])]), 256)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """X1 — exact dedup on content hash: keep the smallest id per
+    digest (deterministic survivor)."""
+    return (
+        df.select(F.col(id_col), content_digest(text=text_col).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    hot_shingle_cap: int | None = None,
+) -> DataFrame:
+    """X2a — near-duplicate pairs by n-gram Jaccard ≥ threshold.
+
+    Pairs materialize only through the shingle equi-join; optional
+    ``hot_shingle_cap`` drops shingles appearing in more than that
+    many docs (stopword-style pruning — at 100 TB this caps join
+    fan-out; correctness loss only for pairs WHOLLY joined by hot
+    shingles, the standard trade).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if hot_shingle_cap:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > hot_shingle_cap)
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _base_hash(col: Column) -> Column:
+    """Portable 28-bit integer hash: first 7 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
+) -> DataFrame:
+    """X2b — k-permutation MinHash signature per document.
+
+    One explode + ONE groupBy with k min() aggregates; signature
+    column ``sig`` is an array<long> of length k.
+    """
+    sh = shingles(df, id_col, text_col, n).withColumn("h", _base_hash(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:k])
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(F.col(id_col), F.array(*[f"mh{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """X2b — MinHash+LSH candidate pairs with estimated Jaccard.
+
+    Bands of r=k/bands rows; candidates = equi-join on (band, band
+    key); est. Jaccard = fraction of agreeing signature positions.
+    (b=4, r=4) ⇒ S-curve threshold ≈ 0.71.
+    """
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]).alias("key"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "bk")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "bk")
+    cand = (
+        a.join(b, ["bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        cand.withColumn("est_jaccard", F.round(agree / F.lit(float(k)), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """X2c — 32-bit SimHash signature per document: per-bit ±1 sums of
+    token hashes, reassembled into one integer."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", _base_hash(F.col("tok")))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    value = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        value = term if value is None else value + term
+    return agg.select(F.col(id_col), value.alias("simhash"))

@@ -1,0 +1,114 @@
+"""[EXT] Text analysis operators (SURVEY.md §2.11 X3; BASELINE.json
+mandate — large-scale training-data pipeline surface).
+
+Everything here is built-in-expression only (split / regexp /
+aggregate lambdas) so it rides whole-stage codegen over 100 TB of
+documents — no Python in the row path. The review-string corpus of
+the reference (crawling_code/get_best_item_review.py:34-36) is the
+reference-grounded ancestor of these operators.
+
+Determinism contract: every function has an equivalent ANSI-SQL
+formulation (queries_ext.py) — the heuristics use fixed constant
+lists and fixed-order arithmetic so Spark and DuckDB agree bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fixed per-language stopword lists (tiny by design: the operator is a
+# deterministic n-gram/stopword heuristic, not a model).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "es": ("el", "los", "las", "de", "y", "es", "un", "una", "para", "en"),
+    "fr": ("le", "la", "les", "et", "est", "pour", "dans", "que", "vous", "ne"),
+}
+LANG_PRIORITY = ("en", "de", "es", "fr")  # tie-break order, fixed
+
+# BPE-ish token pattern: letter runs | digit runs | single punctuation
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (array column)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count: letter runs + digit runs + punctuation marks."""
+    return F.size(F.regexp_extract_all(F.col(text) if isinstance(text, str) else text,
+                                       F.lit(TOKEN_PATTERN), 0))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Multiset count of stopword occurrences (not distinct-intersect —
+    ratio semantics need the multiset)."""
+    stops = STOPWORDS[lang]
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.when(t.isin(*stops), 1).otherwise(0),
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(t, r"[^.,!?;:]", "")) / F.length(t)
+
+
+def lang_id(toks: Column) -> Column:
+    """Language-ID by stopword-hit scoring with fixed tie-break order;
+    'und' when no list scores > 0."""
+    scores = {lang: stopword_hits(toks, lang) for lang in LANG_PRIORITY}
+    mx = F.greatest(*scores.values())
+    out = F.when(mx == 0, "und")
+    for lang in LANG_PRIORITY:  # chain order = tie-break priority
+        out = out.when(scores[lang] == mx, lang)
+    return out.otherwise("und")
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Deterministic quality heuristic in [0,1]:
+    0.3·min(1, n_tok/200) + 0.4·en-stopword-ratio + 0.3·(1 − punct_ratio).
+    Fixed operation order — bit-identical across engines."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    stop_ratio = stopword_hits(toks, "en") / n_tok
+    return (
+        F.least(F.lit(1.0), n_tok / F.lit(200.0)) * 0.3
+        + stop_ratio * 0.4
+        + (F.lit(1.0) - punct_ratio(t)) * 0.3
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of case-folded, whitespace-collapsed
+    text (the canonical-form hash used for exact dedup at scale)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.regexp_replace(F.trim(t), r"\s+", " ")))
+
+
+def text_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The full per-document metrics row: token counts, ratios,
+    language guess, quality score, fingerprint."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        token_count_ws(F.col(text_col)).alias("n_tokens_ws"),
+        token_count_bpe(text_col).alias("n_tokens_bpe"),
+        F.length(F.col(text_col)).alias("n_chars_obs"),
+        F.round(stopword_hits(toks, "en") / F.size(toks), 6).alias("stop_ratio_en"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        lang_id(toks).alias("lang_guess"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        fingerprint(text_col).alias("fp"),
+    )
