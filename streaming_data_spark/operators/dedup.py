@@ -150,7 +150,10 @@ def minhash_lsh_pairs(
     (b=4, r=4) ⇒ S-curve threshold ≈ 0.71.
     """
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    # Signatures are tiny relative to the corpus (k longs per doc); at
+    # scale they'd be materialized to a table. Persisting here keeps the
+    # band self-join from recomputing the shingle→hash pipeline twice.
+    sig = minhash_signatures(df, id_col, text_col, n, k).persist()
     banded = sig.select(
         F.col(id_col),
         F.col("sig"),

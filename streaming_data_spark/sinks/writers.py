@@ -1,0 +1,138 @@
+"""Batch writers (SURVEY.md §2.2 K1–K8, §4.2-1).
+
+The reference's load path is ``INSERT ... ON CONFLICT DO NOTHING``
+(upbit_data_pipeline.py:35-41,109-140; insert_csv_to_postgres.py:97-112).
+Spark has no conflict-skipping JDBC writer, so the engine's canonical
+writer is **idempotent keyed append**: dedup the batch on the key,
+anti-join against the existing target, append the remainder. Running
+it twice on overlapping input adds zero duplicate rows — the property
+the reference relies on for replay tolerance, and what makes
+at-least-once streaming delivery exactly-once-observable (T1).
+
+Not atomic under concurrent writers (SURVEY §7.4-1) — the reference
+is single-writer too (one transaction per load,
+upbit_daily_candels.py:241). Document, don't pretend.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_if_absent(
+    new: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    fmt: str = "parquet",
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """K1/K2 — idempotent keyed append to a path-based table.
+
+    Returns the number of rows actually appended. The anti-join reads
+    only the key columns of the target (column-pruned scan); the
+    shuffle is keyed on ``keys`` and AQE-sized.
+    """
+    spark = new.sparkSession
+    deduped = new.dropDuplicates(list(keys))
+    try:
+        existing = spark.read.format(fmt).load(target_path).select(*keys)
+        to_insert = deduped.join(existing, on=list(keys), how="left_anti")
+    except Exception:  # target doesn't exist yet — first load
+        to_insert = deduped
+    to_insert = to_insert.persist()
+    n = to_insert.count()
+    if n:
+        writer = to_insert.write.mode("append").format(fmt)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(target_path)
+    to_insert.unpersist()
+    return n
+
+
+def incremental_load(
+    source: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    watermark_col: str,
+    fmt: str = "parquet",
+) -> int:
+    """§3.3 — the reference's incremental-ingest pattern
+    (upbit_daily_candels.py:184-207): read the target's max watermark,
+    keep only newer source rows, idempotent-append them.
+
+    The watermark probe is an aggregate over the target's single
+    column (column-pruned, predicate-pushed scan).
+    """
+    spark = source.sparkSession
+    try:
+        wm = (
+            spark.read.format(fmt).load(target_path)
+            .agg(F.max(watermark_col).alias("wm"))
+            .collect()[0]["wm"]
+        )
+    except Exception:
+        wm = None
+    fresh = source if wm is None else source.filter(F.col(watermark_col) > F.lit(wm))
+    return write_if_absent(fresh, target_path, keys, fmt=fmt)
+
+
+def append_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batchsize: int = 1000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """K3 — batched JDBC append (insert_rows commit_every=1000,
+    etl_pipeline.py:63-70). Thin wrapper; needs a JDBC driver jar on
+    the classpath at deploy time."""
+    writer = (
+        df.write.mode("append")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+    )
+    for key, val in (properties or {}).items():
+        writer = writer.option(key, val)
+    writer.save()
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """K7 — CSV sink with header (log_to_csv.py:29-33,
+    upbit_api_candle_info.py:117-124)."""
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    fmt: str = "parquet",
+    mode: str = "append",
+) -> None:
+    """K5/K8 — date-partitioned sink: the Logstash
+    ``container-logs-%{+YYYY.MM.dd}`` index naming (container-logs.conf:23)
+    and the S3 date-stamped key (monitor_errors.py:38) become a
+    partition column — partition pruning replaces index-name routing."""
+    (
+        df.withColumn("event_date", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+        .write.mode(mode)
+        .partitionBy("event_date")
+        .format(fmt)
+        .save(path)
+    )
+
+
+def gated_write(df: DataFrame, write_fn, *args, **kwargs) -> bool:
+    """K10 — conditional sink (``if failed_logs:`` gate,
+    log_to_csv.py:21-35): write only when rows exist; probes with
+    limit(1), not a full count."""
+    if df.limit(1).count() == 0:
+        return False
+    write_fn(df, *args, **kwargs)
+    return True

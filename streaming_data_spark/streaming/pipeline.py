@@ -1,0 +1,296 @@
+"""Structured Streaming pipelines (SURVEY.md §2.9, §3.2).
+
+The reference's streaming engine is Logstash: Kafka source → JSON
+parse/flatten/cast/drop → Elasticsearch date-partitioned index
+(docker-elk/logstash/pipeline/*.conf). Here that whole event path is
+ONE declarative streaming query — micro-batch planned by Catalyst's
+IncrementalExecution, row-at-a-time Logstash filters become columnar
+codegen'd batches:
+
+    kafka_json_source(...)            # S4: readStream + from_json
+      |> logstash_normalize(...)      # P8-P12+F14 composed (transforms.py)
+      |> stream_to_partitioned_sink   # K5: date-partitioned files
+                                       # (T1: checkpointed exactly-once)
+
+Delivery semantics (T1): the reference is at-least-once (consumer
+group + acks=1). Structured Streaming checkpoints give exactly-once
+into idempotent sinks — strictly stronger; replays are absorbed by
+the K1/K2 idempotent writer in foreachBatch.
+
+Watermarks (T4): the reference never drops late data (Logstash indexes
+whatever arrives). Windowed aggs here take an explicit generous
+watermark and the sink stays idempotent, so observable behavior
+matches while state stays bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+from pyspark.sql.types import DataType, StructType
+
+from streaming_data_spark.operators.transforms import logstash_normalize
+
+# --------------------------------------------------------------------------
+# Sources (S4/S5 + file-based test double)
+# --------------------------------------------------------------------------
+
+def kafka_json_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """S4 — Kafka topic source (the Logstash kafka input,
+    container-logs.conf:1-8). Returns (key string, value string,
+    topic, partition, offset, kafka_ts); JSON stays a string until
+    ``logstash_normalize`` applies a schema.
+
+    Checkpointing replaces the consumer group's offset tracking (T5);
+    ``max_offsets_per_trigger`` is the backpressure knob (T7 — the
+    reference hand-rolls sleeps at 5 req/s).
+
+    Requires the spark-sql-kafka package on the classpath at deploy
+    time; tests use ``file_json_source``.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    raw = reader.load()
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic", "partition", "offset",
+        F.col("timestamp").alias("kafka_ts"),
+    )
+
+
+def file_json_source(
+    spark: SparkSession,
+    path: str,
+    wrapper_schema: StructType | None = None,
+) -> DataFrame:
+    """File-based stream source standing in for Kafka in tests (same
+    (key, value) contract). Each line: a JSON event envelope."""
+    schema = wrapper_schema or StructType().add("key", "string").add("value", "string")
+    return spark.readStream.schema(schema).json(path)
+
+
+def socket_source(spark: SparkSession, host: str = "localhost", port: int = 50000) -> DataFrame:
+    """S5 — raw TCP source (logstash.conf:6-8 tcp input; dev only)."""
+    return spark.readStream.format("socket").option("host", host).option("port", port).load()
+
+
+# --------------------------------------------------------------------------
+# The Logstash-equivalent transform (P8–P12 + F14, composed)
+# --------------------------------------------------------------------------
+
+def normalize_stream(
+    stream: DataFrame,
+    payload_schema: StructType,
+    casts: Mapping[str, DataType | str] | None = None,
+    required: str | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """The instagram-profiles.conf:10-59 filter chain on a streaming
+    DataFrame: parse value JSON → drop empty → flatten → cast →
+    empty-string→null. Stateless — no watermark needed."""
+    return logstash_normalize(stream, value_col, payload_schema, casts=casts, required=required)
+
+
+def dead_letter_split(
+    stream: DataFrame,
+    payload_schema: StructType,
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """T8 — split a raw JSON stream into (parsed-good, dead-letter).
+
+    The reference routes failures to CSV/S3 + Slack (log_to_csv.py:28-34,
+    monitor_errors.py:29-42); here unparseable payloads keep their raw
+    value and flow to an error sink instead of vanishing.
+    """
+    # PERMISSIVE from_json yields an all-null struct for corrupt input,
+    # so detection goes through an explicit corrupt-record column that
+    # captures the raw payload (the dead letter keeps its evidence).
+    schema_with_corrupt = StructType(list(payload_schema.fields)).add("_corrupt", "string")
+    parsed = stream.withColumn(
+        "_parsed",
+        F.from_json(
+            F.col(value_col),
+            schema_with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    is_dead = F.col("_parsed").isNull() | F.col("_parsed._corrupt").isNotNull()
+    good = (
+        parsed.filter(~is_dead)
+        .select(*[c for c in stream.columns], F.col("_parsed.*"))
+        .drop(value_col, "_corrupt")
+    )
+    dead = parsed.filter(is_dead).drop("_parsed")
+    return good, dead
+
+
+# --------------------------------------------------------------------------
+# Stateful / windowed (A3/A8 streaming forms, T3/T4)
+# --------------------------------------------------------------------------
+
+def windowed_rollup(
+    stream: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """A8 streaming — tumbling-window metric rollup (the 10 s
+    metricbeat cadence). Generous watermark per T4: the reference
+    tolerates any lateness; we bound state without visibly dropping
+    on-time data."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("avg_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("window.start").alias("period_start"),
+            F.col("window.end").alias("period_end"),
+            *keys, "n", "avg_value", "max_value",
+        )
+    )
+
+
+def streaming_ohlcv(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    price_col: str,
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """A3 streaming — OHLCV candles over event-time windows (the shape
+    behind daily_candles, maintained incrementally)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), key)
+        .agg(
+            F.min_by(F.col(price_col), F.col(ts_col)).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(F.col(price_col), F.col(ts_col)).alias("close"),
+            F.sum(price_col).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_ts"), key,
+            "open", "high", "low", "close", "volume", "n_trades",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sinks (K4/K5/K6, T9)
+# --------------------------------------------------------------------------
+
+def kafka_json_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    key_col: str,
+    checkpoint: str,
+) -> DataStreamWriter:
+    """K4 — keyed JSON producer (send_to_kafka.py:10-16): key column
+    preserves per-key partition ordering (T2); the producer batches
+    properly (the reference's per-record flush was an anti-pattern,
+    §4.1 'Batching')."""
+    payload = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[c for c in df.columns])).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def stream_to_partitioned_sink(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+) -> DataStreamWriter:
+    """K5 — the date-partitioned index sink (container-logs.conf:21-26):
+    ``container-logs-%{+YYYY.MM.dd}`` becomes partitionBy(event_date)."""
+    return (
+        df.withColumn("event_date", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+        .writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("event_date")
+    )
+
+
+def console_sink(df: DataFrame) -> DataStreamWriter:
+    """K6 — debug sink (stdout { codec => rubydebug })."""
+    return df.writeStream.format("console").option("truncate", "false")
+
+
+def fanout_sink(
+    df: DataFrame,
+    sinks: Sequence[Callable[[DataFrame, int], None]],
+    checkpoint: str,
+) -> DataStreamWriter:
+    """T9 — one stream → N sinks (Logstash outputs ES + stdout,
+    container-logs.conf:20-31) via foreachBatch; the batch is persisted
+    once so each sink reads it without recomputation."""
+
+    def _write_all(batch: DataFrame, epoch_id: int) -> None:
+        batch.persist()
+        try:
+            for sink in sinks:
+                sink(batch, epoch_id)
+        finally:
+            batch.unpersist()
+
+    return df.writeStream.foreachBatch(_write_all).option("checkpointLocation", checkpoint)
+
+
+def idempotent_stream_sink(
+    df: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+) -> DataStreamWriter:
+    """T1 — exactly-once-observable sink: foreachBatch + the K1/K2
+    idempotent writer, so replayed micro-batches add zero duplicates."""
+    from streaming_data_spark.sinks.writers import write_if_absent
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        write_if_absent(batch, target_path, keys)
+
+    return df.writeStream.foreachBatch(_write).option("checkpointLocation", checkpoint)
+
+
+def run_to_completion(writer: DataStreamWriter, **start_kwargs) -> StreamingQuery:
+    """Test/batch-drain helper: start, process everything available,
+    stop. Mirrors the reference's bounded smoke tests
+    (kafka/test.sh produce-100/consume-100)."""
+    query = writer.start(**start_kwargs)
+    query.processAllAvailable()
+    query.stop()
+    return query

@@ -1,0 +1,209 @@
+"""Streaming tests mirroring the reference's test strategy (SURVEY §5):
+- kafka/test.sh round-trip: N in → N out, exact count + key-set match
+- run-tests-core.sh E2E: inject event → assert parsed/flattened/cast
+  at the date-partitioned sink
+- idempotency under replay (T1)
+- windowed aggs match their batch forms (A3/A8)
+- fan-out + dead-letter routing + alert listener
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from streaming_data_spark.operators import aggregates as agg
+from streaming_data_spark.schemas import load_table
+from streaming_data_spark.streaming import pipeline as sp
+from streaming_data_spark.streaming.listeners import AlertingListener, run_job_with_alerts
+
+PAYLOAD_SCHEMA = (
+    StructType()
+    .add("event_id", "long")
+    .add("ts", "timestamp")
+    .add("user_id", "long")
+    .add("event_type", "string")
+    .add("value", "double")
+)
+
+
+@pytest.fixture()
+def event_stream_dir(spark, sf_small, tmp_path):
+    """100 events as (key, value-JSON) envelopes — the send_to_kafka.py
+    contract (key=uuid, value=json.dumps(message)) as files."""
+    events = load_table(spark, sf_small, "events").limit(100)
+    envelope = events.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value")
+        ).alias("value"),
+    )
+    path = str(tmp_path / "stream_in")
+    envelope.coalesce(1).write.mode("overwrite").json(path)
+    return path
+
+
+def test_roundtrip_count_and_keys(spark, event_stream_dir, tmp_path):
+    """kafka/test.sh:40-50 — produce 100, consume, assert exactly 100
+    and the same key set."""
+    stream = sp.file_json_source(spark, event_stream_dir)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    writer = normalized.writeStream.format("memory").queryName("roundtrip")
+    sp.run_to_completion(writer)
+    out = spark.sql("SELECT * FROM roundtrip")
+    assert out.count() == 100
+    got_keys = {r.event_id for r in out.select("event_id").collect()}
+    want_keys = {r.event_id for r in
+                 spark.read.json(event_stream_dir).select(F.col("key").cast("long").alias("event_id")).collect()}
+    assert got_keys == want_keys
+
+
+def test_e2e_partitioned_sink(spark, event_stream_dir, tmp_path):
+    """run-tests-core.sh — event in, materialized parsed + partitioned
+    at the sink (the container-logs date-partitioned index, K5)."""
+    stream = sp.file_json_source(spark, event_stream_dir)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    out_path = str(tmp_path / "sink")
+    writer = sp.stream_to_partitioned_sink(
+        normalized, out_path, ts_col="ts", checkpoint=str(tmp_path / "ckpt")
+    )
+    sp.run_to_completion(writer)
+    stored = spark.read.parquet(out_path)
+    assert stored.count() == 100
+    assert "event_date" in stored.columns
+    # partition dirs exist on disk (pruning-ready layout)
+    import os
+
+    assert any(d.startswith("event_date=") for d in os.listdir(out_path))
+
+
+def test_idempotent_sink_absorbs_replay(spark, event_stream_dir, tmp_path):
+    """T1 — replaying the same input through a fresh checkpoint adds
+    zero duplicates (at-least-once → exactly-once-observable)."""
+    target = str(tmp_path / "idem_target")
+    for attempt in range(2):  # second run = full replay
+        stream = sp.file_json_source(spark, event_stream_dir)
+        normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+        writer = sp.idempotent_stream_sink(
+            normalized, target, keys=["event_id"],
+            checkpoint=str(tmp_path / f"ckpt{attempt}"),
+        )
+        sp.run_to_completion(writer)
+    stored = spark.read.parquet(target)
+    assert stored.count() == 100
+    assert stored.select("event_id").distinct().count() == 100
+
+
+def test_dead_letter_split(spark, tmp_path):
+    """T8 — corrupt payloads route to the dead-letter stream with the
+    raw value intact, good ones parse."""
+    lines = [
+        {"key": "1", "value": json.dumps({"event_id": 1, "ts": "2024-01-01 00:00:00",
+                                          "user_id": 7, "event_type": "click", "value": 1.5})},
+        {"key": "2", "value": "{this is not json"},
+    ]
+    src = str(tmp_path / "dl_in")
+    import os
+
+    os.makedirs(src)
+    with open(f"{src}/part.json", "w") as fh:
+        for line in lines:
+            fh.write(json.dumps(line) + "\n")
+
+    stream = sp.file_json_source(spark, src)
+    good, dead = sp.dead_letter_split(stream, PAYLOAD_SCHEMA)
+    sp.run_to_completion(good.writeStream.format("memory").queryName("dl_good"))
+    sp.run_to_completion(dead.writeStream.format("memory").queryName("dl_dead"))
+    good_rows = spark.sql("SELECT * FROM dl_good").collect()
+    dead_rows = spark.sql("SELECT * FROM dl_dead").collect()
+    assert len(good_rows) == 1 and good_rows[0].event_id == 1
+    assert len(dead_rows) == 1 and dead_rows[0].value == "{this is not json"
+
+
+def test_windowed_rollup_matches_batch(spark, sf_small, event_stream_dir, tmp_path):
+    """A8 — the streaming tumbling-window rollup equals the batch
+    date_trunc rollup on the same 100 events."""
+    stream = sp.file_json_source(spark, event_stream_dir)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    rolled = sp.windowed_rollup(normalized, "ts", ["event_type"], "value",
+                                window_duration="1 minute")
+    # complete mode: a finite drain never advances the watermark past
+    # the last window, so append would withhold final windows
+    writer = rolled.writeStream.format("memory").queryName("roll").outputMode("complete")
+    sp.run_to_completion(writer)
+    got = spark.sql(
+        "SELECT period_start, event_type, n, round(avg_value,6) avg_value, max_value FROM roll"
+    )
+    batch = load_table(spark, sf_small, "events").limit(100)
+    want = agg.periodic_rollup(batch, "ts", ["event_type"], "value", period="minute").select(
+        F.col("period_start"), "event_type", "n",
+        F.round("avg_value", 6).alias("avg_value"), "max_value",
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_streaming_ohlcv_matches_batch(spark, sf_small, event_stream_dir, tmp_path):
+    stream = sp.file_json_source(spark, event_stream_dir)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    candles = sp.streaming_ohlcv(normalized, "user_id", "ts", "value")
+    writer = candles.writeStream.format("memory").queryName("candles").outputMode("complete")
+    sp.run_to_completion(writer)
+    got = spark.sql("SELECT user_id, bucket_ts, open, high, low, close, round(volume,6) volume, n_trades FROM candles")
+    batch = load_table(spark, sf_small, "events").limit(100)
+    want = agg.ohlcv(batch, "user_id", "ts", "value").select(
+        "user_id", "bucket_ts", "open", "high", "low", "close",
+        F.round("volume", 6).alias("volume"), "n_trades",
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_fanout_two_sinks(spark, event_stream_dir, tmp_path):
+    """T9 — one stream, two sinks, one persisted batch."""
+    stream = sp.file_json_source(spark, event_stream_dir)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    sinks = [
+        lambda b, e: b.write.mode("append").parquet(p1),
+        lambda b, e: b.select("event_id", "event_type").write.mode("append").parquet(p2),
+    ]
+    writer = sp.fanout_sink(normalized, sinks, checkpoint=str(tmp_path / "ckpt"))
+    sp.run_to_completion(writer)
+    assert spark.read.parquet(p1).count() == 100
+    assert spark.read.parquet(p2).columns == ["event_id", "event_type"]
+
+
+def test_alert_listener_and_job_wrapper(spark, event_stream_dir, tmp_path):
+    """K9 — lifecycle alerts captured via injected transport."""
+    captured: list[dict] = []
+    listener = AlertingListener(captured.append)
+    spark.streams.addListener(listener)
+    try:
+        stream = sp.file_json_source(spark, event_stream_dir)
+        normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+        writer = normalized.writeStream.format("memory").queryName("alerts_q")
+        sp.run_to_completion(writer)
+        # listener events are delivered asynchronously
+        import time
+
+        for _ in range(50):
+            if any(p["event"] == "terminated" for p in captured):
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    kinds = {p["event"] for p in captured}
+    assert "started" in kinds and "terminated" in kinds
+    assert all(p.get("status") != "FAILED" for p in captured)
+
+    # batch wrapper: success + failure paths
+    assert run_job_with_alerts(lambda: 42, captured.append, "ok_job") == 42
+    assert captured[-1]["event"] == "job_succeeded"
+    with pytest.raises(ValueError):
+        run_job_with_alerts(lambda: (_ for _ in ()).throw(ValueError("boom")),
+                            captured.append, "bad_job")
+    assert captured[-1]["event"] == "job_failed"

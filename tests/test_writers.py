@@ -1,0 +1,66 @@
+"""Writer properties (SURVEY.md §5.2): idempotency of the keyed
+writer, incremental load, conditional gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_data_spark.schemas import load_table
+from streaming_data_spark.sinks import gated_write, incremental_load, write_csv, write_if_absent
+
+
+@pytest.fixture()
+def target(tmp_path):
+    return str(tmp_path / "target")
+
+
+def test_write_if_absent_idempotent(spark, sf_small, target):
+    """The ON CONFLICT DO NOTHING property: re-running on overlapping
+    input adds zero duplicates (insert_csv_to_postgres.py:104)."""
+    events = load_table(spark, sf_small, "events").limit(200)
+    n1 = write_if_absent(events, target, keys=["event_id"])
+    assert n1 == 200
+    n2 = write_if_absent(events, target, keys=["event_id"])
+    assert n2 == 0
+    stored = spark.read.parquet(target)
+    assert stored.count() == 200
+    assert stored.select("event_id").distinct().count() == 200
+
+
+def test_write_if_absent_partial_overlap(spark, sf_small, target):
+    events = load_table(spark, sf_small, "events")
+    first = events.filter(F.col("event_id") < 100)
+    overlap = events.filter((F.col("event_id") >= 50) & (F.col("event_id") < 150))
+    write_if_absent(first, target, keys=["event_id"])
+    n = write_if_absent(overlap, target, keys=["event_id"])
+    assert n == 50  # only the 100-149 half is new
+    assert spark.read.parquet(target).count() == 150
+
+
+def test_write_if_absent_dedups_batch(spark, sf_small, target):
+    events = load_table(spark, sf_small, "events").limit(50)
+    doubled = events.unionByName(events)
+    n = write_if_absent(doubled, target, keys=["event_id"])
+    assert n == 50
+
+
+def test_incremental_load_watermark(spark, sf_small, target):
+    """The upbit_daily_candels incremental pattern: only rows past the
+    target's max watermark are fetched and appended."""
+    events = load_table(spark, sf_small, "events")
+    old = events.filter(F.col("event_id") < 300)
+    incremental_load(old, target, keys=["event_id"], watermark_col="ts")
+    n = incremental_load(events, target, keys=["event_id"], watermark_col="ts")
+    stored = spark.read.parquet(target)
+    assert stored.count() == old.count() + n
+    # re-run: nothing new
+    assert incremental_load(events, target, keys=["event_id"], watermark_col="ts") == 0
+
+
+def test_gated_write(spark, sf_small, tmp_path):
+    events = load_table(spark, sf_small, "events")
+    empty = events.filter(F.col("event_type") == "nope")
+    assert gated_write(empty, write_csv, str(tmp_path / "a")) is False
+    assert gated_write(events.limit(5), write_csv, str(tmp_path / "b")) is True
+    assert spark.read.option("header", "true").csv(str(tmp_path / "b")).count() == 5
