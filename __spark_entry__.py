@@ -28,13 +28,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from streaming_data_spark.queries import CORE_QUERIES
     from streaming_data_spark.queries_ext import EXT_QUERIES
+    from streaming_data_spark.queries_ext2 import EXT2_QUERIES
 
-    return {**CORE_QUERIES, **EXT_QUERIES}
+    return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (same column aliases)."""
     from streaming_data_spark.queries import CORE_ORACLES
     from streaming_data_spark.queries_ext import EXT_ORACLES
+    from streaming_data_spark.queries_ext2 import EXT2_ORACLES
 
-    return {**CORE_ORACLES, **EXT_ORACLES}
+    return {**CORE_ORACLES, **EXT_ORACLES, **EXT2_ORACLES}

@@ -72,13 +72,22 @@ def asof_join(
     ``tolerance_seconds`` drops matches older than the tolerance
     (pd.merge_asof semantics).
     """
-    left_tagged = left.withColumn("_side", F.lit(1))
-    carried = [F.col(c) if c in right.columns else F.lit(None).alias(c)
-               for c in (key, ts, *value_cols)]
-    right_tagged = right.select(*carried).withColumn("_side", F.lit(0))
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}; rename first")
+    # Left rows carry null placeholders for the columns the right side
+    # will fill; right rows carry nulls for left-only columns. Types
+    # come from the owning side so unionByName resolves exactly.
+    left_tagged = left
+    for c in value_cols:
+        left_tagged = left_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    left_tagged = left_tagged.withColumn("_side", F.lit(1))
+
+    right_tagged = right.select(key, ts, *value_cols)
     for c in left.columns:
         if c not in right_tagged.columns:
-            right_tagged = right_tagged.withColumn(c, F.lit(None))
+            right_tagged = right_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    right_tagged = right_tagged.withColumn("_side", F.lit(0))
     unioned = left_tagged.unionByName(right_tagged.select(*left_tagged.columns))
 
     # right rows sort before left rows at the same timestamp (_side 0 < 1)

@@ -1,0 +1,57 @@
+"""Scale-property assertions on physical plans (SURVEY §4): pushdown
+reaches the scan, dim joins broadcast, projections prune, hot paths
+stay in codegen, shuffles stay minimal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_data_spark import plans
+from streaming_data_spark.queries import (
+    q_j1_dim_fact_join,
+    q_p4_filter_project,
+    q_q1_pricing_summary,
+    q_q3_shipping_priority,
+)
+from streaming_data_spark.schemas import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small):
+    df = q_p4_filter_project(spark, sf_small)
+    pushed = plans.pushed_filters(df)
+    assert any("event_type" in p for p in pushed), pushed
+
+
+def test_projection_prunes_scan(spark, sf_small):
+    df = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = plans.read_schema_columns(df)
+    assert schemas and set(schemas[0]) == {"l_orderkey", "l_quantity"}, schemas
+
+
+def test_q1_scan_prunes_to_needed_columns(spark, sf_small):
+    df = q_q1_pricing_summary(spark, sf_small)
+    schemas = plans.read_schema_columns(df)
+    assert schemas, "expected a file scan"
+    read = set(schemas[0])
+    assert "l_orderkey" not in read and "l_partkey" not in read, read
+    assert {"l_returnflag", "l_linestatus", "l_quantity"} <= read
+
+
+def test_dim_join_broadcasts(spark, sf_small):
+    df = q_j1_dim_fact_join(spark, sf_small)
+    assert plans.has_broadcast_join(df)
+    # broadcast join ⇒ no shuffle of the fact side at all
+    assert plans.shuffle_count(df) == 0, plans.explain_str(df)
+
+
+def test_q3_broadcasts_dim_and_stays_in_codegen(spark, sf_small):
+    df = q_q3_shipping_priority(spark, sf_small)
+    assert plans.has_broadcast_join(df)
+    assert plans.has_whole_stage_codegen(df)
+
+
+def test_agg_single_shuffle(spark, sf_small):
+    """groupBy on one key = exactly one exchange (partial aggs map-side)."""
+    events = load_table(spark, sf_small, "events")
+    df = events.groupBy("user_id").agg(F.sum("value").alias("s"))
+    assert plans.shuffle_count(df) == 1, plans.explain_str(df)

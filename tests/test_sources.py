@@ -1,0 +1,114 @@
+"""Source/connector tests: hermetic fake fetchers exercise the retry,
+per-key distribution, and pagination protocols; synthetic generation
+is deterministic; CSV validation rejects bad files."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import StringType, StructField, StructType
+
+from streaming_data_spark.sources import files, rest, synthetic
+
+MARKET_SCHEMA = StructType([
+    StructField("market", StringType(), False),
+    StructField("korean_name", StringType(), True),
+])
+
+
+def test_backoff_curve():
+    """min(60·2^n, 3600) — upbit_data_pipeline.py:54-55."""
+    assert [rest.backoff_seconds(n) for n in range(8)] == [
+        60.0, 120.0, 240.0, 480.0, 960.0, 1920.0, 3600.0, 3600.0
+    ]
+
+
+def test_fetch_with_retry_recovers():
+    calls = {"n": 0}
+    slept: list[float] = []
+
+    def flaky(url):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise rest.RetryableError("429")
+        return [{"ok": url}]
+
+    out = rest.fetch_with_retry(flaky, "u", sleep=slept.append)
+    assert out == [{"ok": "u"}]
+    assert slept == [60.0, 120.0]
+
+
+def test_fetch_with_retry_exhausts():
+    def always_429(url):
+        raise rest.RetryableError("429")
+
+    with pytest.raises(rest.RetryableError):
+        rest.fetch_with_retry(always_429, "u", max_retries=2, sleep=lambda s: None)
+
+
+def test_rest_snapshot(spark):
+    fetch = lambda url: [{"market": "KRW-BTC", "korean_name": "비트코인"},
+                         {"market": "KRW-ETH", "korean_name": "이더리움"}]
+    df = rest.rest_snapshot(spark, fetch, "http://x/v1/market/all", MARKET_SCHEMA)
+    assert df.count() == 2
+    assert df.schema == MARKET_SCHEMA
+
+
+def test_rest_per_key_distributed(spark):
+    """S2 — the per-key ticker fetch runs inside mapInPandas, one call
+    per key, keys fanned across partitions."""
+    keys = spark.createDataFrame([("KRW-BTC",), ("KRW-ETH",), ("KRW-XRP",)], ["market"])
+    price_schema = StructType([
+        StructField("market", StringType(), False),
+        StructField("price", StringType(), True),
+    ])
+
+    def factory():
+        return lambda url: [{"market": url.rsplit("=", 1)[1], "price": "100"}]
+
+    out = rest.rest_per_key(
+        keys, "market", "http://x/ticker?markets={key}", factory, price_schema,
+        sleep=lambda s: None,
+    )
+    rows = {r.market for r in out.collect()}
+    assert rows == {"KRW-BTC", "KRW-ETH", "KRW-XRP"}
+
+
+def test_rest_paginated_protocol(spark):
+    """S3 — pages of 2, cursor = last ts, stop on short page."""
+    data = [{"ts": f"t{i}", "v": str(i)} for i in range(5)]
+    calls: list[str] = []
+
+    def fetch(url):
+        calls.append(url)
+        cursor = url.split("cursor=")[1].split("&")[0]
+        start = 0 if cursor == "" else int(cursor[1:]) + 1
+        return data[start:start + 2]
+
+    schema = StructType([StructField("ts", StringType()), StructField("v", StringType())])
+    out = rest.rest_paginated(
+        spark, fetch, "http://x?cursor={cursor}&count={count}", schema,
+        cursor_field="ts", page_size=2, sleep=lambda s: None,
+    )
+    assert out.count() == 5
+    assert len(calls) == 3  # 2+2+1: short page stops the walk
+
+
+def test_csv_validation(spark, tmp_path):
+    path = str(tmp_path / "m.csv")
+    with open(path, "w") as fh:
+        fh.write("market,korean_name\nKRW-BTC,비트코인\n")
+    df = files.read_csv(spark, path, required_columns=["market"])
+    assert df.count() == 1
+    with pytest.raises(files.SchemaValidationError):
+        files.read_csv(spark, path, required_columns=["market", "nope"])
+
+
+def test_fake_users_deterministic(spark):
+    a = synthetic.fake_users(spark, 50).collect()
+    b = synthetic.fake_users(spark, 50).collect()
+    assert a == b
+    assert len({r.uuid for r in a}) == 50
+    row = a[0]
+    assert len(row.birthdate) == 8 and row.birthdate.isdigit()
+    assert row.phone_number.startswith("010-")
+    assert "@example.com" in row.email
