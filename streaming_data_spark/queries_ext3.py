@@ -1,0 +1,192 @@
+"""Third wave of registry queries — latent capabilities SURVEY.md
+marks as exposed-but-untested, now oracle-tested: batch flatten/cast
+(the Logstash chain in batch form), pagination windows, sessionization,
+rollup totals, pivot. Closes the §2.3/§2.6/§2.5 long tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from streaming_data_spark.operators import transforms
+from streaming_data_spark.queries import _t
+
+# --------------------------------------------------------------------------
+# P3/P9/P10/P11 — batch form of the Logstash flatten/cast/copy chain
+# --------------------------------------------------------------------------
+
+def q_p10_flatten_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json → flatten one-level struct → cast → rename → copy
+    column (instagram-profiles.conf:24-46 as a batch query)."""
+    events = _t(spark, sf_dir, "events")
+    payload = StructType([StructField("k", IntegerType(), True)])
+    parsed = events.withColumn("parsed", F.from_json(F.col("props"), payload))
+    flat = transforms.flatten_struct(parsed.select("event_id", "event_type", "value", "parsed"), "parsed")
+    flat = transforms.cast_columns(flat, {"k": "long"})
+    flat = transforms.copy_column(flat, "value", "log_value")
+    return transforms.rename(
+        flat,
+        {"event_id": "event_id", "event_type": "evt", "k": "k", "log_value": "log_value"},
+    )
+
+
+SQL_P10 = """
+SELECT event_id,
+       event_type AS evt,
+       json_extract_string(props, '$.k')::BIGINT AS k,
+       value AS log_value
+FROM events
+"""
+
+# --------------------------------------------------------------------------
+# W2 — pagination ordering (cursor walks a global order)
+# --------------------------------------------------------------------------
+
+def q_w2_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 (rows 101-200) of orders by (o_orderdate desc, o_orderkey)
+    — the API pagination protocol (upbit_daily_candels.py:170-172) as a
+    deterministic window. Presentation-only global sort (W3 note)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "rn")
+    )
+
+
+SQL_W2 = """
+SELECT o_orderkey, o_orderdate, o_totalprice,
+       row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+FROM orders
+QUALIFY rn > 100 AND rn <= 200
+"""
+
+# --------------------------------------------------------------------------
+# Sessionization — gap-based sessions (guide §OLAP patterns; latent T3)
+# --------------------------------------------------------------------------
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions split on >30 min inactivity: lag + cumulative
+    sum of gap flags — one shuffle on user_id, two window passes."""
+    events = _t(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_order))
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w_order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+SQL_SESSION = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessioned AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM sessioned
+GROUP BY user_id, session_seq
+"""
+
+# --------------------------------------------------------------------------
+# Rollup — subtotal/total grouping (latent §2.5 note)
+# --------------------------------------------------------------------------
+
+def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): per-group, per-flag
+    subtotal, and grand-total rows in one pass."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+# --------------------------------------------------------------------------
+# Pivot — wide per-key counts (latent; guide §OLAP patterns)
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events pivoted to one column per type (fixed value list keeps
+    the schema deterministic; absent cells coalesce to 0)."""
+    events = _t(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS n_click,
+       coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS n_error,
+       coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase,
+       coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS n_signup,
+       coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
+EXT3_QUERIES = {
+    "p10_flatten_cast": q_p10_flatten_cast,
+    "w2_pagination": q_w2_pagination,
+    "sessionization": q_sessionization,
+    "rollup_totals": q_rollup_totals,
+    "pivot_counts": q_pivot_counts,
+}
+
+EXT3_ORACLES = {
+    "p10_flatten_cast": SQL_P10,
+    "w2_pagination": SQL_W2,
+    "sessionization": SQL_SESSION,
+    "rollup_totals": SQL_ROLLUP,
+    "pivot_counts": SQL_PIVOT,
+}

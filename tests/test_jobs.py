@@ -1,0 +1,126 @@
+"""End-to-end replays of the reference's pipelines with hermetic fake
+fetchers (SURVEY §3): result contents, idempotency under re-run, and
+incremental semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from streaming_data_spark import jobs
+
+PRICE_SCHEMA = StructType([
+    StructField("market", StringType(), False),
+    StructField("trade_price", DoubleType(), True),
+    StructField("trade_volume", DoubleType(), True),
+])
+
+CANDLE_SCHEMA = StructType([
+    StructField("market", StringType(), False),
+    StructField("candle_date_time_kst", StringType(), False),
+    StructField("trade_price", DoubleType(), True),
+])
+
+MARKETS = [
+    {"market": "KRW-BTC", "korean_name": "비트코인", "english_name": "Bitcoin"},
+    {"market": "KRW-ETH", "korean_name": "이더리움", "english_name": "Ethereum"},
+]
+
+
+def market_fetch(url):
+    return MARKETS
+
+
+def _make_ticker_factory():
+    # defined as a local closure so cloudpickle serializes it by VALUE
+    # (module-level test functions pickle by reference, and executors
+    # can't import the tests package)
+    def factory():
+        return lambda url: [{
+            "market": url.rsplit("=", 1)[1],
+            "trade_price": 100.0,
+            "trade_volume": 5.0,
+        }]
+
+    return factory
+
+
+def test_market_price_pipeline_end_to_end(spark, tmp_path):
+    ticker_factory = _make_ticker_factory()
+    alerts: list[dict] = []
+    wh = str(tmp_path / "wh")
+    combined = jobs.market_price_pipeline(
+        spark, market_fetch, ticker_factory, PRICE_SCHEMA, wh, alert=alerts.append,
+    )
+    rows = {r.market: r for r in combined.collect()}
+    assert set(rows) == {"KRW-BTC", "KRW-ETH"}
+    assert rows["KRW-BTC"].korean_name == "비트코인"
+    assert rows["KRW-BTC"].trade_price == 100.0
+    assert alerts[-1]["event"] == "job_succeeded"
+
+    # re-run: idempotent stores, same combined output
+    combined2 = jobs.market_price_pipeline(
+        spark, market_fetch, ticker_factory, PRICE_SCHEMA, wh, alert=alerts.append,
+    )
+    assert combined2.count() == 2
+    assert spark.read.parquet(f"{wh}/upbit_markets").count() == 2
+
+
+def test_market_price_pipeline_failure_alert(spark, tmp_path):
+    alerts: list[dict] = []
+
+    def broken_fetch(url):
+        raise RuntimeError("api down")
+
+    with pytest.raises(RuntimeError):
+        jobs.market_price_pipeline(
+            spark, broken_fetch, _make_ticker_factory(), PRICE_SCHEMA,
+            str(tmp_path / "wh2"), alert=alerts.append,
+        )
+    assert alerts[-1]["event"] == "job_failed"
+    assert "api down" in alerts[-1]["error"]
+
+
+def _candle_fetch_through(last_day: int):
+    """Fake candle API: newest-first pages over days 1..last_day."""
+
+    def fetch(url):
+        cursor = url.split("to=")[1].split("&")[0]
+        count = int(url.split("count=")[1])
+        newest = last_day if cursor == "" else int(cursor.rsplit("-", 1)[1]) - 1
+        days = [d for d in range(newest, max(0, newest - count), -1) if d >= 1]
+        return [
+            {"market": "KRW-BTC", "candle_date_time_kst": f"2024-01-{d:02d}", "trade_price": float(d)}
+            for d in days
+        ]
+
+    return fetch
+
+
+def test_incremental_candles_two_runs(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    n1 = jobs.incremental_candles_job(
+        spark, ["KRW-BTC"], _candle_fetch_through(5), CANDLE_SCHEMA, wh, page_size=3,
+    )
+    assert n1 == 5
+    # five more days appear; only they load
+    n2 = jobs.incremental_candles_job(
+        spark, ["KRW-BTC"], _candle_fetch_through(10), CANDLE_SCHEMA, wh, page_size=3,
+    )
+    assert n2 == 5
+    stored = spark.read.parquet(f"{wh}/daily_candles")
+    assert stored.count() == 10
+    assert stored.select("candle_date_time_kst").distinct().count() == 10
+
+
+def test_failed_rows_job(spark, tmp_path):
+    alerts: list[dict] = []
+    log = spark.createDataFrame(
+        [("t1", "SUCCESS"), ("t2", "FAILED"), ("t3", "FAILED")], ["task", "event"]
+    )
+    wrote = jobs.failed_rows_job(log, str(tmp_path / "failed"), alert=alerts.append)
+    assert wrote is True
+    out = spark.read.option("header", "true").csv(str(tmp_path / "failed"))
+    assert out.count() == 2
+    clean = log.filter("event = 'SUCCESS'")
+    assert jobs.failed_rows_job(clean, str(tmp_path / "none"), alert=alerts.append) is False
