@@ -30,8 +30,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext import EXT_QUERIES
     from streaming_data_spark.queries_ext2 import EXT2_QUERIES
     from streaming_data_spark.queries_ext3 import EXT3_QUERIES
+    from streaming_data_spark.queries_ext4 import EXT4_QUERIES
 
-    return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES}
+    return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES, **EXT4_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -40,5 +41,6 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext import EXT_ORACLES
     from streaming_data_spark.queries_ext2 import EXT2_ORACLES
     from streaming_data_spark.queries_ext3 import EXT3_ORACLES
+    from streaming_data_spark.queries_ext4 import EXT4_ORACLES
 
-    return {**CORE_ORACLES, **EXT_ORACLES, **EXT2_ORACLES, **EXT3_ORACLES}
+    return {**CORE_ORACLES, **EXT_ORACLES, **EXT2_ORACLES, **EXT3_ORACLES, **EXT4_ORACLES}

@@ -29,6 +29,8 @@ HEADLINE = (
     "x1_exact_dedup",
     "x2_minhash_lsh",
     "x5_cosine_topk",
+    "x7_near_dup_lsh",
+    "q5_regional_revenue",
 )
 
 

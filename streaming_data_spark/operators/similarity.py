@@ -70,35 +70,194 @@ def cosine_topk(
     )
 
 
-# 8 frozen pseudo-random hyperplanes for 64-dim embeddings would be 512
-# constants; instead derive hyperplane components deterministically from
-# md5 of (plane, dim) — portable to SQL and stable forever.
+# Frozen pseudo-random hyperplanes: component (plane, dim) is derived
+# from the first 7 md5 hex chars of 'p{plane}:{dim}' — deterministic and
+# stable forever. The hash runs ONCE at plan-build time on the driver
+# and ships as a literal array; executors do pure arithmetic (the md5
+# per row*plane*dim this replaces was the dominant LSH cost).
 N_PLANES = 8
+_MAX_DIMS = 256
 
 
-def _plane_component(plane: int, dim_index: Column) -> Column:
-    """Deterministic pseudo-random component in [-1, 1): from the first
-    7 md5 hex chars of 'p{plane}:{dim}'."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"p{plane}:"), dim_index.cast("string"))), 1, 7),
-        16, 10,
-    ).cast("long")
-    return (h.cast("double") / F.lit(float(16 ** 7)) ) * 2.0 - 1.0
+def _plane_component(plane: int, dim_index: int) -> float:
+    """Deterministic pseudo-random component in [-1, 1)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{plane}:{dim_index}".encode()).hexdigest()[:7], 16)
+    return (h / float(16 ** 7)) * 2.0 - 1.0
 
 
 def sign_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
     """Random-hyperplane sign bucket id (0 .. 2^n_planes-1)."""
-    dims = F.sequence(F.lit(0), F.size(vec) - 1)
     bucket = None
     for p in range(n_planes):
+        plane = F.lit([_plane_component(p, d) for d in range(_MAX_DIMS)])
         proj = F.aggregate(
-            F.zip_with(vec, dims, lambda x, i: x.cast("double") * _plane_component(p, i)),
+            F.zip_with(
+                vec,
+                F.slice(plane, 1, F.size(vec)),
+                lambda x, c: x.cast("double") * c,
+            ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         bit = F.when(proj >= 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bit if bucket is None else bucket + bit
     return bucket
+
+
+def cosine_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_planes: int | None = None,
+) -> DataFrame:
+    """[EXT X1/X2] Embedding-cosine near-duplicate pairs: (id_a, id_b,
+    cosine) for every unordered pair with cosine >= threshold.
+
+    ``n_planes=None`` is the exact all-pairs form (the oracle-matched
+    correctness baseline; O(n^2), fine at test SF). ``n_planes=k`` is
+    the scale path: both sides are sign-LSH bucketed and only
+    same-or-one-bit-apart buckets are compared — the corpus never
+    materializes the full cross product, so cost is
+    sum(bucket_size^2) instead of n^2. At 100 TB the bucketed corpus
+    is written once partitioned by bucket and the pair scan is
+    embarrassingly parallel per bucket.
+    """
+    # Normalize ONCE per vector (one corpus pass) so the pairwise step
+    # is a single dot fold instead of dot + two norms — 3× less per-pair
+    # work, and at scale the unit vectors are what you'd persist.
+    unit = df.withColumn("_n", _norm(F.col(vec_col))).select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_n")).alias("_u"),
+    )
+    if n_planes is None:
+        # Exact path: left-fold HOF dot keeps float op order identical
+        # to the SQL oracle (bit-for-bit before rounding).
+        a = unit.select(F.col("_id").alias("id_a"), F.col("_u").alias("a_vec"))
+        b = unit.select(F.col("_id").alias("id_b"), F.col("_u").alias("b_vec"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        cos = _dot(F.col("a_vec"), F.col("b_vec"))
+        return (
+            pairs.select("id_a", "id_b", cos.alias("cosine_raw"))
+            .filter(F.col("cosine_raw") >= threshold)
+            .select("id_a", "id_b", F.round("cosine_raw", 6).alias("cosine"))
+        )
+
+    # Blocked scale path: each vector's home bucket plus every
+    # one-bit-flip bucket is probed; within a bucket the probe set is
+    # matmul'd against the home set with numpy (Arrow batches) — the
+    # per-pair work is a BLAS row, not an interpreted array fold.
+    import pandas as pd  # noqa: F401 — applyInPandas dependency
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    homed = unit.withColumn("home", sign_bucket(F.col("_u"), n_planes))
+    probes = F.array(
+        F.col("home"),
+        *[F.col("home").bitwiseXOR(F.lit(2 ** p)) for p in range(n_planes)],
+    )
+    exploded = homed.select(
+        "_id", "_u", "home", F.explode(probes).alias("bucket")
+    )
+
+    def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        mat = np.stack(pdf["_u"].to_numpy())
+        ids = pdf["_id"].to_numpy()
+        is_home = (pdf["home"] == pdf["bucket"]).to_numpy()
+        if not is_home.any():
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                 "cosine_raw": np.array([], dtype="float64")})
+        home_mat = mat[is_home]
+        home_ids = ids[is_home]
+        sims = mat @ home_mat.T
+        ia, ib = np.nonzero(sims >= threshold)
+        id_a, id_b = ids[ia], home_ids[ib]
+        lo, hi = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        keep = lo < hi
+        return pd.DataFrame(
+            {"id_a": lo[keep], "id_b": hi[keep], "cosine_raw": sims[ia, ib][keep]}
+        )
+
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_raw double"
+    return (
+        exploded.groupBy("bucket")
+        .applyInPandas(_bucket_pairs, schema=out_schema)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+) -> DataFrame:
+    """[EXT X2] IVF-bucketed approximate cosine top-k.
+
+    Inverted-file ANN: every corpus vector is assigned to its nearest
+    centroid (one broadcast join — the "coarse quantizer"), and each
+    query searches only its own cell (nprobe=1). Centroids here are the
+    ``n_cells`` lowest-id corpus vectors — deterministic, so the whole
+    operator is oracle-testable; production would swap in sampled
+    KMeans centroids without touching the plan shape.
+
+    Scale path: the assignment pass is a single broadcast-join scan of
+    the corpus (no shuffle of the corpus itself beyond the final
+    partitioned write `partitionBy(cell)`); per-query work is
+    |cell| ≈ n/n_cells instead of n.
+    """
+    cents = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        sim = _dot(F.col(vecc), F.col("c_vec")) / (
+            _norm(F.col(vecc)) * _norm(F.col("c_vec"))
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("c_sim"), F.asc("cid"))
+        return (
+            df.crossJoin(cents)
+            .withColumn("c_sim", sim)
+            .withColumn("c_rank", F.row_number().over(w))
+            .filter(F.col("c_rank") == 1)
+            .select(df["*"], F.col("cid").alias("cell"))
+        )
+
+    c = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec2")),
+        "neighbor_id", "c_vec2",
+    )
+    q = F.broadcast(
+        assign(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+            "query_id", "q_vec",
+        )
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q_vec"), F.col("c_vec2"))
+             / (_norm(F.col("q_vec")) * _norm(F.col("c_vec2")))).alias("cosine_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine_raw", 6).alias("cosine"))
+    )
 
 
 def signlsh_topk(

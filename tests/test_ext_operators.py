@@ -62,3 +62,48 @@ def test_simhash_close_for_neardups(spark, sf_oracle):
     )
     assert joined, "expected near-dup pairs"
     assert all(r.hamming <= 8 for r in joined), [r.hamming for r in joined]
+
+
+def test_cosine_near_dup_lsh_subset_and_recall(spark, sf_oracle):
+    """The LSH-blocked near-dup path must return a SUBSET of the exact
+    all-pairs result (same threshold, same scores) with usable recall."""
+    from streaming_data_spark.queries_ext4 import NEAR_DUP_THRESHOLD
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_near_dup(emb, threshold=NEAR_DUP_THRESHOLD).collect()
+    }
+    assert exact, "threshold should surface some near-dup pairs at sf0.01"
+    blocked = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_near_dup(
+            emb, threshold=NEAR_DUP_THRESHOLD, n_planes=4
+        ).collect()
+    }
+    extra = set(blocked) - set(exact)
+    assert not extra, f"blocked path produced pairs exact path lacks: {extra}"
+    for pair in blocked:
+        # numpy matmul (blocked path) vs left-fold (exact path) may
+        # differ in the last ulps before rounding
+        assert abs(blocked[pair] - exact[pair]) <= 1e-6
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.25, f"LSH near-dup recall collapsed: {recall:.2f}"
+
+
+def test_ivf_topk_within_cell_matches_exact_on_cell(spark, sf_oracle):
+    """IVF with one probe returns the exact top-k restricted to the
+    query's cell — ranks are consistent and cosines match cosine_topk
+    where the neighbor sets overlap."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.cosine_topk(emb, queries, k=50).collect()
+    }
+    ivf = similarity.ivf_topk(emb, queries, k=5, n_cells=8).collect()
+    assert ivf, "IVF should return neighbors for every query"
+    for r in ivf:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert exact[key] == r.cosine
