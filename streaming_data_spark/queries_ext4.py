@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streaming_data_spark.operators import similarity
+from streaming_data_spark.operators import similarity, skew
 from streaming_data_spark.queries import _t
 
 # SQL fragment: deterministic left-fold double dot product, identical
@@ -171,15 +171,64 @@ GROUP BY n_name
 """
 
 
+# --------------------------------------------------------------------------
+# Skew mitigation — salted forms must be value-identical to unsalted SQL
+# --------------------------------------------------------------------------
+
+def q_j_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join: physically spreads each supplier key over
+    16 buckets; logically identical to the plain join (the oracle)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    return skew.salted_join(
+        lineitem.select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"),
+        supplier.select("l_suppkey", "s_name"),
+        on=["l_suppkey"],
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, s_name
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+def q_a_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — reduce side of each key split
+    across 16 tasks; same totals as the direct GROUP BY."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    out = skew.salted_agg(
+        lineitem, ["l_suppkey"], {"l_quantity": "sum", "l_orderkey": "count"}
+    )
+    return out.select(
+        "l_suppkey",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.col("count_l_orderkey").alias("n_items"),
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT l_suppkey,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(l_orderkey) AS n_items
+FROM lineitem
+GROUP BY l_suppkey
+"""
+
+
 EXT4_QUERIES = {
     "x7_cosine_near_dup": q_x7_cosine_near_dup,
     "x7_near_dup_lsh": q_x7_near_dup_lsh,
     "x8_ivf_topk": q_x8_ivf_topk,
     "q5_regional_revenue": q_q5_regional_revenue,
+    "j_salted_join": q_j_salted_join,
+    "a_salted_agg": q_a_salted_agg,
 }
 
 EXT4_ORACLES = {
     "x7_cosine_near_dup": SQL_X7,
     "x8_ivf_topk": SQL_X8,
     "q5_regional_revenue": SQL_Q5,
+    "j_salted_join": SQL_SALTED_JOIN,
+    "a_salted_agg": SQL_SALTED_AGG,
 }

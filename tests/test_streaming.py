@@ -207,3 +207,78 @@ def test_alert_listener_and_job_wrapper(spark, event_stream_dir, tmp_path):
         run_job_with_alerts(lambda: (_ for _ in ()).throw(ValueError("boom")),
                             captured.append, "bad_job")
     assert captured[-1]["event"] == "job_failed"
+
+
+def test_stateful_sessionization_across_batches(spark, sf_small, tmp_path):
+    """T6 — applyInPandasWithState sessionization: state (the open
+    session) must carry across micro-batches, and every session proven
+    closed by a later event must be emitted exactly once."""
+    import os
+
+    from streaming_data_spark.streaming.stateful import sessionize_stream
+
+    events = (
+        load_table(spark, sf_small, "events")
+        .select("user_id", "ts", "value")
+        .orderBy("ts")
+        .limit(300)
+    )
+    pdf = events.toPandas().sort_values("ts").reset_index(drop=True)
+
+    # three sequential micro-batches (file modtime drives pickup order)
+    src = tmp_path / "sessions_in"
+    src.mkdir()
+    for i, chunk in enumerate((pdf.iloc[:100], pdf.iloc[100:200], pdf.iloc[200:])):
+        p = src / f"part-{i}.json"
+        chunk.assign(ts=chunk["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")).to_json(
+            p, orient="records", lines=True
+        )
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = (
+        StructType().add("user_id", "long").add("ts", "timestamp").add("value", "double")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30)
+    writer = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+    )
+    sp.run_to_completion(writer)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.session_value, 4))
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+
+    # expected: batch sessionization of the SAME rows, dropping each
+    # user's final (still-open) session
+    gap_us = 30 * 60 * 1_000_000
+    want = set()
+    for uid, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values("ts")
+        cur = None
+        for _, row in grp.iterrows():
+            t = row["ts"].value // 1000
+            if cur is None:
+                cur = [t, t, 1, float(row["value"])]
+            elif t - cur[1] > gap_us:
+                want.add((uid, cur[0], cur[1], cur[2], round(cur[3], 4)))
+                cur = [t, t, 1, float(row["value"])]
+            else:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += float(row["value"])
+        # final session stays open — not emitted by the stream
+    import pandas as pd
+
+    got_norm = {
+        (u, pd.Timestamp(s).value // 1000, pd.Timestamp(e).value // 1000, n, v)
+        for (u, s, e, n, v) in got
+    }
+    assert got_norm == want
+    assert len(got_norm) > 0, "expected at least one closed session in testdata"
