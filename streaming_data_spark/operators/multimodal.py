@@ -93,19 +93,33 @@ def extract_features(
     """
     import pandas as pd
 
+    dim = FEATURE_DIM
+
+    # NB: the closure must be fully self-contained (no references to
+    # module-level symbols) — cloudpickle ships it by value, and the
+    # driver's Python workers may not have this package on their path.
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as pd
+
         if decoder == "pil":
             raise NotImplementedError("image decode requires Pillow; not in this image")
         if decoder == "librosa":
             raise NotImplementedError("audio decode requires librosa; not in this image")
         if decoder != "fake":
             raise ValueError(f"unknown decoder {decoder!r}")
+
+        def fake(payload: bytes | None) -> list[float]:
+            digest = _hashlib.sha256(payload or b"").digest()
+            return [digest[i % 32] / 255.0 for i in range(dim)]
+
         for batch in batches:
             yield pd.DataFrame({
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
                 "n_bytes": batch["content"].map(lambda b: len(b) if b is not None else 0),
-                "features": batch["content"].map(_fake_features),
+                "features": batch["content"].map(fake),
             })
 
     return df.mapInPandas(_decode, schema=FEATURE_SCHEMA)

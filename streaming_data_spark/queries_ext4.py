@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streaming_data_spark.operators import similarity, skew
+from streaming_data_spark.operators import multimodal, similarity, skew
 from streaming_data_spark.queries import _t
 
 # SQL fragment: deterministic left-fold double dot product, identical
@@ -216,6 +216,49 @@ GROUP BY l_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# X9 — multimodal feature-extraction pipeline (X4 plumbing, end to end)
+# --------------------------------------------------------------------------
+
+def q_x9_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: documents.text → opaque binary payload →
+    Arrow-batched mapInPandas decode (the stubbed-fake kernel) →
+    per-item feature columns. The oracle replicates the sha256-seeded
+    fake decoder exactly — including the float32 leg — proving the
+    plumbing (schema, batching, UDF signature) end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    feats = multimodal.extract_features(media, decoder="fake")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        *[
+            F.round(F.element_at("features", j + 1).cast("double"), 6).alias(f"f{j}")
+            for j in range(4)
+        ],
+    )
+
+
+def _x9_sql() -> str:
+    cols = ",\n       ".join(
+        f"round((('0x' || substr(sha256(text), {2 * j + 1}, 2))::INT / 255.0)::REAL::DOUBLE, 6) AS f{j}"
+        for j in range(4)
+    )
+    return f"""
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       {cols}
+FROM documents
+"""
+
+
+SQL_X9 = _x9_sql()
+
+
 EXT4_QUERIES = {
     "x7_cosine_near_dup": q_x7_cosine_near_dup,
     "x7_near_dup_lsh": q_x7_near_dup_lsh,
@@ -223,6 +266,7 @@ EXT4_QUERIES = {
     "q5_regional_revenue": q_q5_regional_revenue,
     "j_salted_join": q_j_salted_join,
     "a_salted_agg": q_a_salted_agg,
+    "x9_media_features": q_x9_media_features,
 }
 
 EXT4_ORACLES = {
@@ -231,4 +275,5 @@ EXT4_ORACLES = {
     "q5_regional_revenue": SQL_Q5,
     "j_salted_join": SQL_SALTED_JOIN,
     "a_salted_agg": SQL_SALTED_AGG,
+    "x9_media_features": SQL_X9,
 }

@@ -55,3 +55,22 @@ def test_agg_single_shuffle(spark, sf_small):
     events = load_table(spark, sf_small, "events")
     df = events.groupBy("user_id").agg(F.sum("value").alias("s"))
     assert plans.shuffle_count(df) == 1, plans.explain_str(df)
+
+
+def test_q5_pushes_date_filter_and_broadcasts_dims(spark, sf_small):
+    from streaming_data_spark.queries_ext4 import q_q5_regional_revenue
+
+    df = q_q5_regional_revenue(spark, sf_small)
+    pushed = plans.pushed_filters(df)
+    assert any("o_orderdate" in p for p in pushed), pushed
+    assert plans.has_broadcast_join(df)
+
+
+def test_salted_agg_two_exchanges(spark, sf_small):
+    """Explicit two-phase salt = exactly two exchanges: (key, salt)
+    then key."""
+    from streaming_data_spark.operators import skew
+
+    lineitem = load_table(spark, sf_small, "lineitem")
+    df = skew.salted_agg(lineitem, ["l_suppkey"], {"l_quantity": "sum"})
+    assert plans.shuffle_count(df) == 2, plans.explain_str(df)
