@@ -31,8 +31,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext2 import EXT2_QUERIES
     from streaming_data_spark.queries_ext3 import EXT3_QUERIES
     from streaming_data_spark.queries_ext4 import EXT4_QUERIES
+    from streaming_data_spark.queries_ext5 import EXT5_QUERIES
 
-    return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES, **EXT4_QUERIES}
+    return {
+        **CORE_QUERIES,
+        **EXT_QUERIES,
+        **EXT2_QUERIES,
+        **EXT3_QUERIES,
+        **EXT4_QUERIES,
+        **EXT5_QUERIES,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -42,5 +50,13 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext2 import EXT2_ORACLES
     from streaming_data_spark.queries_ext3 import EXT3_ORACLES
     from streaming_data_spark.queries_ext4 import EXT4_ORACLES
+    from streaming_data_spark.queries_ext5 import EXT5_ORACLES
 
-    return {**CORE_ORACLES, **EXT_ORACLES, **EXT2_ORACLES, **EXT3_ORACLES, **EXT4_ORACLES}
+    return {
+        **CORE_ORACLES,
+        **EXT_ORACLES,
+        **EXT2_ORACLES,
+        **EXT3_ORACLES,
+        **EXT4_ORACLES,
+        **EXT5_ORACLES,
+    }

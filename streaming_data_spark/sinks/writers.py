@@ -136,3 +136,27 @@ def gated_write(df: DataFrame, write_fn, *args, **kwargs) -> bool:
         return False
     write_fn(df, *args, **kwargs)
     return True
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    The 100 TB join strategy: two tables bucketed on the same key with
+    the same bucket count join WITHOUT any exchange — the shuffle is
+    paid once at write time, then every downstream join/aggregation on
+    that key is co-located (asserted in tests/test_bucketing.py).
+    Sorted buckets additionally skip the sort of a sort-merge join.
+    """
+    cols = list(bucket_cols)
+    writer = df.write.mode(mode).bucketBy(n_buckets, cols[0], *cols[1:])
+    if sort_cols:
+        sort_cols = list(sort_cols)
+        writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
+    writer.saveAsTable(table)

@@ -107,3 +107,14 @@ def test_ivf_topk_within_cell_matches_exact_on_cell(spark, sf_oracle):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert exact[key] == r.cosine
+
+
+def test_approx_count_distinct_within_error(spark, sf_oracle):
+    """HLL sketch (the 100 TB path for distinct counts) must land
+    within its documented ~5% relative error of the exact count."""
+    lineitem = load_table(spark, sf_oracle, "lineitem")
+    exact = lineitem.select("l_suppkey").distinct().count()
+    approx = lineitem.agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.05).alias("a")
+    ).collect()[0]["a"]
+    assert abs(approx - exact) / exact <= 0.10, (approx, exact)

@@ -112,3 +112,24 @@ def test_fake_users_deterministic(spark):
     assert len(row.birthdate) == 8 and row.birthdate.isdigit()
     assert row.phone_number.startswith("010-")
     assert "@example.com" in row.email
+
+
+def test_jdbc_reader_plumbing(spark):
+    """No database in this container: prove the reader is wired into
+    Spark's JDBC layer (connection attempt, not option typos) and that
+    partitioned scans validate their bounds."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from streaming_data_spark.sources import jdbc
+
+    reader = jdbc.jdbc_reader(
+        spark, "jdbc:postgresql://localhost:1/nope", "log",
+        partition_column="id", lower_bound=0, upper_bound=100, num_partitions=4,
+    )
+    with pytest.raises(Exception) as err:
+        reader.load()
+    assert "driver" in str(err.value).lower() or "connection" in str(err.value).lower()
+
+    with pytest.raises(ValueError, match="partition_column requires"):
+        jdbc.jdbc_reader(spark, "jdbc:x", "t", partition_column="id")
