@@ -160,3 +160,23 @@ def write_bucketed(
         sort_cols = list(sort_cols)
         writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
     writer.saveAsTable(table)
+
+
+def write_text_log(
+    df: DataFrame,
+    path: str,
+    stamp_col: str | None = None,
+) -> None:
+    """K8 — stringified rows to a text sink (monitor_errors.py:29-42
+    pushes failed rows as one text blob to a date-stamped S3 key;
+    stored_postgres_data_send_s3.py:15-22 the generic form). Rows are
+    serialized as JSON lines; the date stamp becomes a partition value
+    (dt=YYYYMMDD) so readers prune by day exactly like the reference's
+    key naming scheme. Any fs scheme works (file://, s3a://, ...).
+    """
+    payload = F.to_json(F.struct(*df.columns)).alias("value")
+    if stamp_col is not None:
+        out = df.select(payload, F.date_format(F.col(stamp_col), "yyyyMMdd").alias("dt"))
+        out.write.mode("append").partitionBy("dt").text(path)
+    else:
+        df.select(payload).write.mode("append").text(path)

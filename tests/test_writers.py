@@ -64,3 +64,22 @@ def test_gated_write(spark, sf_small, tmp_path):
     assert gated_write(empty, write_csv, str(tmp_path / "a")) is False
     assert gated_write(events.limit(5), write_csv, str(tmp_path / "b")) is True
     assert spark.read.option("header", "true").csv(str(tmp_path / "b")).count() == 5
+
+
+def test_write_text_log_date_partitioned(spark, sf_small, tmp_path):
+    """K8 — failed-rows-to-text with the reference's date-stamped key
+    layout (monitor_errors.py:38): one dt= partition per day, JSON-line
+    payloads round-trip."""
+    from streaming_data_spark.sinks.writers import write_text_log
+
+    events = load_table(spark, sf_small, "events").limit(50)
+    out = str(tmp_path / "logs")
+    write_text_log(events, out, stamp_col="ts")
+    back = spark.read.text(out)
+    assert back.count() == 50
+    days = {r.dt for r in spark.read.format("text").option("pathGlobFilter", "*").load(out)
+            .select(F.regexp_extract(F.input_file_name(), r"dt=(\d{8})", 1).alias("dt"))
+            .collect()}
+    assert all(len(d) == 8 for d in days) and days
+    parsed = spark.read.json(out)
+    assert "event_id" in parsed.columns
