@@ -74,3 +74,17 @@ def test_salted_agg_two_exchanges(spark, sf_small):
     lineitem = load_table(spark, sf_small, "lineitem")
     df = skew.salted_agg(lineitem, ["l_suppkey"], {"l_quantity": "sum"})
     assert plans.shuffle_count(df) == 2, plans.explain_str(df)
+
+
+def test_no_registry_query_uses_row_at_a_time_python(spark, sf_small):
+    """Fleet-wide scale assertion: every registry query stays JVM-side
+    or Arrow-batched — a BatchEvalPython node (row-at-a-time Python
+    UDF) anywhere is a 10-100x regression at scale."""
+    import __spark_entry__ as entry
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        plan = plans.explain_str(fn(spark, sf_small))
+        if "BatchEvalPython" in plan:
+            offenders[name] = plan
+    assert not offenders, f"row-at-a-time Python in: {sorted(offenders)}"
