@@ -63,12 +63,22 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Documents with fewer than ``n`` tokens yield NO shingles (the
+    guard matters: an unguarded sequence(0, size-n) descends into
+    negative indices and throws on any short/empty doc — and real
+    corpora always contain some). Matches the oracle's empty
+    range(1, len-1) behavior; explode drops the doc entirely.
+    """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
     )
@@ -151,9 +161,12 @@ def minhash_lsh_pairs(
     """
     r = k // bands
     # Signatures are tiny relative to the corpus (k longs per doc); at
-    # scale they'd be materialized to a table. Persisting here keeps the
-    # band self-join from recomputing the shingle→hash pipeline twice.
-    sig = minhash_signatures(df, id_col, text_col, n, k).persist()
+    # scale they'd be materialized to a table. localCheckpoint (not
+    # persist) keeps the band self-join from recomputing the shingle→
+    # hash pipeline twice AND lets the blocks be reclaimed when the
+    # result goes out of scope — an explicit persist here leaked cache
+    # across repeated invocations in a long-lived session.
+    sig = minhash_signatures(df, id_col, text_col, n, k).localCheckpoint(eager=True)
     banded = sig.select(
         F.col(id_col),
         F.col("sig"),

@@ -208,28 +208,42 @@ def ivf_topk(
     operator is oracle-testable; production would swap in sampled
     KMeans centroids without touching the plan shape.
 
-    Scale path: the assignment pass is a single broadcast-join scan of
-    the corpus (no shuffle of the corpus itself beyond the final
-    partitioned write `partitionBy(cell)`); per-query work is
-    |cell| ≈ n/n_cells instead of n.
+    Scale path: the centroid table is tiny (n_cells rows) and is
+    collected to the driver ONCE; cell assignment is then a pure
+    per-row argmax over literal centroid arrays — zero shuffle of the
+    corpus (the round-1 crossJoin+window form shuffled the corpus
+    ×n_cells on vec_id just to pick an argmax; this is the same math
+    with no Exchange at all, asserted in tests/test_plans.py).
+    Per-query search work is |cell| ≈ n/n_cells instead of n.
     """
-    cents = F.broadcast(
+    cent_rows = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_cells)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+        .collect()
     )
+    cents = [(int(r["cid"]), [float(x) for x in r["c_vec"]]) for r in cent_rows]
 
     def assign(df: DataFrame, idc: str, vecc: str) -> DataFrame:
-        sim = _dot(F.col(vecc), F.col("c_vec")) / (
-            _norm(F.col(vecc)) * _norm(F.col("c_vec"))
+        # _vn evaluated once per row and reused across candidates; each
+        # candidate's expression is arithmetically identical to the SQL
+        # oracle's dot/(sqrt(v·v)·sqrt(c·c)) left-fold, so the argmax
+        # (and hence the cell) is bit-stable across engines. Struct max
+        # is lexicographic: highest sim, ties to the lowest cid.
+        with_n = df.withColumn("_vn", _norm(F.col(vecc)))
+        cands = F.array(
+            *[
+                F.struct(
+                    (_dot(F.col(vecc), F.lit(cv))
+                     / (F.col("_vn") * _norm(F.lit(cv)))).alias("s"),
+                    F.lit(-cid).cast("long").alias("negcid"),
+                )
+                for cid, cv in cents
+            ]
         )
-        w = Window.partitionBy(idc).orderBy(F.desc("c_sim"), F.asc("cid"))
         return (
-            df.crossJoin(cents)
-            .withColumn("c_sim", sim)
-            .withColumn("c_rank", F.row_number().over(w))
-            .filter(F.col("c_rank") == 1)
-            .select(df["*"], F.col("cid").alias("cell"))
+            with_n.withColumn("cell", -F.array_max(cands)["negcid"])
+            .drop("_vn")
         )
 
     c = assign(

@@ -37,7 +37,18 @@ def salted_join(
     |right| ≪ |left| and a single left key overflows one task. The
     salt assignment is random per left row; correctness never depends
     on it (every replica of the right row carries every salt value).
+
+    Only left-preserving joins are valid: the right side is replicated
+    ``salt`` times, so right/full-outer would emit each unmatched
+    right row ``salt`` times — those shapes raise ValueError (salt the
+    other side instead).
     """
+    how_norm = how.replace("_", "").lower()
+    if how_norm not in {"inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"}:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got how={how!r}; "
+            "right/full joins would duplicate unmatched right rows salt times"
+        )
     on = list(on)
     left_s = left.withColumn(SALT_COL, F.floor(F.rand(seed=42) * salt).cast("int"))
     right_s = right.withColumn(

@@ -44,24 +44,51 @@ FROM events
 # W2 — pagination ordering (cursor walks a global order)
 # --------------------------------------------------------------------------
 
+def keyset_page(
+    df: DataFrame,
+    page_size: int,
+    cursor: tuple | None = None,
+    desc_col: str = "o_orderdate",
+    asc_col: str = "o_orderkey",
+) -> DataFrame:
+    """Keyset (cursor) pagination over the order (desc_col DESC,
+    asc_col ASC): rows strictly after ``cursor`` = (last desc value,
+    last asc value) of the previous page, top-``page_size`` of them.
+
+    The scale story: the cursor filter pushes to the scan and the
+    sort+limit compiles to TakeOrderedAndProject — a per-partition
+    top-k merged on the driver, NO global sort, NO single-partition
+    window. Each page costs one pruned scan regardless of page depth,
+    which is exactly the reference's day-cursor API walk
+    (upbit_daily_candels.py:170-172)."""
+    if cursor is not None:
+        cd, ck = cursor
+        df = df.filter(
+            (F.col(desc_col) < F.lit(cd))
+            | ((F.col(desc_col) == F.lit(cd)) & (F.col(asc_col) > F.lit(ck)))
+        )
+    return df.orderBy(F.desc(desc_col), F.asc(asc_col)).limit(page_size)
+
+
 def q_w2_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page 2 (rows 101-200) of orders by (o_orderdate desc, o_orderkey)
-    — the API pagination protocol (upbit_daily_candels.py:170-172) as a
-    deterministic window. Presentation-only global sort (W3 note)."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
-        .select("o_orderkey", "o_orderdate", "o_totalprice", "rn")
+    via keyset pagination — the API pagination protocol
+    (upbit_daily_candels.py:170-172). The page-1 probe collects 100
+    rows to obtain the cursor (the client holds it in the real
+    protocol); page 2 itself is filter + TakeOrderedAndProject."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
     )
+    page1 = keyset_page(orders, 100).collect()
+    last = page1[-1]
+    return keyset_page(orders, 100, cursor=(last["o_orderdate"], last["o_orderkey"]))
 
 
 SQL_W2 = """
-SELECT o_orderkey, o_orderdate, o_totalprice,
-       row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+SELECT o_orderkey, o_orderdate, o_totalprice
 FROM orders
-QUALIFY rn > 100 AND rn <= 200
+ORDER BY o_orderdate DESC, o_orderkey ASC
+LIMIT 100 OFFSET 100
 """
 
 # --------------------------------------------------------------------------
@@ -103,8 +130,10 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sessioned AS (
   SELECT user_id, ts, value,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    -- ::BIGINT: DuckDB window sum yields HUGEINT, which pandas widens
+    -- to float64 and breaks the driver's value hash vs Spark's int64.
+    (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,
@@ -163,13 +192,15 @@ def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# count(CASE...) not sum(CASE...): DuckDB sum yields HUGEINT (pandas
+# float64, hash-mismatch vs Spark int64); count is plain BIGINT.
 SQL_PIVOT = """
 SELECT user_id,
-       coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS n_click,
-       coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS n_error,
-       coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase,
-       coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS n_signup,
-       coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS n_view
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
 FROM events
 GROUP BY user_id
 """

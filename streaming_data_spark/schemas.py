@@ -200,8 +200,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; one of {TESTDATA_TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Scope the legacy-nanos conf to this read: the conf is only
+        # consulted at schema resolution (spark.read is eager about
+        # the footer), so restoring it immediately after keeps later
+        # nanos-parquet reads in the same session on default behavior.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         from pyspark.sql import functions as F
 
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -18,8 +18,22 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _is_missing_path(exc: AnalysisException) -> bool:
+    """True only for 'target does not exist yet' — anything else
+    (corrupt file, permissions, FS outage) must propagate, or a
+    transient read error would silently disable the anti-join and
+    break the idempotent-append guarantee."""
+    msg = str(exc)
+    return (
+        "PATH_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+        or "UNABLE_TO_INFER_SCHEMA" in msg  # empty dir: no files yet
+    )
 
 
 def write_if_absent(
@@ -40,8 +54,10 @@ def write_if_absent(
     try:
         existing = spark.read.format(fmt).load(target_path).select(*keys)
         to_insert = deduped.join(existing, on=list(keys), how="left_anti")
-    except Exception:  # target doesn't exist yet — first load
-        to_insert = deduped
+    except AnalysisException as exc:
+        if not _is_missing_path(exc):
+            raise
+        to_insert = deduped  # target doesn't exist yet — first load
     to_insert = to_insert.persist()
     n = to_insert.count()
     if n:
@@ -74,7 +90,9 @@ def incremental_load(
             .agg(F.max(watermark_col).alias("wm"))
             .collect()[0]["wm"]
         )
-    except Exception:
+    except AnalysisException as exc:
+        if not _is_missing_path(exc):
+            raise
         wm = None
     fresh = source if wm is None else source.filter(F.col(watermark_col) > F.lit(wm))
     return write_if_absent(fresh, target_path, keys, fmt=fmt)

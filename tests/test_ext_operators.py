@@ -118,3 +118,32 @@ def test_approx_count_distinct_within_error(spark, sf_oracle):
         F.approx_count_distinct("l_suppkey", rsd=0.05).alias("a")
     ).collect()[0]["a"]
     assert abs(approx - exact) / exact <= 0.10, (approx, exact)
+
+
+def test_shingles_short_and_empty_docs_dont_crash(spark):
+    """Docs with fewer tokens than the shingle width must yield zero
+    shingles (not throw): real corpora always contain short docs."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three"),
+         (5, "   "), (6, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.shingle) for r in dedup.shingles(docs, "doc_id", "text").collect()
+    }
+    assert got == {(4, "one two three"), (6, "a b c"), (6, "b c d")}, got
+    # and the full near-dup pipelines survive a short-doc corpus
+    assert dedup.ngram_jaccard_pairs(docs, "doc_id", "text").collect() == []
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text").collect()
+    assert {r.doc_id for r in sigs} == {4, 6}
+
+
+def test_salted_join_rejects_right_preserving_joins(spark, sf_oracle):
+    import pytest
+
+    from streaming_data_spark.operators import skew
+
+    docs = load_table(spark, sf_oracle, "documents")
+    for how in ("right", "full", "right_outer", "fullouter"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            skew.salted_join(docs, docs, on=["doc_id"], how=how)

@@ -88,3 +88,28 @@ def test_no_registry_query_uses_row_at_a_time_python(spark, sf_small):
         if "BatchEvalPython" in plan:
             offenders[name] = plan
     assert not offenders, f"row-at-a-time Python in: {sorted(offenders)}"
+
+
+def test_w2_pagination_keyset_no_global_window(spark, sf_small):
+    """Keyset pagination must compile to TakeOrderedAndProject — a
+    single-partition global Window here funnels the whole table
+    through one task at scale."""
+    from streaming_data_spark.queries_ext3 import q_w2_pagination
+
+    df = q_w2_pagination(spark, sf_small)
+    text = plans.explain_str(df, mode="simple")
+    assert "TakeOrderedAndProject" in text, text
+    assert "Window" not in text, text
+    assert plans.shuffle_count(df) == 0, text
+
+
+def test_ivf_topk_assignment_is_shuffle_free(spark, sf_small):
+    """Cell assignment is a per-row argmax over broadcast centroid
+    literals: the ONLY exchange in the whole plan is the final
+    per-query top-k over candidate rows (round 1 shuffled the corpus
+    ×n_cells for the same answer)."""
+    from streaming_data_spark.queries_ext4 import q_x8_ivf_topk
+
+    df = q_x8_ivf_topk(spark, sf_small)
+    assert plans.has_broadcast_join(df)
+    assert plans.shuffle_count(df) == 1, plans.explain_str(df)
