@@ -61,17 +61,37 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # regression guard: compare per-query against the earliest recorded
+    # round bench (same sf) and flag anything >1.3x slower — surfaces
+    # shuffle-path regressions before they compound across rounds.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
+    if prior:
+        try:
+            with open(os.path.join(here, prior[0])) as fh:
+                base = json.load(fh).get("parsed", {})
+            if base.get("sf") == sf:
+                regressions = {
+                    q: {"base": b, "now": timings[q]}
+                    for q, b in base.get("queries", {}).items()
+                    if q in timings and b > 0 and timings[q] > 1.3 * b
+                }
+                payload["baseline_round"] = prior[0]
+                payload["regressions"] = regressions
+        except (OSError, ValueError):
+            pass
+
+    print(json.dumps(payload))
     spark.stop()
 
 

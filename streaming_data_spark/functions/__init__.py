@@ -24,6 +24,7 @@ __all__ = [
     "to_json_row",
     "empty_to_null",
     "backoff_seconds",
+    "gen_uuid",
 ]
 
 
@@ -95,6 +96,14 @@ def to_json_row(*cols: str) -> Column:
 def empty_to_null(col: Column | str) -> Column:
     """F16 — empty-string→missing. Ref: instagram-profiles.conf:50-58."""
     return F.nullif(F.col(col) if isinstance(col, str) else col, F.lit(""))
+
+
+def gen_uuid() -> Column:
+    """F12 — random UUID v4 id generation (generate_fake_data.py:20,
+    send_to_kafka.py:12 message keys). Executor-side, JVM built-in;
+    non-deterministic by nature so it's property-tested (format,
+    uniqueness) rather than oracle-gated."""
+    return F.expr("uuid()")
 
 
 def backoff_seconds(retry: Column | str) -> Column:

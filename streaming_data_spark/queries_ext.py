@@ -62,6 +62,51 @@ WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
 """
 
 # --------------------------------------------------------------------------
+# X2a' — capped n-gram Jaccard: the 100 TB form. Shingles appearing in
+# more than `cap` docs are dropped like stopwords BEFORE the pair join,
+# bounding join fan-out (one hot trigram would otherwise create
+# quadratic candidate pairs). Fully oracle-gated: the pruning is plain
+# relational algebra, so DuckDB computes the identical capped result.
+# --------------------------------------------------------------------------
+
+_HOT_CAP = 50
+
+
+def q_x2_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.8, hot_shingle_cap=_HOT_CAP,
+    )
+
+
+SQL_X2_JACCARD_CAPPED = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh_all AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+  )) AS s
+  FROM toks
+), hot AS (
+  SELECT s FROM sh_all GROUP BY s HAVING count(*) > {_HOT_CAP}
+), sh AS (
+  SELECT doc_id, s FROM sh_all WHERE s NOT IN (SELECT s FROM hot)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+"""
+
+# --------------------------------------------------------------------------
 # X2b — MinHash + LSH near-dup pairs (generated oracle)
 # --------------------------------------------------------------------------
 
@@ -264,6 +309,7 @@ SQL_X6 = _text_metrics_sql()
 EXT_QUERIES = {
     "x1_exact_dedup": q_x1_exact_dedup,
     "x2_ngram_jaccard": q_x2_ngram_jaccard,
+    "x2_ngram_jaccard_capped": q_x2_ngram_jaccard_capped,
     "x2_minhash_lsh": q_x2_minhash_lsh,
     "x4_simhash": q_x4_simhash,
     "x5_cosine_topk": q_x5_cosine_topk,
@@ -274,6 +320,7 @@ EXT_QUERIES = {
 EXT_ORACLES = {
     "x1_exact_dedup": SQL_X1,
     "x2_ngram_jaccard": SQL_X2_JACCARD,
+    "x2_ngram_jaccard_capped": SQL_X2_JACCARD_CAPPED,
     "x2_minhash_lsh": SQL_X2_MINHASH,
     "x4_simhash": SQL_X4_SIMHASH,
     "x5_cosine_topk": SQL_X5,

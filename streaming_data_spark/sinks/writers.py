@@ -120,6 +120,45 @@ def append_jdbc(
     writer.save()
 
 
+def write_if_absent_jdbc(
+    new: DataFrame,
+    url: str,
+    table: str,
+    keys: Sequence[str],
+    batchsize: int = 1000,
+    properties: dict[str, str] | None = None,
+) -> int:
+    """K1/K2 over JDBC — the reference's actual load statement is
+    ``INSERT ... ON CONFLICT DO NOTHING`` into Postgres
+    (upbit_data_pipeline.py:109-140). Same shape as ``write_if_absent``
+    but the anti-join reads only the key columns of the remote table
+    (Spark prunes the generated SELECT), so the read traffic is keys,
+    not rows. Returns rows actually appended.
+
+    Single-writer semantics, like the reference (one transaction per
+    load) — concurrent writers can still race between probe and append.
+    """
+    from streaming_data_spark.sources.jdbc import jdbc_table
+
+    spark = new.sparkSession
+    deduped = new.dropDuplicates(list(keys))
+    try:
+        existing = jdbc_table(
+            spark, url, table, properties=properties
+        ).select(*keys)
+        to_insert = deduped.join(existing, on=list(keys), how="left_anti")
+    except Exception as exc:  # noqa: BLE001 — JDBC surfaces Py4JJavaError
+        if "does not exist" not in str(exc):
+            raise
+        to_insert = deduped  # table doesn't exist yet — first load
+    to_insert = to_insert.persist()
+    n = to_insert.count()
+    if n:
+        append_jdbc(to_insert, url, table, batchsize=batchsize, properties=properties)
+    to_insert.unpersist()
+    return n
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     """K7 — CSV sink with header (log_to_csv.py:29-33,
     upbit_api_candle_info.py:117-124)."""

@@ -9,9 +9,10 @@ prunes columns into the generated SQL, so ``jdbc_table(...).select(
 "market")`` ships ``SELECT market FROM ...`` exactly like the
 reference's hand-written scan.
 
-No database ships in this container, so tests cover reader
-construction and option plumbing; the load path is exercised by any
-JDBC-reachable database at deploy time.
+Tests exercise the full load/append path against an embedded Apache
+Derby database (the Derby jars ship with Spark for its Hive metastore)
+— a real JDBC round-trip, not a mock — plus option plumbing for the
+Postgres-shaped URLs the reference uses.
 """
 
 from __future__ import annotations

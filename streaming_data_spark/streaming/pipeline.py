@@ -38,6 +38,39 @@ from streaming_data_spark.operators.transforms import logstash_normalize
 # Sources (S4/S5 + file-based test double)
 # --------------------------------------------------------------------------
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The exact reader option set for the Kafka source — kept as a
+    pure function so the options contract is frozen by a unit test
+    (mirrors kafka/test.sh:36-50's bootstrap/topic/offset wiring) even
+    though no broker or spark-sql-kafka jar exists in this container."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def project_kafka_wire(raw: DataFrame) -> DataFrame:
+    """Kafka wire record (key/value binary, topic, partition, offset,
+    timestamp, timestampType) → the engine's (key string, value string,
+    topic, partition, offset, kafka_ts) contract. Pure projection —
+    unit-testable on a static DataFrame with the wire schema."""
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic", "partition", "offset",
+        F.col("timestamp").alias("kafka_ts"),
+    )
+
+
 def kafka_json_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -55,23 +88,14 @@ def kafka_json_source(
     reference hand-rolls sleeps at 5 req/s).
 
     Requires the spark-sql-kafka package on the classpath at deploy
-    time; tests use ``file_json_source``.
+    time; tests freeze the option contract + wire projection and use
+    ``file_json_source`` for flow-level behavior.
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+    opts = kafka_source_options(
+        bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
     )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    raw = reader.load()
-    return raw.select(
-        F.col("key").cast("string").alias("key"),
-        F.col("value").cast("string").alias("value"),
-        "topic", "partition", "offset",
-        F.col("timestamp").alias("kafka_ts"),
-    )
+    raw = spark.readStream.format("kafka").options(**opts).load()
+    return project_kafka_wire(raw)
 
 
 def file_json_source(
@@ -200,9 +224,64 @@ def streaming_ohlcv(
     )
 
 
+def streaming_rolling_sum(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_duration: str = "24 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """A4 streaming — the 24 h rolling accumulation
+    (``acc_trade_price_24h``, upbit_data_pipeline.py:83-85) as a
+    SLIDING event-time window: each event lands in
+    window_duration/slide overlapping windows, and the window ENDING
+    at hour H holds the rolling 24 h total as of H — maintained
+    incrementally instead of recomputed per poll like the reference.
+
+    Scale: one shuffle keyed on (window, key) with map-side partial
+    aggregation; state is (duration/slide) windows per key, bounded by
+    the watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration, slide), key)
+        .agg(
+            F.sum(value_col).alias("acc_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            key, "acc_value", "n_events",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Sinks (K4/K5/K6, T9)
 # --------------------------------------------------------------------------
+
+def kafka_sink_options(
+    bootstrap_servers: str, topic: str, checkpoint: str
+) -> dict[str, str]:
+    """Writer option contract for the Kafka producer sink — pure, so
+    the wiring is frozen by a unit test without a broker."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
+def to_kafka_payload(df: DataFrame, key_col: str) -> DataFrame:
+    """Row → Kafka producer record (key string, value JSON string) —
+    the send_to_kafka.py:10-16 envelope as a pure projection."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[c for c in df.columns])).alias("value"),
+    )
+
 
 def kafka_json_sink(
     df: DataFrame,
@@ -215,15 +294,9 @@ def kafka_json_sink(
     preserves per-key partition ordering (T2); the producer batches
     properly (the reference's per-record flush was an anti-pattern,
     §4.1 'Batching')."""
-    payload = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*[c for c in df.columns])).alias("value"),
-    )
-    return (
-        payload.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+    payload = to_kafka_payload(df, key_col)
+    return payload.writeStream.format("kafka").options(
+        **kafka_sink_options(bootstrap_servers, topic, checkpoint)
     )
 
 

@@ -41,6 +41,35 @@ def test_signlsh_recall_vs_exact(spark, sf_oracle):
     assert recall >= 0.3, f"sign-LSH recall collapsed: {recall:.2f}"
 
 
+def test_hot_shingle_cap_prunes_but_keeps_neardups(spark, sf_oracle):
+    """The capped (100 TB) Jaccard form: a cap low enough to actually
+    fire on this corpus must (a) genuinely drop hot shingles, (b) emit
+    a subset of the uncapped pairs, and (c) still recall every planted
+    near-dup — near-dup pairs share many RARE shingles, so pruning the
+    stopword-like hot ones can't disconnect them."""
+    docs = load_table(spark, sf_oracle, "documents")
+    sh = dedup.shingles(docs, "doc_id", "text")
+    cap = 5
+    n_hot = sh.groupBy("shingle").count().filter(F.col("count") > cap).count()
+    assert n_hot > 0, "cap=5 should prune something on this corpus"
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8, hot_shingle_cap=cap
+        ).collect()
+    }
+    # pruning shifts Jaccard scores of pairs touching hot shingles
+    # (either direction), but planted near-dups (≥0.9 exact) share
+    # mostly rare shingles and must all survive the 0.8 capped gate
+    high = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert high, "testdata should contain planted near-dups"
+    assert high <= capped, f"cap dropped true near-dups: {high - capped}"
+
+
 def test_exact_dedup_idempotent_and_total(spark, sf_oracle):
     docs = load_table(spark, sf_oracle, "documents")
     out = dedup.exact_dedup(docs, "doc_id", "text")

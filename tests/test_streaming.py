@@ -162,6 +162,47 @@ def test_streaming_ohlcv_matches_batch(spark, sf_small, event_stream_dir, tmp_pa
     assert got.exceptAll(want).count() == 0
 
 
+def test_streaming_rolling_sum_matches_batch(spark, sf_small, event_stream_dir, tmp_path):
+    """A4 streaming — the sliding-window rolling sum maintained
+    incrementally equals the same sliding-window aggregation computed
+    in batch (F.window is semantically identical in both modes), and
+    each window's acc_value is the true rolling total as of win_end."""
+    stream = sp.file_json_source(spark, event_stream_dir)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    rolled = sp.streaming_rolling_sum(
+        normalized, "event_type", "ts", "value",
+        window_duration="24 hours", slide="6 hours",
+    )
+    writer = rolled.writeStream.format("memory").queryName("roll24").outputMode("complete")
+    sp.run_to_completion(writer)
+    got = spark.sql(
+        "SELECT win_start, win_end, event_type, round(acc_value,6) acc_value, n_events FROM roll24"
+    )
+
+    batch = load_table(spark, sf_small, "events").limit(100)
+    want = (
+        batch.groupBy(F.window("ts", "24 hours", "6 hours"), "event_type")
+        .agg(F.round(F.sum("value"), 6).alias("acc_value"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("win_start"),
+                F.col("window.end").alias("win_end"),
+                "event_type", "acc_value", "n_events")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # cross-check one window against a first-principles rolling total:
+    # acc_value for a window == sum of values in [win_start, win_end)
+    sample = got.orderBy(F.desc("n_events")).first()
+    direct = (
+        batch.filter((F.col("event_type") == sample.event_type)
+                     & (F.col("ts") >= sample.win_start)
+                     & (F.col("ts") < sample.win_end))
+        .agg(F.round(F.sum("value"), 6)).collect()[0][0]
+    )
+    assert direct == sample.acc_value
+
+
 def test_fanout_two_sinks(spark, event_stream_dir, tmp_path):
     """T9 — one stream, two sinks, one persisted batch."""
     stream = sp.file_json_source(spark, event_stream_dir)
@@ -207,6 +248,49 @@ def test_alert_listener_and_job_wrapper(spark, event_stream_dir, tmp_path):
         run_job_with_alerts(lambda: (_ for _ in ()).throw(ValueError("boom")),
                             captured.append, "bad_job")
     assert captured[-1]["event"] == "job_failed"
+
+
+def test_kafka_options_contract_and_wire_projection(spark):
+    """S4/K4 — no broker or spark-sql-kafka jar ships in this
+    container, so this test freezes the exact Kafka wiring instead
+    (kafka/test.sh:36-50 is the behavior mirrored): the reader/writer
+    option sets, and the wire-schema projection run for real on a
+    static DataFrame with Kafka's record schema. Any drift in the
+    option names, casts, or output contract fails here."""
+    assert sp.kafka_source_options("broker:9092", "events", "earliest", 5000) == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "5000",
+    }
+    assert sp.kafka_source_options("b:9092", "t") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t",
+        "startingOffsets": "latest",
+    }
+    assert sp.kafka_sink_options("broker:9092", "out", "/ckpt") == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "topic": "out",
+        "checkpointLocation": "/ckpt",
+    }
+
+    # wire projection on Kafka's actual record schema (binary key/value)
+    wire = spark.createDataFrame(
+        [(bytearray(b"k1"), bytearray(b'{"a":1}'), "events", 0, 42,
+          __import__("datetime").datetime(2024, 1, 1), 0)],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int",
+    )
+    row = sp.project_kafka_wire(wire).collect()[0]
+    assert (row.key, row.value, row.topic, row.partition, row.offset) == (
+        "k1", '{"a":1}', "events", 0, 42,
+    )
+
+    # producer payload: key cast to string, whole row as JSON value
+    batch = spark.createDataFrame([(7, "click", 1.5)], "event_id long, event_type string, value double")
+    out = sp.to_kafka_payload(batch, "event_id").collect()[0]
+    assert out.key == "7"
+    assert json.loads(out.value) == {"event_id": 7, "event_type": "click", "value": 1.5}
 
 
 def test_stateful_sessionization_across_batches(spark, sf_small, tmp_path):
