@@ -65,22 +65,29 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Documents with fewer than ``n`` tokens yield NO shingles (the
-    guard matters: an unguarded sequence(0, size-n) descends into
-    negative indices and throws on any short/empty doc — and real
-    corpora always contain some). Matches the oracle's empty
-    range(1, len-1) behavior; explode drops the doc entirely.
+    Shape: n shifted ``slice`` views of the token array zipped
+    together — each slice is evaluated once per ROW, so the cost is
+    linear in document length. (The naive ``transform(sequence(...),
+    i -> element_at(toks, i+j))`` form re-evaluates the split per
+    element after Catalyst collapses the projection — measured 4.5×
+    slower on 1500-token docs and superlinear in doc length.)
+
+    Documents with fewer than ``n`` tokens yield NO shingles (an
+    unguarded sequence(0, size-n) would descend into negative indices
+    and throw on any short/empty doc — and real corpora always contain
+    some). Matches the oracle's empty range(1, len-1) behavior;
+    explode drops the doc entirely.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    toks = F.col("_sds_toks")
+    m = F.size(toks) - n + 1  # shingle count when size >= n
+    parts = [F.slice(toks, j + 1, m) for j in range(n)]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = F.zip_with(joined, p, lambda x, y: F.concat_ws(" ", x, y))
+    grams = F.when(F.size(toks) >= n, joined).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        df.withColumn("_sds_toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
 

@@ -366,3 +366,72 @@ def test_stateful_sessionization_across_batches(spark, sf_small, tmp_path):
     }
     assert got_norm == want
     assert len(got_norm) > 0, "expected at least one closed session in testdata"
+
+
+def test_socket_source_against_real_tcp_server(spark):
+    """S5 — the raw TCP source (logstash.conf:6-8 tcp input) run for
+    real: an in-process TCP server feeds 20 lines to Spark's socket
+    source and every line must land in the sink, exactly once."""
+    import socket
+    import threading
+    import time
+
+    lines = [f"log-line-{i:02d}" for i in range(20)]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+    stop = threading.Event()
+
+    def serve() -> None:
+        conn, _ = server.accept()
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        stop.wait(30)  # hold the connection open while Spark drains it
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = sp.socket_source(spark, "127.0.0.1", port)
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("sock_lines").outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            query.processAllAvailable()
+            if spark.sql("SELECT * FROM sock_lines").count() >= len(lines):
+                break
+            time.sleep(0.25)
+        got = [r.value for r in spark.sql("SELECT value FROM sock_lines").collect()]
+        assert sorted(got) == lines
+    finally:
+        stop.set()
+        query.stop()
+        server.close()
+
+
+def test_console_sink_drains_stream(spark, event_stream_dir, capfd):
+    """K6 — the debug sink (stdout { codec => rubydebug }) actually
+    drains the stream: all 100 envelopes flow through, and the JVM
+    prints the batch table to this process's stdout (fd-level capture,
+    since the printing side is the JVM)."""
+    stream = sp.file_json_source(spark, event_stream_dir)
+    query = sp.console_sink(stream).start()
+    query.processAllAvailable()
+    query.stop()
+    drained = sum(p["numInputRows"] for p in query.recentProgress)
+    assert drained == 100
+    # the printing side is the JVM, whose stdout reaches this process's
+    # fd asynchronously — poll the capture briefly
+    import time
+
+    out = ""
+    for _ in range(40):
+        out += capfd.readouterr().out
+        if "Batch:" in out:
+            break
+        time.sleep(0.25)
+    assert "Batch:" in out and "key" in out and "value" in out
