@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext3 import EXT3_QUERIES
     from streaming_data_spark.queries_ext4 import EXT4_QUERIES
     from streaming_data_spark.queries_ext5 import EXT5_QUERIES
+    from streaming_data_spark.queries_ext6 import EXT6_QUERIES
 
     return {
         **CORE_QUERIES,
@@ -40,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT3_QUERIES,
         **EXT4_QUERIES,
         **EXT5_QUERIES,
+        **EXT6_QUERIES,
     }
 
 
@@ -51,6 +53,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext3 import EXT3_ORACLES
     from streaming_data_spark.queries_ext4 import EXT4_ORACLES
     from streaming_data_spark.queries_ext5 import EXT5_ORACLES
+    from streaming_data_spark.queries_ext6 import EXT6_ORACLES
 
     return {
         **CORE_ORACLES,
@@ -59,4 +62,5 @@ def oracle_sql() -> dict[str, str]:
         **EXT3_ORACLES,
         **EXT4_ORACLES,
         **EXT5_ORACLES,
+        **EXT6_ORACLES,
     }

@@ -113,3 +113,41 @@ def test_ivf_topk_assignment_is_shuffle_free(spark, sf_small):
     df = q_x8_ivf_topk(spark, sf_small)
     assert plans.has_broadcast_join(df)
     assert plans.shuffle_count(df) == 1, plans.explain_str(df)
+
+
+def test_q7_q8_broadcast_dims_and_push_date_filters(spark, sf_small):
+    """The two-nation-leg joins must broadcast (nation/supplier legs
+    are dims) and the date range must reach the fact scan."""
+    from streaming_data_spark.queries_ext6 import q_q7_nation_volume, q_q8_market_share
+
+    q7 = q_q7_nation_volume(spark, sf_small)
+    assert plans.has_broadcast_join(q7)
+    assert any("l_shipdate" in p for p in plans.pushed_filters(q7))
+    # fact-side shuffles only: lineitem⋈orders, ⋈customer, final agg
+    assert plans.shuffle_count(q7) <= 4, plans.explain_str(q7)
+
+    q8 = q_q8_market_share(spark, sf_small)
+    assert plans.has_broadcast_join(q8)
+    assert any("o_orderdate" in p for p in plans.pushed_filters(q8))
+
+
+def test_q10_topk_no_global_sort(spark, sf_small):
+    """orderBy().limit(20) must compile to TakeOrderedAndProject —
+    never a full global sort of the aggregate."""
+    from streaming_data_spark.queries_ext6 import q_q10_returned_items
+
+    df = q_q10_returned_items(spark, sf_small)
+    text = plans.explain_str(df, mode="simple")
+    assert "TakeOrderedAndProject" in text, text
+    pushed = plans.pushed_filters(df)
+    assert any("l_returnflag" in p for p in pushed), pushed
+
+
+def test_q22_anti_join_pushes_cutoff(spark, sf_small):
+    """The lapse cutoff must prune the orders scan feeding the
+    anti-join (anti-join input at 100 TB = only the post-cutoff
+    slice, not all orders ever)."""
+    from streaming_data_spark.queries_ext6 import q_q22_idle_customers
+
+    df = q_q22_idle_customers(spark, sf_small)
+    assert any("o_orderdate" in p for p in plans.pushed_filters(df))
