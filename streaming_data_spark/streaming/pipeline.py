@@ -258,6 +258,44 @@ def streaming_rolling_sum(
     )
 
 
+def streaming_session_rollup(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """T6 — gap-based sessionization as a NATIVE ``session_window``
+    aggregation: entirely JVM-side, no Python state function. The
+    complement to ``stateful.sessionize_stream`` (which exists for
+    semantics ``session_window`` can't express, e.g. emitting the
+    moment a later event proves closure): when the need is plain
+    per-session rollups, this form keeps the whole pipeline in
+    Tungsten and lets Spark merge session state.
+
+    Semantics note: ``session_window.end`` is last-event-time + gap
+    (window extent), not last event time. Identical in batch, so the
+    stream==batch equality test uses the same expression on a static
+    frame.
+
+    Scale: one shuffle on the session key; state per key is the open
+    window set, bounded by the watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key, "n_events", "session_value",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Sinks (K4/K5/K6, T9)
 # --------------------------------------------------------------------------

@@ -426,3 +426,55 @@ def test_console_sink_drains_stream(spark, event_stream_dir):
     progress = query.recentProgress
     assert sum(p["numInputRows"] for p in progress) == 100
     assert any("console" in str(p["sink"]).lower() for p in progress)
+
+
+def test_streaming_session_window_matches_batch(spark, sf_small, event_stream_dir):
+    """T6 native form — session_window gap sessions maintained in
+    streaming state equal the same expression evaluated in batch, and
+    agree with first principles: consecutive events of a session are
+    never more than the gap apart, and splitting points always are."""
+    stream = sp.file_json_source(spark, event_stream_dir)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    sessions = sp.streaming_session_rollup(
+        normalized, "user_id", "ts", "value", gap="2 hours"
+    )
+    writer = (
+        sessions.writeStream.format("memory")
+        .queryName("native_sessions").outputMode("complete")
+    )
+    sp.run_to_completion(writer)
+    got = spark.sql(
+        "SELECT session_start, session_end, user_id, n_events,"
+        " round(session_value, 6) AS session_value FROM native_sessions"
+    )
+
+    # the JSON envelope truncates ts to millis — mirror that in batch
+    batch = (
+        load_table(spark, sf_small, "events").limit(100)
+        .withColumn("ts", F.timestamp_millis(F.floor(F.unix_micros("ts") / 1000).cast("long")))
+    )
+    want = (
+        batch.groupBy(F.session_window("ts", "2 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("session_value"))
+        .select(F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "user_id", "n_events", "session_value")
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+    # first principles on one multi-event user: window extent must be
+    # [first_ts, last_ts + gap) and event count must match
+    sample = got.filter(F.col("n_events") >= 2).orderBy(F.desc("n_events")).first()
+    if sample:
+        evs = (
+            batch.filter((F.col("user_id") == sample.user_id)
+                         & (F.col("ts") >= sample.session_start)
+                         & (F.col("ts") < sample.session_end))
+            .orderBy("ts").collect()
+        )
+        assert len(evs) == sample.n_events
+        assert evs[0].ts == sample.session_start
+        import datetime
+        assert sample.session_end == evs[-1].ts + datetime.timedelta(hours=2)
