@@ -1,0 +1,118 @@
+"""Scale probe: replicate the sf0.1 testdata 10× into /tmp and time
+the heavy headline queries at both scales.
+
+Purpose (VERDICT r1 item 10): make shuffle-path scale cliffs visible
+before 100×. A healthy distributed plan should scale ≲ linearly in
+rows (fixed overheads amortize); anything superlinear is a red flag —
+a global window, an unbounded join fan-out, a driver bottleneck.
+
+Replication is FK-consistent: fact keys (orderkey, event_id, doc_id,
+vec_id) are offset per copy; dimension keys (custkey, suppkey,
+partkey, user_id) are left in range so each copy joins the same dims —
+i.e. 10× fact rows against the same dimensional universe, which is how
+real warehouses grow. Document text is suffix-perturbed per copy so
+near-dup pair structure grows linearly (10 exact copies of every doc
+would inflate pair counts instead).
+
+Writes /tmp/sfx10 once (reused if present); prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_X10_DIR", "/tmp/sfx10")
+COPIES = 10
+OFF = 10_000_000  # key offset per copy — far above any base key
+
+
+def _replicate(spark: SparkSession) -> None:
+    plain = ["region", "nation", "customer", "supplier", "part"]
+    for t in plain:  # dims: single copy
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+
+    def fan(df: DataFrame, build) -> DataFrame:
+        out = None
+        for i in range(COPIES):
+            c = build(df, i)
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    fan(orders, lambda d, i: d.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * OFF))) \
+        .write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    fan(li, lambda d, i: d.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * OFF))) \
+        .write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+
+    # events stores ts as TIMESTAMP(NANOS); copy it at the raw-long
+    # level so load_table's nanos handling applies identically to DST
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        ev = spark.read.parquet(f"{SRC}/events.parquet")
+        fan(ev, lambda d, i: d.withColumn("event_id", F.col("event_id") + F.lit(i * OFF))) \
+            .write.mode("overwrite").parquet(f"{DST}/events.parquet")
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    fan(docs, lambda d, i: d
+        .withColumn("doc_id", F.col("doc_id") + F.lit(i * OFF))
+        .withColumn("text", F.regexp_replace("text", r"(\S+)", rf"$1c{i}"))) \
+        .write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    fan(emb, lambda d, i: d.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFF))) \
+        .write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+
+HEAVY = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+    "a3_ohlcv", "a4_rolling_24h", "x1_exact_dedup", "x2_minhash_lsh",
+    "q18_large_orders", "q10_returned_items",
+]
+
+
+def main() -> None:
+    from streaming_data_spark.session import get_session
+    import __spark_entry__ as entry
+
+    spark = get_session(app_name="scale-probe",
+                        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    if not os.path.exists(f"{DST}/lineitem.parquet"):
+        t0 = time.time()
+        _replicate(spark)
+        print(f"replicated 10x in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    qs = entry.queries()
+    result: dict[str, dict[str, float]] = {}
+    for name in HEAVY:
+        fn = qs[name]
+        times = {}
+        for label, d in (("sf0.1", SRC), ("x10", DST)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                df = fn(spark, d)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            times[label] = round(best, 3)
+        times["ratio"] = round(times["x10"] / times["sf0.1"], 2)
+        result[name] = times
+        print(name, times, file=sys.stderr)
+
+    print(json.dumps({"probe": "x10_scaling", "queries": result}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
