@@ -125,6 +125,61 @@ def extract_features(
     return df.mapInPandas(_decode, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),
+    StructField("content", BinaryType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+])
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Resize plumbing for image rows via Arrow-batched mapInPandas:
+    filter to images JVM-side (partition pruning can use `kind`), ship
+    only (id, kind, content), emit resized payload + new dimensions.
+
+    ``decoder='fake'`` → deterministic stand-in payload (sha256 of the
+    input bytes tiled to width*height/64 bytes — stable, size-scaled,
+    no media lib needed). ``decoder='pil'`` → NotImplementedError
+    naming the dependency, raised on the executor; the plan builds.
+    """
+    import pandas as pd
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        if decoder == "pil":
+            raise NotImplementedError("image resize requires Pillow; not in this image")
+        if decoder != "fake":
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+        n_out = max(1, width * height // 64)
+
+        def fake(payload: bytes | None) -> bytes:
+            digest = _hashlib.sha256(payload or b"").digest()
+            return (digest * (n_out // len(digest) + 1))[:n_out]
+
+        for batch in batches:
+            yield pd.DataFrame({
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "content": batch["content"].map(fake),
+                "width": width,
+                "height": height,
+            })
+
+    images = df.filter(F.col("kind") == "image").select("media_id", "kind", "content")
+    return images.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     every_ms: int = 1000,

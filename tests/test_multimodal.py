@@ -48,3 +48,19 @@ def test_sample_frames(media_df):
     # video is 3500ms → offsets 0,1000,2000,3000
     assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000]
     assert all(r.media_id == 2 for r in frames)
+
+
+def test_resize_images_plumbing(media_df):
+    """Resize: images only, deterministic payload scaled to the target
+    dims, metadata columns populated; real kernel honestly stubbed."""
+    out = {r.media_id: r for r in mm.resize_images(media_df, 32, 16).collect()}
+    img_ids = {r.media_id for r in media_df.filter("kind = 'image'").collect()}
+    assert set(out) == img_ids
+    row = out[min(img_ids)]
+    assert (row.width, row.height) == (32, 16)
+    assert len(row.content) == 32 * 16 // 64
+    again = {r.media_id: bytes(r.content) for r in mm.resize_images(media_df, 32, 16).collect()}
+    assert {k: bytes(v.content) for k, v in out.items()} == again
+
+    with pytest.raises(Exception, match="Pillow"):
+        mm.resize_images(media_df, 8, 8, decoder="pil").collect()
