@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext4 import EXT4_QUERIES
     from streaming_data_spark.queries_ext5 import EXT5_QUERIES
     from streaming_data_spark.queries_ext6 import EXT6_QUERIES
+    from streaming_data_spark.queries_ext7 import EXT7_QUERIES
 
     return {
         **CORE_QUERIES,
@@ -42,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT4_QUERIES,
         **EXT5_QUERIES,
         **EXT6_QUERIES,
+        **EXT7_QUERIES,
     }
 
 
@@ -54,6 +56,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext4 import EXT4_ORACLES
     from streaming_data_spark.queries_ext5 import EXT5_ORACLES
     from streaming_data_spark.queries_ext6 import EXT6_ORACLES
+    from streaming_data_spark.queries_ext7 import EXT7_ORACLES
 
     return {
         **CORE_ORACLES,
@@ -63,4 +66,5 @@ def oracle_sql() -> dict[str, str]:
         **EXT4_ORACLES,
         **EXT5_ORACLES,
         **EXT6_ORACLES,
+        **EXT7_ORACLES,
     }
