@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext5 import EXT5_QUERIES
     from streaming_data_spark.queries_ext6 import EXT6_QUERIES
     from streaming_data_spark.queries_ext7 import EXT7_QUERIES
+    from streaming_data_spark.queries_ext8 import EXT8_QUERIES
 
     return {
         **CORE_QUERIES,
@@ -44,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT5_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
+        **EXT8_QUERIES,
     }
 
 
@@ -57,6 +59,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext5 import EXT5_ORACLES
     from streaming_data_spark.queries_ext6 import EXT6_ORACLES
     from streaming_data_spark.queries_ext7 import EXT7_ORACLES
+    from streaming_data_spark.queries_ext8 import EXT8_ORACLES
 
     return {
         **CORE_ORACLES,
@@ -67,4 +70,5 @@ def oracle_sql() -> dict[str, str]:
         **EXT5_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,
+        **EXT8_ORACLES,
     }

@@ -112,3 +112,53 @@ def asof_join(
             )
         filled = filled.drop("_right_ts")
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """[EXT] Range/interval join: every (fact, interval) pair with
+    ``start <= ts < end`` — the other half of the temporal-join family
+    next to ``asof_join``.
+
+    Scale strategy: a naive inequality join has no equi-key, so Spark
+    can only BroadcastNestedLoopJoin it — O(|facts|·|intervals|) and a
+    driver OOM once intervals stop fitting in memory. Instead each
+    interval EXPLODES into the time buckets it covers (sequence +
+    explode, JVM-side) and facts equi-join on their bucket: work is
+    |facts| + Σ interval_span/bucket, shuffled on the bucket key like
+    any keyed join, then the exact range predicate filters within
+    bucket. ``bucket`` should be chosen ≈ median interval length (a
+    too-fine bucket multiplies the exploded side; too coarse widens
+    the post-filter). Identical results to the inequality join, which
+    is exactly what the DuckDB oracle runs.
+    """
+    f = facts.withColumn(
+        "_ij_bucket", F.date_trunc("day", F.col(ts_col)) if bucket == "1 day"
+        else F.window(F.col(ts_col), bucket)["start"]
+    )
+    iv = intervals.withColumn(
+        "_ij_bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col(start_col)) if bucket == "1 day"
+                else F.window(F.col(start_col), bucket)["start"],
+                # end is exclusive, but the bucket containing end-ε must
+                # be probed; sequence is inclusive so truncate end-1s
+                F.date_trunc("day", F.col(end_col) - F.expr("INTERVAL 1 SECOND"))
+                if bucket == "1 day"
+                else F.window(F.col(end_col) - F.expr("INTERVAL 1 SECOND"), bucket)["start"],
+                F.expr(f"INTERVAL {bucket}"),
+            )
+        ),
+    )
+    return (
+        f.join(iv, "_ij_bucket")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_ij_bucket")
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from streaming_data_spark.operators import dedup, similarity
+from streaming_data_spark.operators import dedup, joins, similarity
 from streaming_data_spark.schemas import load_table
 
 
@@ -176,3 +176,43 @@ def test_salted_join_rejects_right_preserving_joins(spark, sf_oracle):
     for how in ("right", "full", "right_outer", "fullouter"):
         with pytest.raises(ValueError, match="left-preserving"):
             skew.salted_join(docs, docs, on=["doc_id"], how=how)
+
+
+def test_interval_join_boundary_semantics(spark):
+    """start inclusive, end exclusive; facts outside every interval
+    drop; overlapping intervals each emit their own pair."""
+    import datetime as dt
+
+    iv = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 3)),
+         (2, dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 4))],
+        "window_id long, w_start timestamp, w_end timestamp",
+    )
+    facts = spark.createDataFrame(
+        [(10, dt.datetime(2024, 1, 1)),            # w1 start (incl)
+         (11, dt.datetime(2024, 1, 2, 12)),        # w1 + w2 overlap
+         (12, dt.datetime(2024, 1, 3)),            # w1 end (excl) → w2 only
+         (13, dt.datetime(2024, 1, 9))],           # no window
+        "fact_id long, ts timestamp",
+    )
+    got = sorted(
+        (r.fact_id, r.window_id)
+        for r in joins.interval_join(facts, iv, "ts", "w_start", "w_end").collect()
+    )
+    assert got == [(10, 1), (11, 1), (11, 2), (12, 2)]
+
+
+def test_train_test_split_deterministic_and_disjoint(spark, sf_oracle):
+    """The hash split is stable across invocations, covers every row,
+    and lands near the requested fraction."""
+    from streaming_data_spark.queries_ext8 import split_column
+
+    docs = load_table(spark, sf_oracle, "documents")
+    labeled = docs.select("doc_id", split_column("doc_id").alias("split"))
+    a = {r.doc_id: r.split for r in labeled.collect()}
+    b = {r.doc_id: r.split for r in labeled.collect()}
+    assert a == b
+    n = len(a)
+    n_test = sum(1 for v in a.values() if v == "test")
+    assert n == docs.count()
+    assert 0.02 <= n_test / n <= 0.25  # 10% target, wide tolerance at n=500

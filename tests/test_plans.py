@@ -151,3 +151,15 @@ def test_q22_anti_join_pushes_cutoff(spark, sf_small):
 
     df = q_q22_idle_customers(spark, sf_small)
     assert any("o_orderdate" in p for p in plans.pushed_filters(df))
+
+
+def test_interval_join_no_nested_loop(spark, sf_small):
+    """The range join must compile to a keyed equi-join on the time
+    bucket — a BroadcastNestedLoopJoin here is the O(n*m) cliff the
+    operator exists to avoid."""
+    from streaming_data_spark.queries_ext8 import q_j5_interval_join
+
+    df = q_j5_interval_join(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in text, text
+    assert "CartesianProduct" not in text, text
