@@ -258,6 +258,24 @@ def streaming_rolling_sum(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """X1/K1 streaming — exact dedup INSIDE the stream via
+    ``dropDuplicatesWithinWatermark``: the first record per key wins,
+    replays and producer retries within the watermark are dropped
+    before any sink sees them. Complements the idempotent sink (T1):
+    the sink guards cross-run replays, this guards in-stream dups.
+
+    Scale: state is one entry per key seen within the watermark
+    horizon (bounded — unlike plain ``dropDuplicates`` on a stream,
+    whose state grows forever); one shuffle on the dedup keys."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def streaming_session_rollup(
     stream: DataFrame,
     key: str,

@@ -478,3 +478,30 @@ def test_streaming_session_window_matches_batch(spark, sf_small, event_stream_di
         assert evs[0].ts == sample.session_start
         import datetime
         assert sample.session_end == evs[-1].ts + datetime.timedelta(hours=2)
+
+
+def test_dedup_stream_drops_in_stream_duplicates(spark, sf_small, tmp_path):
+    """X1 streaming — each event written TWICE into the source (the
+    producer-retry / at-least-once shape); dropDuplicatesWithinWatermark
+    emits exactly one row per event_id with the full payload intact."""
+    events = load_table(spark, sf_small, "events").limit(50)
+    env = events.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(F.struct("event_id", "ts", "user_id", "event_type", "value")).alias("value"),
+    )
+    src = str(tmp_path / "dup_in")
+    env.union(env).coalesce(1).write.json(src)  # every envelope twice
+
+    stream = sp.file_json_source(spark, src)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    deduped = sp.dedup_stream(normalized, ["event_id"], "ts")
+    sp.run_to_completion(
+        deduped.writeStream.format("memory").queryName("dedup_out")
+    )
+    out = spark.sql("SELECT * FROM dedup_out")
+    assert out.count() == 50
+    assert out.select("event_id").distinct().count() == 50
+    # payload survives: spot-check one row against the batch source
+    want = {r.event_id: (r.user_id, r.event_type) for r in events.collect()}
+    got = {r.event_id: (r.user_id, r.event_type) for r in out.collect()}
+    assert got == want
