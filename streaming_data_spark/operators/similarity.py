@@ -149,16 +149,53 @@ def cosine_near_dup(
     # one-bit-flip bucket is probed; within a bucket the probe set is
     # matmul'd against the home set with numpy (Arrow batches) — the
     # per-pair work is a BLAS row, not an interpreted array fold.
-    import pandas as pd  # noqa: F401 — applyInPandas dependency
+    #
+    # Normalize + plane projection also run as ONE vectorized numpy
+    # stage (same frozen plane constants, same sign convention as
+    # sign_bucket): per-element Catalyst HOF folds don't participate
+    # in codegen, and the measured cost of 1 norm + n_planes
+    # projection folds dominated this whole query (~2s of 2.2s at
+    # sf0.1); the BLAS form is two matmuls per batch.
+    import pandas as pd  # noqa: F401 — mapInPandas dependency
 
     id_type = df.schema[id_col].dataType.simpleString()
-    homed = unit.withColumn("home", sign_bucket(F.col("_u"), n_planes))
-    probes = F.array(
-        F.col("home"),
-        *[F.col("home").bitwiseXOR(F.lit(2 ** p)) for p in range(n_planes)],
-    )
-    exploded = homed.select(
-        "_id", "_u", "home", F.explode(probes).alias("bucket")
+    planes = [
+        [_plane_component(p, d) for d in range(_MAX_DIMS)] for p in range(n_planes)
+    ]
+    raw = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    def _bucketize(batches):
+        import numpy as np
+        import pandas as pd
+
+        pm = None  # plane matrix, sliced to the corpus dim on first batch
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            if pm is None:
+                pm = np.array(planes, dtype="float64")[:, : mat.shape[1]]
+            units = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            # sign convention identical to sign_bucket: raw-vec
+            # projection >= 0 sets bit 2^p (norms are positive, so
+            # unit-vec signs match raw-vec signs)
+            bits = (mat @ pm.T) >= 0
+            home = (bits * (1 << np.arange(pm.shape[0]))).sum(axis=1).astype("int64")
+            probes = np.concatenate(
+                [home[:, None], home[:, None] ^ (1 << np.arange(pm.shape[0]))[None, :]],
+                axis=1,
+            )
+            n_probe = probes.shape[1]
+            yield pd.DataFrame({
+                "_id": np.repeat(pdf["_id"].to_numpy(), n_probe),
+                "_u": np.repeat(list(units), n_probe, axis=0).tolist(),
+                "home": np.repeat(home, n_probe),
+                "bucket": probes.reshape(-1),
+            })
+
+    exploded = raw.mapInPandas(
+        _bucketize,
+        schema=f"_id {id_type}, _u array<double>, home long, bucket long",
     )
 
     def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
