@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext6 import EXT6_QUERIES
     from streaming_data_spark.queries_ext7 import EXT7_QUERIES
     from streaming_data_spark.queries_ext8 import EXT8_QUERIES
+    from streaming_data_spark.queries_ext9 import EXT9_QUERIES
 
     return {
         **CORE_QUERIES,
@@ -46,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT6_QUERIES,
         **EXT7_QUERIES,
         **EXT8_QUERIES,
+        **EXT9_QUERIES,
     }
 
 
@@ -60,6 +62,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext6 import EXT6_ORACLES
     from streaming_data_spark.queries_ext7 import EXT7_ORACLES
     from streaming_data_spark.queries_ext8 import EXT8_ORACLES
+    from streaming_data_spark.queries_ext9 import EXT9_ORACLES
 
     return {
         **CORE_ORACLES,
@@ -71,4 +74,5 @@ def oracle_sql() -> dict[str, str]:
         **EXT6_ORACLES,
         **EXT7_ORACLES,
         **EXT8_ORACLES,
+        **EXT9_ORACLES,
     }

@@ -220,3 +220,68 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         term = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
         value = term if value is None else value + term
     return agg.select(F.col(id_col), value.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """X13 — connected components over a near-dup pair graph:
+    (id, cluster_id) where cluster_id is the component's minimum id.
+
+    Dedup emits PAIRS; deciding which documents to drop needs CLUSTERS
+    (a chain a~b~c must keep exactly one survivor). This is iterative
+    min-label propagation: every node adopts the smallest label among
+    itself and its neighbors until fixpoint. Labels are monotonically
+    non-increasing, so convergence is exact, and the iteration count is
+    bounded by the component diameter — near-dup components are
+    shallow (near-cliques), so 2-4 rounds in practice.
+
+    Scale shape: each round is ONE equi-join of the (symmetrized) edge
+    list against the label table plus one groupBy — both keyed shuffles
+    that AQE sizes. ``localCheckpoint`` truncates lineage every round
+    (without it the plan doubles per iteration and the job dies at
+    round ~15 on any size of cluster); the convergence probe is a
+    count on the already-materialized checkpoint, not a recompute.
+    Edges shuffle once per round; at 100 TB the edge list is the
+    near-dup candidate set (orders of magnitude smaller than the
+    corpus), so rounds are cheap relative to the pair-finding stage.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "a"), "a")
+            .groupBy("b")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["b"], "left")
+            .select(
+                "id",
+                F.col("cluster_id").alias("_old"),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = stepped.filter(F.col("cluster_id") != F.col("_old")).count()
+        labels = stepped.drop("_old")
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels
