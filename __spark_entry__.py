@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext7 import EXT7_QUERIES
     from streaming_data_spark.queries_ext8 import EXT8_QUERIES
     from streaming_data_spark.queries_ext9 import EXT9_QUERIES
+    from streaming_data_spark.queries_ext10 import EXT10_QUERIES
+    from streaming_data_spark.queries_ext11 import EXT11_QUERIES
 
     return {
         **CORE_QUERIES,
@@ -48,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT7_QUERIES,
         **EXT8_QUERIES,
         **EXT9_QUERIES,
+        **EXT10_QUERIES,
+        **EXT11_QUERIES,
     }
 
 
@@ -63,6 +67,8 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext7 import EXT7_ORACLES
     from streaming_data_spark.queries_ext8 import EXT8_ORACLES
     from streaming_data_spark.queries_ext9 import EXT9_ORACLES
+    from streaming_data_spark.queries_ext10 import EXT10_ORACLES
+    from streaming_data_spark.queries_ext11 import EXT11_ORACLES
 
     return {
         **CORE_ORACLES,
@@ -75,4 +81,6 @@ def oracle_sql() -> dict[str, str]:
         **EXT7_ORACLES,
         **EXT8_ORACLES,
         **EXT9_ORACLES,
+        **EXT10_ORACLES,
+        **EXT11_ORACLES,
     }

@@ -163,3 +163,63 @@ def test_interval_join_no_nested_loop(spark, sf_small):
     text = plans.explain_str(df)
     assert "BroadcastNestedLoopJoin" not in text, text
     assert "CartesianProduct" not in text, text
+
+def test_q6_all_predicates_push_to_scan(spark, sf_small):
+    """Q6 is pure filter+agg: shipdate, discount, and quantity
+    predicates must ALL reach the parquet scan; one exchange only
+    (the single-row final agg)."""
+    from streaming_data_spark.queries_ext10 import q_q6_forecast_revenue
+
+    df = q_q6_forecast_revenue(spark, sf_small)
+    pushed = " ".join(plans.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    assert plans.shuffle_count(df) <= 1, plans.explain_str(df)
+
+
+def test_q14_q19_broadcast_part_and_prune(spark, sf_small):
+    """Part is a dim: both queries must broadcast it, and the
+    per-side implications of q19's disjunction must reach both
+    scans (brand/size on part, quantity envelope on lineitem)."""
+    from streaming_data_spark.queries_ext10 import (
+        q_q14_promo_revenue,
+        q_q19_disjunctive_revenue,
+    )
+
+    q14 = q_q14_promo_revenue(spark, sf_small)
+    assert plans.has_broadcast_join(q14)
+    assert any("l_shipdate" in p for p in plans.pushed_filters(q14))
+
+    q19 = q_q19_disjunctive_revenue(spark, sf_small)
+    assert plans.has_broadcast_join(q19)
+    pushed = " ".join(plans.pushed_filters(q19))
+    assert "p_brand" in pushed, pushed
+    assert "l_quantity" in pushed, pushed
+
+
+def test_x16_decontaminate_broadcasts_benchmark_side(spark, sf_small):
+    """The benchmark shingle set must broadcast — the training corpus
+    is probed in place, never shuffled by shingle."""
+    from streaming_data_spark.queries_ext11 import q_x16_decontaminate
+
+    df = q_x16_decontaminate(spark, sf_small)
+    assert plans.has_broadcast_join(df)
+
+
+def test_x18_vocab_topk_no_global_sort(spark, sf_small):
+    """Global top-50 must be TakeOrderedAndProject over the token agg,
+    not a full sort of the vocabulary."""
+    from streaming_data_spark.queries_ext11 import q_x18_vocab_top_tokens
+
+    df = q_x18_vocab_top_tokens(spark, sf_small)
+    text = plans.explain_str(df, mode="simple")
+    assert "TakeOrderedAndProject" in text, text
+
+
+def test_x19_stratified_sample_is_shuffle_free(spark, sf_small):
+    """The hash-bucket sample is a pure per-row predicate — zero
+    exchanges anywhere in the plan."""
+    from streaming_data_spark.queries_ext11 import q_x19_stratified_sample
+
+    df = q_x19_stratified_sample(spark, sf_small)
+    assert plans.shuffle_count(df) == 0, plans.explain_str(df)
