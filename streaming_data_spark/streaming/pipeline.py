@@ -314,6 +314,46 @@ def streaming_session_rollup(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "1 day",
+    how: str = "inner",
+) -> DataFrame:
+    """T — watermarked stream-stream equi-join with an event-time
+    range bound: a right-side event matches a left-side event with the
+    same ``key`` when it lands in ``[left_ts, left_ts + max_delay]``
+    (the attribution/enrichment shape: impressions ⋈ clicks,
+    order-created ⋈ order-shipped).
+
+    Both inputs need a watermark plus the time bound — that is what
+    lets Spark EXPIRE join state: a buffered left row can be dropped
+    once the right watermark passes ``left_ts + max_delay``. Without
+    the range condition the state grows forever, which is why this
+    helper refuses to build an unbounded join rather than defaulting
+    one side to "keep everything".
+
+    Scale: both streams shuffle once on ``key`` (co-partitioned state
+    store); per-key state is bounded by watermark + max_delay horizon.
+    ``how`` may be "inner" or "leftOuter" (outer emits unmatched left
+    rows only after the watermark proves no match can arrive).
+    """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"stream-stream join supports inner/leftOuter, got {how!r}")
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 # --------------------------------------------------------------------------
 # Sinks (K4/K5/K6, T9)
 # --------------------------------------------------------------------------

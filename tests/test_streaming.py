@@ -505,3 +505,53 @@ def test_dedup_stream_drops_in_stream_duplicates(spark, sf_small, tmp_path):
     want = {r.event_id: (r.user_id, r.event_type) for r in events.collect()}
     got = {r.event_id: (r.user_id, r.event_type) for r in out.collect()}
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_small, event_stream_dir, tmp_path):
+    """T — the watermarked view⋈click attribution join equals the same
+    range equi-join computed in batch, and unbounded shapes are refused."""
+    stream = sp.file_json_source(spark, event_stream_dir)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    views = normalized.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    clicks = normalized.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = sp.stream_stream_join(
+        views.withColumnRenamed("user_id", "key_uid"),
+        clicks.withColumnRenamed("c_user_id", "key_uid"),
+        key="key_uid", left_ts="view_ts", right_ts="click_ts",
+        max_delay="6 hours", watermark="1 day",
+    ).select(
+        views["view_id"].alias("view_id"), F.col("click_id"),
+        F.col("view_ts"), F.col("click_ts"),
+    )
+    writer = joined.writeStream.format("memory").queryName("attrib").outputMode("append")
+    sp.run_to_completion(writer)
+    got = spark.sql("SELECT view_id, click_id FROM attrib")
+
+    batch = load_table(spark, sf_small, "events").limit(100)
+    bv = batch.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    bc = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    want = bv.join(
+        bc,
+        (bv["user_id"] == bc["c_user_id"])
+        & (bc["click_ts"] >= bv["view_ts"])
+        & (bc["click_ts"] <= bv["view_ts"] + F.expr("INTERVAL 6 hours")),
+    ).select("view_id", "click_id")
+    assert want.count() > 0, "fixture produced no attributable pairs"
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    with pytest.raises(ValueError):
+        sp.stream_stream_join(views, clicks, key="user_id",
+                              left_ts="view_ts", right_ts="click_ts", how="fullOuter")
