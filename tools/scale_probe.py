@@ -79,6 +79,10 @@ HEAVY = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
     "a3_ohlcv", "a4_rolling_24h", "x1_exact_dedup", "x2_minhash_lsh",
     "q18_large_orders", "q10_returned_items",
+    # round-2 additions: scan-pushdown, broadcast-disjunction,
+    # distinct-agg, shingle-join, and explode-heavy shapes
+    "q6_forecast_revenue", "q19_disjunctive_revenue", "q16_supplier_cnt",
+    "x16_decontaminate", "x17_tfidf_terms",
 ]
 
 
