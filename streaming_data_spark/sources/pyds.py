@@ -47,7 +47,13 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
@@ -91,12 +97,58 @@ class _RestPagesReader(DataSourceReader):
         self.base = float(options.get("backoff_base", 0.05))
         self.cap = float(options.get("backoff_cap", 3600))
         self.fields = schema.fieldNames()
+        # optional pushdown contract: options declare that column
+        # `monotonic_field` equals the global row number, i.e.
+        # page * rows_per_page + offset-within-page — then range
+        # predicates on it prune whole pages before any HTTP request.
+        self.mono_field = options.get("monotonic_field")
+        self.rows_per_page = int(options.get("rows_per_page", 0))
+        self._lo_id: int | None = None
+        self._hi_id: int | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> list[Filter]:
+        """Harvest range bounds on the monotonic field for page-range
+        PRUNING. Every filter is returned, so Spark re-applies all of
+        them post-scan — pruning is an optimization, never a
+        correctness claim (same posture as parquet row-group stats)."""
+        if self.mono_field and self.rows_per_page > 0:
+            col = (self.mono_field,)
+            for f in filters:
+                if getattr(f, "attribute", None) != col or not isinstance(
+                    getattr(f, "value", None), int
+                ):
+                    continue
+                if isinstance(f, (GreaterThanOrEqual, EqualTo)):
+                    lo = f.value
+                elif isinstance(f, GreaterThan):
+                    lo = f.value + 1
+                else:
+                    lo = None
+                if isinstance(f, (LessThanOrEqual, EqualTo)):
+                    hi = f.value
+                elif isinstance(f, LessThan):
+                    hi = f.value - 1
+                else:
+                    hi = None
+                if lo is not None:
+                    self._lo_id = lo if self._lo_id is None else max(self._lo_id, lo)
+                if hi is not None:
+                    self._hi_id = hi if self._hi_id is None else min(self._hi_id, hi)
+        return filters
 
     def partitions(self) -> list[InputPartition]:
+        first = self.start_page
         end = self.start_page + self.pages
+        if self.mono_field and self.rows_per_page > 0:
+            if self._lo_id is not None:
+                first = max(first, self.start_page + self._lo_id // self.rows_per_page)
+            if self._hi_id is not None:
+                end = min(end, self.start_page + self._hi_id // self.rows_per_page + 1)
+        if end <= first:  # contradiction (e.g. id < 0): one empty range
+            return [_PageRange(first, first)]
         return [
             _PageRange(p, min(p + self.per_part, end))
-            for p in range(self.start_page, end, self.per_part)
+            for p in range(first, end, self.per_part)
         ]
 
     def read(self, partition: _PageRange) -> Iterator[tuple]:

@@ -137,3 +137,32 @@ def test_stream_reads_pages_as_they_appear(spark, page_server, tmp_path):
         assert sorted(ids) == list(range(N_PAGES * PAGE_SIZE))  # no dups, no gaps
     finally:
         query.stop()
+
+
+def test_pushdown_prunes_page_requests(spark, page_server):
+    """A range predicate on the declared monotonic field must prune
+    whole pages BEFORE any HTTP request — and results stay exact
+    because Spark re-applies every filter post-scan."""
+    pyds.register(spark)
+    reader = (
+        spark.read.format("rest_pages")
+        .schema(DDL)
+        .option("url", _url(page_server))
+        .option("pages", N_PAGES)
+        .option("pages_per_partition", 1)
+        .option("monotonic_field", "id")
+        .option("rows_per_page", PAGE_SIZE)
+    )
+    df = reader.load().filter("id >= 21 AND id < 31")  # rows in pages 4..6
+    rows = df.collect()
+    assert sorted(r.id for r in rows) == list(range(21, 31))
+    with page_server.lock:
+        hit_pages = set(page_server.hits)
+    assert hit_pages == {4, 5, 6}, hit_pages  # pages 0-3 never requested
+
+    # contradictory bound: zero requests, zero rows
+    with page_server.lock:
+        page_server.hits.clear()
+    assert reader.load().filter("id < 0").count() == 0
+    with page_server.lock:
+        assert page_server.hits == []
