@@ -50,6 +50,8 @@ def get_session(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else cores),
         )
+        # -- Python data sources: allow pushFilters() (rest_pages) -----
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # -- Arrow for pandas_udf / mapInPandas / toPandas -------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -61,16 +61,34 @@ from pyspark.sql.types import StructType
 
 def _fetch_page(url_tpl: str, page: int, max_retries: int, base: float, cap: float) -> list[dict]:
     """GET one page with exponential backoff; [] means 'page absent'
-    (HTTP 404 or empty body) — the pagination stop signal."""
+    (HTTP 404 or an empty JSON array) — the pagination stop signal.
+
+    Retry policy: backoff is reserved for transient failures (5xx,
+    408/429, network errors, and 200s with a non-list body such as an
+    ``{"error": ...}`` maintenance payload). Permanent client errors
+    (400/401/403/...) raise immediately — a bad URL or credential must
+    fail the task fast, not stall an executor through the full backoff
+    budget."""
     attempt = 0
     while True:
         try:
             with urllib.request.urlopen(url_tpl.format(page=page), timeout=30) as resp:
                 payload = json.loads(resp.read().decode("utf-8"))
-            return payload if isinstance(payload, list) else []
+            if isinstance(payload, list):
+                return payload
+            # 200 with a non-list body is NOT "page absent": treating it
+            # as [] would silently drop the page (batch) or cap the
+            # micro-batch (streaming). Treat as transient and retry.
+            if attempt >= max_retries:
+                raise ValueError(
+                    f"rest_pages: page {page} returned a non-list JSON body "
+                    f"({type(payload).__name__}); refusing to treat it as end-of-data"
+                )
         except urllib.error.HTTPError as exc:
             if exc.code == 404:
                 return []
+            if 400 <= exc.code < 500 and exc.code not in (408, 429):
+                raise  # permanent client error: no retry budget
             if attempt >= max_retries:
                 raise
         except (urllib.error.URLError, TimeoutError):
@@ -140,10 +158,14 @@ class _RestPagesReader(DataSourceReader):
         first = self.start_page
         end = self.start_page + self.pages
         if self.mono_field and self.rows_per_page > 0:
+            # monotonic_field = page * rows_per_page + offset, with
+            # ABSOLUTE page numbers (the documented contract) — so the
+            # id bounds map straight to page numbers, clamped to the
+            # configured [start_page, start_page+pages) window.
             if self._lo_id is not None:
-                first = max(first, self.start_page + self._lo_id // self.rows_per_page)
+                first = max(first, self._lo_id // self.rows_per_page)
             if self._hi_id is not None:
-                end = min(end, self.start_page + self._hi_id // self.rows_per_page + 1)
+                end = min(end, self._hi_id // self.rows_per_page + 1)
         if end <= first:  # contradiction (e.g. id < 0): one empty range
             return [_PageRange(first, first)]
         return [
@@ -215,4 +237,16 @@ class RestPagesDataSource(DataSource):
 
 
 def register(spark) -> None:
+    """Register the source AND enable Python-source filter pushdown.
+
+    Spark 4 refuses to plan a Python DataSourceReader that defines
+    ``pushFilters`` unless ``spark.sql.python.filterPushdown.enabled``
+    is true — it raises [DATA_SOURCE_PUSHDOWN_DISABLED] at read time.
+    It is a runtime SQL conf, so setting it here covers any session
+    that registers the source; ``get_session()`` also sets it at build
+    time. Assert afterwards so a session that silently rejects the
+    conf fails loudly here instead of cryptically at plan time.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
     spark.dataSource.register(RestPagesDataSource)

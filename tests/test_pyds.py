@@ -35,8 +35,17 @@ class _PagesHandler(BaseHTTPRequestHandler):
             srv.hits.append(page)  # type: ignore[attr-defined]
             if srv.fail_budget > 0:  # type: ignore[attr-defined]
                 srv.fail_budget -= 1  # type: ignore[attr-defined]
-                self.send_response(503)
+                self.send_response(srv.fail_code)  # type: ignore[attr-defined]
                 self.end_headers()
+                return
+            if srv.junk_budget > 0:  # type: ignore[attr-defined]
+                srv.junk_budget -= 1  # type: ignore[attr-defined]
+                body = json.dumps({"error": "maintenance"}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
                 return
             visible = srv.visible_pages  # type: ignore[attr-defined]
         if page >= visible:
@@ -59,6 +68,8 @@ def page_server():
     srv = HTTPServer(("127.0.0.1", 0), _PagesHandler)
     srv.hits = []  # type: ignore[attr-defined]
     srv.fail_budget = 0  # type: ignore[attr-defined]
+    srv.fail_code = 503  # type: ignore[attr-defined]
+    srv.junk_budget = 0  # type: ignore[attr-defined]
     srv.visible_pages = N_PAGES  # type: ignore[attr-defined]
     srv.lock = threading.Lock()  # type: ignore[attr-defined]
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -166,3 +177,64 @@ def test_pushdown_prunes_page_requests(spark, page_server):
     assert reader.load().filter("id < 0").count() == 0
     with page_server.lock:
         assert page_server.hits == []
+
+
+def test_pushdown_with_nonzero_start_page(spark, page_server):
+    """monotonic_field ids are ABSOLUTE (id = page*rows_per_page + i),
+    so pruning must map id bounds straight to absolute page numbers
+    even when the scan window starts at start_page != 0 — the round-2
+    arithmetic would have shifted the window and silently dropped
+    matching pages."""
+    pyds.register(spark)
+    reader = (
+        spark.read.format("rest_pages")
+        .schema(DDL)
+        .option("url", _url(page_server))
+        .option("start_page", 2)
+        .option("pages", N_PAGES - 2)  # window = pages 2..6
+        .option("pages_per_partition", 1)
+        .option("monotonic_field", "id")
+        .option("rows_per_page", PAGE_SIZE)
+    )
+    df = reader.load().filter("id >= 21 AND id < 31")  # rows in pages 4..6
+    assert sorted(r.id for r in df.collect()) == list(range(21, 31))
+    with page_server.lock:
+        hit_pages = set(page_server.hits)
+    assert hit_pages == {4, 5, 6}, hit_pages
+
+    # bounds below the window clamp to it: nothing outside 2..6 is hit
+    with page_server.lock:
+        page_server.hits.clear()
+    got = sorted(r.id for r in reader.load().filter("id < 18").collect())
+    assert got == list(range(10, 18))  # window starts at page 2 → id 10
+    with page_server.lock:
+        assert set(page_server.hits) == {2, 3}
+
+
+def test_nonlist_200_body_is_retried_not_dropped(spark, page_server):
+    """A 200 whose JSON body is an {"error": ...} object must NOT be
+    coerced to [] (that would silently drop the page); it is retried
+    and the full dataset still arrives."""
+    page_server.junk_budget = 2
+    pyds.register(spark)
+    df = (
+        spark.read.format("rest_pages")
+        .schema(DDL)
+        .option("url", _url(page_server))
+        .option("pages", N_PAGES)
+        .option("backoff_base", "0.01")
+        .load()
+    )
+    assert df.count() == N_PAGES * PAGE_SIZE
+
+
+def test_permanent_4xx_fails_fast(page_server):
+    """401 must raise immediately — exactly one request, no backoff
+    walk through the retry budget."""
+    page_server.fail_budget = 10 ** 6
+    page_server.fail_code = 401
+    with pytest.raises(Exception) as exc_info:
+        pyds._fetch_page(_url(page_server), 0, max_retries=5, base=10.0, cap=3600.0)
+    assert "401" in str(exc_info.value)
+    with page_server.lock:
+        assert page_server.hits == [0]  # no retries burned
