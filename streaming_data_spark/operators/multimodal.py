@@ -7,13 +7,18 @@ extraction runs in Arrow-batched ``mapInPandas`` so the 100 TB story
 is: binary stays columnar in parquet, decode parallelizes per
 partition, and the expensive step sees whole batches.
 
-The decode kernels themselves are STUBBED in this environment (no
-image/audio libs in the container): ``decoder="fake"`` produces a
-deterministic feature vector from the bytes (real plumbing, fake
-math); ``decoder="pil"``/"librosa" raise NotImplementedError at call
-time with the dependency named. The Spark-side contract — schemas,
-batch shapes, UDF signatures, partition behavior — is real and
-tested.
+Decoder tiers:
+- ``decoder="ppm"`` — a REAL kernel, pure numpy: decodes binary PPM
+  (P6) images, bilinear-resizes, re-encodes, and extracts real
+  channel-statistics features. No media lib needed; real bytes in,
+  real resized bytes out.
+- ``decoder="fake"`` — deterministic bytes-derived stand-in (sha256
+  plumbing test double for payloads that aren't PPM).
+- ``decoder="pil"``/"librosa" — the production upgrade for compressed
+  formats (JPEG/PNG/audio); those libs are absent from this container,
+  so these raise NotImplementedError naming the dependency. The
+  Spark-side contract — schemas, batch shapes, UDF signatures,
+  partition behavior — is identical across all three tiers.
 """
 
 from __future__ import annotations
@@ -72,6 +77,97 @@ def attach_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+def _make_ppm_fns():
+    """Pure-numpy PPM (P6) kernels: decode, encode, bilinear resize.
+
+    Returned as NESTED functions (not module attributes) on purpose:
+    closures that capture them are shipped by cloudpickle BY VALUE, so
+    executor Python workers never need this package importable — the
+    same self-containment rule as every other worker closure here.
+    """
+    import numpy as np
+
+    def decode(payload: bytes):
+        """P6 bytes -> HxWx3 uint8 array. Header: 'P6' w h maxval
+        (ASCII, whitespace-separated, '#' comments allowed), then one
+        whitespace byte and w*h*3 raw samples (maxval <= 255)."""
+        if payload is None or payload[:2] != b"P6":
+            raise ValueError("not a binary PPM (P6) payload")
+        toks: list[int] = []
+        i = 2
+        while len(toks) < 3:
+            c = payload[i : i + 1]
+            if c == b"#":
+                i = payload.index(b"\n", i) + 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while not payload[j : j + 1].isspace():
+                    j += 1
+                toks.append(int(payload[i:j]))
+                i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = toks
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        n = w * h * 3
+        data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+        return data.reshape(h, w, 3)
+
+    def encode(img) -> bytes:
+        a = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+        h, w = a.shape[:2]
+        return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+    def resize(img, width: int, height: int):
+        """Bilinear resample to (height, width), vectorized: sample
+        positions map pixel centers to pixel centers (the standard
+        align_corners=False convention)."""
+        src = np.asarray(img, dtype=np.float64)
+        sh, sw = src.shape[:2]
+        ys = np.clip((np.arange(height) + 0.5) * sh / height - 0.5, 0, sh - 1)
+        xs = np.clip((np.arange(width) + 0.5) * sw / width - 0.5, 0, sw - 1)
+        y0 = np.floor(ys).astype(int)
+        x0 = np.floor(xs).astype(int)
+        y1 = np.minimum(y0 + 1, sh - 1)
+        x1 = np.minimum(x0 + 1, sw - 1)
+        wy = (ys - y0)[:, None, None]
+        wx = (xs - x0)[None, :, None]
+        top = src[y0][:, x0] * (1 - wx) + src[y0][:, x1] * wx
+        bot = src[y1][:, x0] * (1 - wx) + src[y1][:, x1] * wx
+        out = top * (1 - wy) + bot * wy
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+    def features(img, dim: int):
+        """Real image features: per-channel mean/std (scaled to [0,1])
+        + a (dim-6)-bin luminance histogram (mass-normalized)."""
+        a = np.asarray(img, dtype=np.float64)
+        flat = a.reshape(-1, 3)
+        mean = flat.mean(axis=0) / 255.0
+        std = flat.std(axis=0) / 255.0
+        luma = flat @ np.array([0.299, 0.587, 0.114])
+        hist, _ = np.histogram(luma, bins=dim - 6, range=(0.0, 255.0))
+        hist = hist / max(1, luma.size)
+        return [float(x) for x in np.concatenate([mean, std, hist])]
+
+    return decode, encode, resize, features
+
+
+# Driver-side aliases (tests, data generation). Worker closures call
+# _make_ppm_fns() themselves — never these module attributes.
+def encode_ppm(img) -> bytes:
+    return _make_ppm_fns()[1](img)
+
+
+def decode_ppm(payload: bytes):
+    return _make_ppm_fns()[0](payload)
+
+
+def resize_ppm_array(img, width: int, height: int):
+    return _make_ppm_fns()[2](img, width, height)
+
+
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for a real decoder: sha256-seeded floats
     in [0,1). Stable across runs/processes — testable plumbing."""
@@ -86,14 +182,18 @@ def extract_features(
 ) -> DataFrame:
     """Decode/feature-extract via Arrow-batched mapInPandas.
 
-    ``decoder='fake'`` → deterministic bytes-derived vector (this
-    container has no media libs). ``decoder='pil'|'librosa'`` →
+    ``decoder='ppm'`` → REAL decode (pure-numpy P6 parser) + real
+    channel-stat features. ``decoder='fake'`` → deterministic
+    bytes-derived vector. ``decoder='pil'|'librosa'`` →
     NotImplementedError naming the missing dependency, raised on the
     EXECUTOR at first batch — the plan itself always builds.
     """
     import pandas as pd
 
     dim = FEATURE_DIM
+    # Factory runs on the DRIVER; the returned nested functions are
+    # captured below and shipped by value with the closure.
+    ppm_decode, _, _, ppm_features = _make_ppm_fns()
 
     # NB: the closure must be fully self-contained (no references to
     # module-level symbols) — cloudpickle ships it by value, and the
@@ -107,19 +207,23 @@ def extract_features(
             raise NotImplementedError("image decode requires Pillow; not in this image")
         if decoder == "librosa":
             raise NotImplementedError("audio decode requires librosa; not in this image")
-        if decoder != "fake":
+        if decoder not in ("fake", "ppm"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
         def fake(payload: bytes | None) -> list[float]:
             digest = _hashlib.sha256(payload or b"").digest()
             return [digest[i % 32] / 255.0 for i in range(dim)]
 
+        def real(payload: bytes | None) -> list[float]:
+            return ppm_features(ppm_decode(payload), dim)
+
+        feat = real if decoder == "ppm" else fake
         for batch in batches:
             yield pd.DataFrame({
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
                 "n_bytes": batch["content"].map(lambda b: len(b) if b is not None else 0),
-                "features": batch["content"].map(fake),
+                "features": batch["content"].map(feat),
             })
 
     return df.mapInPandas(_decode, schema=FEATURE_SCHEMA)
@@ -140,16 +244,21 @@ def resize_images(
     height: int,
     decoder: str = "fake",
 ) -> DataFrame:
-    """Resize plumbing for image rows via Arrow-batched mapInPandas:
-    filter to images JVM-side (partition pruning can use `kind`), ship
-    only (id, kind, content), emit resized payload + new dimensions.
+    """Resize image rows via Arrow-batched mapInPandas: filter to
+    images JVM-side (partition pruning can use `kind`), ship only
+    (id, kind, content), emit resized payload + new dimensions.
 
+    ``decoder='ppm'`` → REAL kernel: pure-numpy P6 decode → bilinear
+    resize → P6 re-encode (real bytes in, real resized bytes out).
     ``decoder='fake'`` → deterministic stand-in payload (sha256 of the
-    input bytes tiled to width*height/64 bytes — stable, size-scaled,
-    no media lib needed). ``decoder='pil'`` → NotImplementedError
-    naming the dependency, raised on the executor; the plan builds.
+    input bytes tiled to width*height/64 bytes — stable, size-scaled).
+    ``decoder='pil'`` → NotImplementedError naming the dependency
+    (the compressed-format upgrade), raised on the executor; the plan
+    builds.
     """
     import pandas as pd
+
+    ppm_decode, ppm_encode, ppm_resize, _ = _make_ppm_fns()
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -158,7 +267,7 @@ def resize_images(
 
         if decoder == "pil":
             raise NotImplementedError("image resize requires Pillow; not in this image")
-        if decoder != "fake":
+        if decoder not in ("fake", "ppm"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
         n_out = max(1, width * height // 64)
@@ -167,11 +276,15 @@ def resize_images(
             digest = _hashlib.sha256(payload or b"").digest()
             return (digest * (n_out // len(digest) + 1))[:n_out]
 
+        def real(payload: bytes | None) -> bytes:
+            return ppm_encode(ppm_resize(ppm_decode(payload), width, height))
+
+        kernel = real if decoder == "ppm" else fake
         for batch in batches:
             yield pd.DataFrame({
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
-                "content": batch["content"].map(fake),
+                "content": batch["content"].map(kernel),
                 "width": width,
                 "height": height,
             })

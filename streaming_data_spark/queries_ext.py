@@ -240,8 +240,12 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
 """
 
 # --------------------------------------------------------------------------
-# X5b — sign-LSH approximate top-k (rows-only: float sign boundaries are
-# not oracle-stable; recall vs exact is asserted in pytest instead)
+# X5b — sign-LSH approximate top-k. Exact-oracle-checkable: the
+# hyperplanes are frozen md5-derived constants (similarity.py:82-87),
+# so the bucket arithmetic is reproducible in DuckDB — the plane
+# component (h/16^7)*2-1 divides an exact integer by a power of two
+# (both IEEE-exact), and the projection is the same left-fold dot both
+# engines already agree on bit-for-bit for x5/x7/x8.
 # --------------------------------------------------------------------------
 
 def q_x5_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,6 +254,74 @@ def q_x5_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 planes → 16 buckets: right bucket occupancy for the 500-vector
     # test corpus; at 100 TB raise n_planes so buckets stay executor-sized.
     return similarity.signlsh_topk(emb, queries, k=5, n_planes=4)
+
+
+def _plane_comp_sql(plane: int) -> str:
+    """DuckDB expression for similarity._plane_component(plane, i-1)
+    with ``i`` the 1-based list index bound by the surrounding
+    list_transform. 268435456 = 16^7."""
+    return (
+        f"((('0x' || substr(md5('p{plane}:' || (i-1)::VARCHAR), 1, 7))::BIGINT"
+        " / 268435456.0) * 2.0 - 1.0)"
+    )
+
+
+def sign_bucket_sql(vec: str, n_planes: int) -> str:
+    """DuckDB expression mirroring similarity.sign_bucket: bit 2^p set
+    iff the left-fold projection of ``vec`` onto frozen plane p is
+    >= 0."""
+    terms = []
+    for p in range(n_planes):
+        proj = (
+            f"list_sum(list_transform(range(1, len({vec})+1), "
+            f"i -> {vec}[i]::DOUBLE * {_plane_comp_sql(p)}))"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _signlsh_topk_sql(n_planes: int = 4, k: int = 5) -> str:
+    cos = (
+        "list_sum(list_transform(range(1, len(q.q_vec)+1),"
+        " i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(range(1, len(q.q_vec)+1),"
+        " i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),"
+        " i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))"
+    )
+    probe_list = ", ".join(
+        ["home"] + [f"xor(home, {2 ** p})" for p in range(n_planes)]
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {sign_bucket_sql("embedding", n_planes)} AS bucket
+  FROM embeddings
+), q0 AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, bucket AS home
+  FROM b WHERE vec_id < 3
+), probes AS (
+  SELECT query_id, unnest([{probe_list}]) AS bucket FROM q0
+), cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM b c JOIN probes p ON c.bucket = p.bucket AND c.vec_id <> p.query_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine_raw
+  FROM cand
+  JOIN q0 q ON q.query_id = cand.query_id
+  JOIN embeddings e ON e.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_raw DESC, neighbor_id ASC) AS rank,
+    round(cosine_raw, 6) AS cosine
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_X5_SIGNLSH = _signlsh_topk_sql()
 
 
 # --------------------------------------------------------------------------
@@ -324,6 +396,6 @@ EXT_ORACLES = {
     "x2_minhash_lsh": SQL_X2_MINHASH,
     "x4_simhash": SQL_X4_SIMHASH,
     "x5_cosine_topk": SQL_X5,
-    # x5_signlsh_topk: rows-only (sign boundary not float-stable)
+    "x5_signlsh_topk": SQL_X5_SIGNLSH,
     "x6_text_metrics": SQL_X6,
 }

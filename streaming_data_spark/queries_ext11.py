@@ -11,9 +11,12 @@ and cleaning (x12), each with an exact DuckDB oracle:
   ONE broadcast join + one groupBy on doc_id; the corpus never shuffles
   by shingle.
 - x17 TF-IDF top terms: per-document top-3 salient terms. Shuffles:
-  one on (doc, term) for TF, one tiny one on term for DF (broadcast
-  back), one on doc_id for the top-k window — every key is fine-grained
-  so no single task ever sees more than one document's terms.
+  one on (doc, term) for TF, one on term for the DF join, one on
+  doc_id for the top-k window — every key is fine-grained so no single
+  task ever sees more than one document's terms. The DF table is
+  deliberately NOT broadcast: it has one row per distinct token, which
+  at 100 TB is hundreds of millions of rows — a shuffled equi-join on
+  the unskewed fine-grained `term` key is the scale-safe plan.
 - x18 vocabulary heavy-hitters: global top-50 tokens. The global sort
   is TakeOrderedAndProject over per-partition top-50s — no global
   shuffle, driver merges 32×50 rows.
@@ -107,7 +110,12 @@ def q_x17_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf · ln((N+1)/(df+1))), deterministic tie-break on term.
 
     The rank orders by the ROUNDED score so both engines agree even at
-    float-ulp boundaries."""
+    float-ulp boundaries.
+
+    Scale note: the document-frequency table grows with the distinct
+    vocabulary (hundreds of millions of rows at 100 TB), so it joins
+    via a plain shuffled equi-join on `term` — never a broadcast. The
+    scalar corpus size DOES broadcast (one row)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
@@ -116,7 +124,7 @@ def q_x17_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

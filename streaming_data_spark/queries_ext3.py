@@ -6,6 +6,8 @@ rollup totals, pivot. Closes the §2.3/§2.6/§2.5 long tail.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
@@ -70,25 +72,37 @@ def keyset_page(
     return df.orderBy(F.desc(desc_col), F.asc(asc_col)).limit(page_size)
 
 
+# Fixed cursor for the registry query: in the real protocol the CLIENT
+# holds the cursor (the last row of the page it already has), so the
+# measured query is exactly one page fetch — filter + top-k. The
+# two-page walk (fetch page 1, extract cursor, fetch page 2) stays a
+# pytest (tests/test_queries_ext3.py) because it is a client protocol,
+# not a single engine query. Mid-range TPC-H o_orderdate so the page
+# is non-trivial at every scale factor.
+_W2_CURSOR_DATE = "1995-06-17"
+_W2_CURSOR_KEY = 0
+
+
 def q_w2_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Page 2 (rows 101-200) of orders by (o_orderdate desc, o_orderkey)
-    via keyset pagination — the API pagination protocol
-    (upbit_daily_candels.py:170-172). The page-1 probe collects 100
-    rows to obtain the cursor (the client holds it in the real
-    protocol); page 2 itself is filter + TakeOrderedAndProject."""
+    """One keyset page of orders by (o_orderdate desc, o_orderkey asc)
+    strictly after a client-held cursor — the API pagination protocol
+    (upbit_daily_candels.py:170-172). Filter + TakeOrderedAndProject:
+    per-partition top-k merged on the driver, no global sort, constant
+    cost at any page depth."""
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
-    page1 = keyset_page(orders, 100).collect()
-    last = page1[-1]
-    return keyset_page(orders, 100, cursor=(last["o_orderdate"], last["o_orderkey"]))
+    cursor = (datetime.date.fromisoformat(_W2_CURSOR_DATE), _W2_CURSOR_KEY)
+    return keyset_page(orders, 100, cursor=cursor)
 
 
-SQL_W2 = """
+SQL_W2 = f"""
 SELECT o_orderkey, o_orderdate, o_totalprice
 FROM orders
+WHERE o_orderdate < DATE '{_W2_CURSOR_DATE}'
+   OR (o_orderdate = DATE '{_W2_CURSOR_DATE}' AND o_orderkey > {_W2_CURSOR_KEY})
 ORDER BY o_orderdate DESC, o_orderkey ASC
-LIMIT 100 OFFSET 100
+LIMIT 100
 """
 
 # --------------------------------------------------------------------------

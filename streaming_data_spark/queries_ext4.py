@@ -62,11 +62,41 @@ WHERE cosine_raw >= {NEAR_DUP_THRESHOLD}
 
 
 def q_x7_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-blocked scale path (rows-only: recall < 1 by construction;
-    the subset/recall property vs the exact form is asserted in
-    tests/test_ext_operators.py)."""
+    """LSH-blocked scale path. Exactly oracle-checkable despite being
+    approximate: the multiprobe bucket-join emits pair (a, b) iff
+    hamming(sign_bucket(a), sign_bucket(b)) <= 1 — b's home bucket is
+    in a's probe set {home} ∪ {home^2^p} (or symmetrically) exactly
+    when the two home buckets differ in at most one bit. The sign
+    buckets use frozen md5-derived hyperplanes (similarity.py:82-87),
+    so DuckDB reproduces them bit-for-bit; the subset/recall property
+    vs the exact form remains asserted in tests/test_ext_operators.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup(emb, threshold=NEAR_DUP_THRESHOLD, n_planes=4)
+
+
+def _x7_lsh_sql(n_planes: int = 4) -> str:
+    from streaming_data_spark.queries_ext import sign_bucket_sql
+
+    return f"""
+WITH units AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE /
+           sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u,
+         {sign_bucket_sql("embedding", n_planes)} AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.u)+1), i -> a.u[i] * b.u[i])) AS cosine_raw
+  FROM units a JOIN units b
+    ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+)
+SELECT id_a, id_b, round(cosine_raw, 6) AS cosine
+FROM pairs
+WHERE cosine_raw >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+SQL_X7_LSH = _x7_lsh_sql()
 
 
 # --------------------------------------------------------------------------
@@ -271,6 +301,7 @@ EXT4_QUERIES = {
 
 EXT4_ORACLES = {
     "x7_cosine_near_dup": SQL_X7,
+    "x7_near_dup_lsh": SQL_X7_LSH,
     "x8_ivf_topk": SQL_X8,
     "q5_regional_revenue": SQL_Q5,
     "j_salted_join": SQL_SALTED_JOIN,

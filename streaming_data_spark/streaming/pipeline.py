@@ -102,11 +102,22 @@ def file_json_source(
     spark: SparkSession,
     path: str,
     wrapper_schema: StructType | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-based stream source standing in for Kafka in tests (same
-    (key, value) contract). Each line: a JSON event envelope."""
+    (key, value) contract). Each line: a JSON event envelope.
+
+    ``max_files_per_trigger`` is the file-source form of the T7
+    backpressure knob (Kafka's maxOffsetsPerTrigger,
+    kafka_source_options): it caps how much of the backlog one
+    micro-batch ingests, so a restart after downtime drains the queue
+    in bounded bites instead of one giant batch (the reference's rate
+    caps: api_rapid/upbit_api_candle_info.py:12-13)."""
     schema = wrapper_schema or StructType().add("key", "string").add("value", "string")
-    return spark.readStream.schema(schema).json(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
 
 
 def socket_source(spark: SparkSession, host: str = "localhost", port: int = 50000) -> DataFrame:

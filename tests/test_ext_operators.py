@@ -216,3 +216,30 @@ def test_train_test_split_deterministic_and_disjoint(spark, sf_oracle):
     n_test = sum(1 for v in a.values() if v == "test")
     assert n == docs.count()
     assert 0.02 <= n_test / n <= 0.25  # 10% target, wide tolerance at n=500
+
+
+def test_keyset_pagination_two_page_protocol(spark, sf_oracle):
+    """The client-side cursor walk: fetch page 1, extract the cursor
+    from its last row, fetch page 2 — together they must equal the
+    first 200 rows of the global (o_orderdate DESC, o_orderkey ASC)
+    order with no gap and no overlap. (The registry query q_w2 measures
+    a single page with a literal cursor; this test owns the protocol.)"""
+    from streaming_data_spark.queries_ext3 import keyset_page
+
+    orders = load_table(spark, sf_oracle, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    page1 = keyset_page(orders, 100).collect()
+    assert len(page1) == 100
+    last = page1[-1]
+    page2 = keyset_page(
+        orders, 100, cursor=(last["o_orderdate"], last["o_orderkey"])
+    ).collect()
+    assert len(page2) == 100
+
+    first200 = orders.orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    ).limit(200).collect()
+    walk = [(r.o_orderkey, r.o_orderdate) for r in page1 + page2]
+    want = [(r.o_orderkey, r.o_orderdate) for r in first200]
+    assert walk == want

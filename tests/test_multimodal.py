@@ -64,3 +64,75 @@ def test_resize_images_plumbing(media_df):
 
     with pytest.raises(Exception, match="Pillow"):
         mm.resize_images(media_df, 8, 8, decoder="pil").collect()
+
+
+@pytest.fixture()
+def ppm_df(spark):
+    """Two real binary-PPM images: a 4x4 horizontal red→black gradient
+    and an 8x2 constant mid-gray (with a header comment to exercise
+    the parser)."""
+    import numpy as np
+
+    grad = np.zeros((4, 4, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.array([255, 170, 85, 0], dtype=np.uint8)[None, :]
+    gray = np.full((2, 8, 3), 128, dtype=np.uint8)
+    gray_bytes = mm.encode_ppm(gray).replace(b"P6\n", b"P6\n# comment\n", 1)
+    rows = [
+        Row(media_id=10, kind="image", content=mm.encode_ppm(grad),
+            meta=Row(mime="image/x-portable-pixmap", width=4, height=4,
+                     duration_ms=None, n_bytes=None)),
+        Row(media_id=11, kind="image", content=gray_bytes,
+            meta=Row(mime="image/x-portable-pixmap", width=8, height=2,
+                     duration_ms=None, n_bytes=None)),
+    ]
+    return spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+
+
+def test_ppm_codec_roundtrip():
+    """encode → decode is the identity, including a commented header."""
+    import numpy as np
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(img)), img)
+    commented = mm.encode_ppm(img).replace(b"P6\n", b"P6\n# c\n", 1)
+    assert np.array_equal(mm.decode_ppm(commented), img)
+
+
+def test_resize_images_real_ppm_kernel(spark, ppm_df):
+    """Real bytes → resized real bytes through the distributed path:
+    output payloads are valid PPMs at the target dims, constant images
+    stay constant, and gradients keep their ordering."""
+    import numpy as np
+
+    out = {r.media_id: r for r in
+           mm.resize_images(ppm_df, 2, 2, decoder="ppm").collect()}
+    assert set(out) == {10, 11}
+    for r in out.values():
+        img = mm.decode_ppm(bytes(r.content))
+        assert img.shape == (2, 2, 3)
+    # constant gray stays exactly 128 everywhere
+    gray = mm.decode_ppm(bytes(out[11].content))
+    assert np.all(gray == 128)
+    # the red gradient keeps left > right after downsampling
+    grad = mm.decode_ppm(bytes(out[10].content))
+    assert grad[0, 0, 0] > grad[0, 1, 0]
+    # upsample path: 4x4 → 8x8 bilinear of a linear ramp stays monotone
+    up = {r.media_id: r for r in
+          mm.resize_images(ppm_df, 8, 8, decoder="ppm").collect()}
+    ramp = mm.decode_ppm(bytes(up[10].content))[0, :, 0].astype(int)
+    assert ramp.shape == (8,)
+    assert all(a >= b for a, b in zip(ramp, ramp[1:])), ramp
+
+
+def test_extract_features_real_ppm_decoder(spark, ppm_df):
+    """Real feature math: constant mid-gray → mean ~128/255, zero std,
+    all luminance mass in one histogram bin."""
+    feats = {r.media_id: r.features for r in
+             mm.extract_features(ppm_df, decoder="ppm").collect()}
+    f = feats[11]
+    assert len(f) == mm.FEATURE_DIM
+    assert abs(f[0] - 128 / 255) < 1e-6 and abs(f[1] - 128 / 255) < 1e-6
+    assert f[3] == f[4] == f[5] == 0.0  # per-channel std of a constant
+    hist = f[6:]
+    assert abs(sum(hist) - 1.0) < 1e-6
+    assert max(hist) == 1.0  # single luminance value → one bin

@@ -206,6 +206,21 @@ def test_x16_decontaminate_broadcasts_benchmark_side(spark, sf_small):
     assert plans.has_broadcast_join(df)
 
 
+def test_x17_tfidf_term_join_is_not_broadcast(spark, sf_small):
+    """The document-frequency table has one row per distinct token —
+    vocabulary-sized, hundreds of millions of rows at 100 TB — so the
+    TF⋈DF join must be a shuffled equi-join on `term`, never a
+    broadcast hash join (broadcasting the vocabulary is a guaranteed
+    driver/executor OOM at scale). The only broadcast allowed is the
+    one-row corpus-size scalar (a BroadcastNestedLoopJoin)."""
+    from streaming_data_spark.queries_ext11 import q_x17_tfidf_terms
+
+    df = q_x17_tfidf_terms(spark, sf_small)
+    text = plans.explain_str(df, mode="simple")
+    assert "BroadcastHashJoin" not in text, text
+    assert "ShuffledHashJoin" in text, text
+
+
 def test_x18_vocab_topk_no_global_sort(spark, sf_small):
     """Global top-50 must be TakeOrderedAndProject over the token agg,
     not a full sort of the vocabulary."""

@@ -555,3 +555,40 @@ def test_stream_stream_join_matches_batch(spark, sf_small, event_stream_dir, tmp
     with pytest.raises(ValueError):
         sp.stream_stream_join(views, clicks, key="user_id",
                               left_ts="view_ts", right_ts="click_ts", how="fullOuter")
+
+
+def test_backpressure_caps_rows_per_microbatch(spark, sf_small, tmp_path):
+    """T7 — the backpressure knob must actually bound each micro-batch:
+    40 rows land as 8 files (5 rows each); with the cap at 2
+    files/trigger every micro-batch ingests ≤ 10 rows, it takes ≥ 4
+    batches to drain the backlog, and nothing is lost or duplicated.
+    (Kafka's maxOffsetsPerTrigger is the same knob on the offset axis —
+    kafka_source_options plumbs it; the file double proves the
+    per-batch cap behavior.)"""
+    events = load_table(spark, sf_small, "events").limit(40)
+    envelope = events.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(F.struct("event_id", "value")).alias("value"),
+    )
+    src_dir = str(tmp_path / "bp_in")
+    envelope.repartition(8).write.mode("overwrite").json(src_dir)
+
+    stream = sp.file_json_source(spark, src_dir, max_files_per_trigger=2)
+    batch_sizes: list[int] = []
+    seen_keys: list[str] = []
+
+    def _collect(batch_df, _batch_id):
+        rows = batch_df.collect()
+        batch_sizes.append(len(rows))
+        seen_keys.extend(r.key for r in rows)
+
+    writer = stream.writeStream.foreachBatch(_collect).option(
+        "checkpointLocation", str(tmp_path / "bp_ckpt")
+    )
+    sp.run_to_completion(writer)
+
+    sizes = [s for s in batch_sizes if s > 0]
+    assert sum(sizes) == 40
+    assert len(seen_keys) == len(set(seen_keys)) == 40
+    assert len(sizes) >= 4, sizes  # the backlog drained in bounded bites
+    assert max(sizes) <= 10, sizes  # 2 files/trigger × ≤5 rows/file
