@@ -193,9 +193,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (columnar parquet scan — pushdown
     and pruning reach the scan; see plans.checks).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read nanos as long and floor-truncate
-    to microsecond timestamps (identical to DuckDB's ns→us handling).
+    ``events.ts`` has shipped as either parquet TIMESTAMP(MICROS)
+    (reads natively) or TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; for the latter we read nanos as long and
+    floor-truncate to microsecond timestamps (identical to DuckDB's
+    ns→us handling). Handle both so a testdata regeneration can't
+    break every events query.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; one of {TESTDATA_TABLES}")
@@ -215,8 +218,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             else:
                 spark.conf.set(key, prev)
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):  # nanos-era file
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
