@@ -46,20 +46,26 @@ def main() -> None:
     registry = entry_mod.queries()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = registry.get(name)
         if fn is None:
             continue
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
-        best = float("inf")
-        for _ in range(3):  # min-of-3: shields against box-load noise
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
-        total += best
+        # Per-query failure isolation: one broken query must not abort
+        # the run — r3 lost ALL numbers to a single AnalysisException.
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
+            best = float("inf")
+            for _ in range(3):  # min-of-3: shields against box-load noise
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            timings[name] = round(best, 3)
+            total += best
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     payload = {
         "metric": "headline_suite_seconds",
@@ -68,6 +74,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        payload["errors"] = errors
 
     # regression guard: compare per-query against the earliest recorded
     # round bench (same sf) and flag anything >1.3x slower — surfaces

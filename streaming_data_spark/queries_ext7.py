@@ -117,7 +117,7 @@ def _profile_sql() -> str:
     parts = [
         f"""
 SELECT '{c}' AS column_name,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT {c}) AS n_distinct,
        round(min({c}::DOUBLE), 6) AS min_val,
        round(max({c}::DOUBLE), 6) AS max_val

@@ -183,7 +183,7 @@ WITH base AS (
   SELECT min(doc_id) AS doc_id
   FROM scored GROUP BY sha256(text)
 )
-SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(q), 4) AS avg_quality
 FROM scored
 WHERE doc_id IN (SELECT doc_id FROM survivors)

@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -193,12 +194,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (columnar parquet scan — pushdown
     and pruning reach the scan; see plans.checks).
 
-    ``events.ts`` has shipped as either parquet TIMESTAMP(MICROS)
-    (reads natively) or TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; for the latter we read nanos as long and
-    floor-truncate to microsecond timestamps (identical to DuckDB's
-    ns→us handling). Handle both so a testdata regeneration can't
-    break every events query.
+    ``events.ts`` has shipped as either timezone-less parquet
+    TIMESTAMP(MICROS) — which Spark loads as TIMESTAMP_NTZ, rejected
+    by ``unix_micros``/``unix_millis``/window range frames — or
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    outright. Normalize both eras to TimestampType: NTZ is cast under
+    the session's pinned UTC timezone (value-preserving); nanos are
+    read as long and floor-truncated to microseconds (identical to
+    DuckDB's ns→us handling). The declared EVENTS schema (ts:
+    TimestampType) is the contract; tests/test_schemas.py guards it
+    against the next testdata regeneration.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; one of {TESTDATA_TABLES}")
@@ -218,10 +223,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             else:
                 spark.conf.set(key, prev)
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
 
-        if isinstance(df.schema["ts"].dataType, LongType):  # nanos-era file
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):  # nanos-era file
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):  # micros-era, tz-less
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

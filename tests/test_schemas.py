@@ -1,0 +1,47 @@
+"""Testdata dtype-drift guard.
+
+Round 3 proved a driver testdata regeneration can silently flip
+events.ts between parquet TIMESTAMP(NANOS) (→ long under the legacy
+conf), timezone-less TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ), and proper
+TIMESTAMP — and each flip broke every downstream events query
+(unix_micros, window range frames, sessionization) plus the whole
+bench run. These tests pin load_table's OUTPUT contract to the
+declared EVENTS schema so the next regeneration fails here, loudly,
+instead of as five cascading query errors.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
+
+from streaming_data_spark import schemas
+
+
+@pytest.mark.parametrize("fixture_name", ["sf_small", "sf_oracle"])
+def test_events_ts_is_timestamp(spark, fixture_name, request):
+    sf_dir = request.getfixturevalue(fixture_name)
+    df = schemas.load_table(spark, sf_dir, "events")
+    assert df.schema["ts"].dataType == TimestampType(), (
+        "events.ts must normalize to TIMESTAMP regardless of the parquet "
+        f"era the driver shipped; got {df.schema['ts'].dataType}"
+    )
+
+
+def test_events_full_schema_matches_declared(spark, sf_small):
+    df = schemas.load_table(spark, sf_small, "events")
+    declared = {f.name: f.dataType for f in schemas.EVENTS.fields}
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    assert actual == declared
+
+
+def test_events_ts_usable_by_micros_functions(spark, sf_small):
+    # The exact expression class that broke in r3: unix_micros requires
+    # TIMESTAMP (not TIMESTAMP_NTZ). One row is enough — this is an
+    # analysis-time check, not a data check.
+    df = schemas.load_table(spark, sf_small, "events")
+    row = df.select(
+        F.unix_micros("ts").alias("us"), F.unix_millis("ts").alias("ms")
+    ).first()
+    assert row.us is not None and row.ms == row.us // 1000
