@@ -112,6 +112,7 @@ def cosine_near_dup(
     vec_col: str = "embedding",
     threshold: float = 0.8,
     n_planes: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """[EXT X1/X2] Embedding-cosine near-duplicate pairs: (id_a, id_b,
     cosine) for every unordered pair with cosine >= threshold.
@@ -124,6 +125,15 @@ def cosine_near_dup(
     sum(bucket_size^2) instead of n^2. At 100 TB the bucketed corpus
     is written once partitioned by bucket and the pair scan is
     embarrassingly parallel per bucket.
+
+    ``bucket_cap`` (scale knob, analog of ``hot_shingle_cap``) bounds
+    the quadratic term per bucket: a bucket holding more than cap
+    members is deterministically truncated to its cap smallest ids
+    before the matmul, so one mega-bucket (a dense near-identical
+    cluster, or a degenerate hyperplane split) can't own an O(m²)
+    straggler task at 100×. Capped output is always a SUBSET of the
+    uncapped output (only pairs are dropped, surviving cosines are
+    identical) — property-tested in tests/test_ext_operators.py.
     """
     # Normalize ONCE per vector (one corpus pass) so the pairwise step
     # is a single dot fold instead of dot + two norms — 3× less per-pair
@@ -202,6 +212,10 @@ def cosine_near_dup(
         import numpy as np
         import pandas as pd
 
+        if bucket_cap is not None and len(pdf) > bucket_cap:
+            # shuffle delivery order is nondeterministic — sort by id
+            # so the kept subset (and thus the output) is deterministic
+            pdf = pdf.sort_values("_id").iloc[:bucket_cap]
         mat = np.stack(pdf["_u"].to_numpy())
         ids = pdf["_id"].to_numpy()
         is_home = (pdf["home"] == pdf["bucket"]).to_numpy()

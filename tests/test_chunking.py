@@ -96,3 +96,39 @@ def test_connected_components_transitive_chain(spark):
 def test_connected_components_empty(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components(edges).count() == 0
+
+
+def test_star_cc_matches_label_prop(spark):
+    """large-star/small-star must produce the identical (id, min-label)
+    output as label propagation on a mixed graph: chain + island +
+    star-shaped component."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 25), (20, 22), (20, 27)],
+        "id_a long, id_b long",
+    )
+    lp = {(r.id, r.cluster_id) for r in dedup.connected_components(edges).collect()}
+    star = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components_star(edges).collect()
+    }
+    assert star == lp
+
+
+def test_star_cc_high_diameter_chain(spark):
+    """A 120-node chain has diameter 120: label propagation's
+    iteration bound (max_iter) is diameter-many rounds, while star
+    contraction converges in O(log² n) — this chain must finish well
+    inside max_iter=30 and label everything with the chain minimum."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components_star(edges).collect()
+    }
+    assert got == {(i, 0) for i in range(121)}
+
+
+def test_star_cc_empty(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components_star(edges).count() == 0

@@ -120,6 +120,67 @@ def test_cosine_near_dup_lsh_subset_and_recall(spark, sf_oracle):
     assert recall >= 0.25, f"LSH near-dup recall collapsed: {recall:.2f}"
 
 
+def test_cosine_near_dup_bucket_cap_subset(spark, sf_oracle):
+    """bucket_cap output must be a subset of the uncapped blocked
+    output with identical cosines for surviving pairs — the cap only
+    drops pairs (bounds the per-bucket O(m²) straggler at scale),
+    never invents or perturbs them."""
+    from streaming_data_spark.queries_ext4 import NEAR_DUP_THRESHOLD
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    uncapped = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_near_dup(
+            emb, threshold=NEAR_DUP_THRESHOLD, n_planes=4
+        ).collect()
+    }
+    # cap small enough to actually truncate buckets at sf0.01
+    # (500 vectors over 2^4 home buckets ≈ 31/bucket before probing)
+    capped = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_near_dup(
+            emb, threshold=NEAR_DUP_THRESHOLD, n_planes=4, bucket_cap=20
+        ).collect()
+    }
+    extra = set(capped) - set(uncapped)
+    assert not extra, f"capped path produced pairs uncapped path lacks: {extra}"
+    for pair in capped:
+        assert capped[pair] == uncapped[pair]
+    # determinism: same cap, same subset
+    rerun = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_near_dup(
+            emb, threshold=NEAR_DUP_THRESHOLD, n_planes=4, bucket_cap=20
+        ).collect()
+    }
+    assert rerun == set(capped)
+
+
+def test_minhash_native_hash_tier(spark, sf_oracle):
+    """base_hash='native' (xxhash64, no SQL oracle) must preserve the
+    hash-agnostic invariant: exact-duplicate documents have identical
+    shingle sets, hence identical signatures under ANY base hash, and
+    always pair at est_jaccard 1.0."""
+    docs = load_table(spark, sf_oracle, "documents").limit(200)
+    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").union(dup)
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(
+            corpus, "doc_id", "text", base_hash="native"
+        ).collect()
+    }
+    planted = {
+        (r.doc_id, r.doc_id + 1_000_000) for r in docs.select("doc_id").collect()
+    }
+    # docs with <3 tokens have no signature and can't pair — found is
+    # the planted subset that does
+    found = {p for p in planted if p in pairs}
+    assert found, "native tier found none of the planted exact duplicates"
+    for p in found:
+        assert pairs[p] == 1.0
+
+
 def test_ivf_topk_within_cell_matches_exact_on_cell(spark, sf_oracle):
     """IVF with one probe returns the exact top-k restricted to the
     query's cell — ranks are consistent and cosines match cosine_topk
