@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext9 import EXT9_QUERIES
     from streaming_data_spark.queries_ext10 import EXT10_QUERIES
     from streaming_data_spark.queries_ext11 import EXT11_QUERIES
+    from streaming_data_spark.queries_ext12 import EXT12_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-4 rotation: the 23
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_profile_customer": EXT7_QUERIES["a12_profile_customer"],
         "x12_clean_corpus": EXT8_QUERIES["x12_clean_corpus"],
         **CORE_QUERIES,
+        **EXT12_QUERIES,
         **EXT_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
@@ -83,6 +85,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext9 import EXT9_ORACLES
     from streaming_data_spark.queries_ext10 import EXT10_ORACLES
     from streaming_data_spark.queries_ext11 import EXT11_ORACLES
+    from streaming_data_spark.queries_ext12 import EXT12_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -91,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT4_ORACLES,
         **EXT5_ORACLES,
         **CORE_ORACLES,
+        **EXT12_ORACLES,
         **EXT_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,

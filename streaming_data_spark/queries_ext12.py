@@ -1,0 +1,295 @@
+"""Twelfth query wave — corpus-hygiene operators for training pipelines.
+
+Three operators every large-scale text-curation pipeline runs that the
+earlier waves don't cover:
+
+- x21: MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+  SIGMOD'03 — public algorithm) + shared-fingerprint pairs. Unlike
+  whole-document Jaccard (x2), winnowing detects PARTIAL overlap —
+  a document that embeds a chunk of another — because fingerprints
+  are selected locally (min hash of each sliding window of k-gram
+  hashes), so any sufficiently long shared substring is guaranteed to
+  contribute at least one shared fingerprint.
+- x22: Gopher-style repetition metrics (Rae et al. 2021, §A1.1 —
+  public heuristics): fraction of the document owned by its most
+  frequent token and most frequent word bigram. High values flag
+  degenerate/boilerplate docs that dedup misses (they're unique, just
+  internally repetitive).
+- x23: PII scrubbing: email/phone redaction with per-source audit
+  counts. The synthetic corpus has no natural PII, so the query
+  plants deterministic contact strings derived from (doc_id, source)
+  and then proves the scrubber removes them (residual counts are part
+  of the output and must be zero).
+
+Scale notes: x21 is the same bounded equi-join shape as the shingle
+join (pairs only materialize through shared fingerprints; winnowing
+keeps ~1/w of the k-gram hashes, so the join input is w× smaller than
+x2's); x22 is two explode+groupBy passes with map-side combine; x23
+is a pure row-local projection + one groupBy on source. No all-pairs
+path anywhere.
+
+All hashing is the portable 28-bit md5 idiom (dedup._base_hash), so
+every query has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_spark.queries import _t
+
+# --------------------------------------------------------------------------
+# X21 — winnowing fingerprint overlap
+# --------------------------------------------------------------------------
+
+_NGRAM = 3          # word k-grams hashed
+_WINNOW_W = 4       # window of consecutive k-gram hashes; keep each window min
+_MIN_SHARED = 2     # report pairs sharing at least this many fingerprints
+
+
+def _gram_strings(n: int) -> F.Column:
+    """Ordered (non-distinct) word n-gram strings over ``_sds_toks``."""
+    toks = F.col("_sds_toks")
+    m = F.size(toks) - n + 1
+    parts = [F.slice(toks, j + 1, m) for j in range(n)]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = F.zip_with(joined, p, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(F.size(toks) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def q_x21_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document pairs by shared winnowing fingerprints.
+
+    Per doc: word 3-gram hash sequence (ordered — winnowing is
+    position-sensitive), then the min hash of each sliding window of
+    4, deduplicated into the doc's fingerprint set. Docs with 1..3
+    hashes keep their global min (standard winnowing short-doc rule);
+    docs with no 3-grams have no fingerprints. Pairs sharing >=
+    _MIN_SHARED fingerprints, ordered (n_shared desc, id_a, id_b) for
+    a deterministic limit.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.withColumn(
+        "_sds_toks", F.split(F.trim(F.col("text")), r"\s+")
+    ).withColumn(
+        "_h",
+        F.transform(
+            _gram_strings(_NGRAM),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+        ),
+    )
+    nh = F.size("_h")
+    fps = (
+        F.when(
+            nh >= _WINNOW_W,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), nh - (_WINNOW_W - 1)),
+                    lambda i: F.array_min(F.slice(F.col("_h"), i, _WINNOW_W)),
+                )
+            ),
+        )
+        .when(nh >= 1, F.array(F.array_min("_h")))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    fp = df.select("doc_id", F.explode(fps).alias("fp"))
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+        .orderBy(F.desc("n_shared"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+SQL_X21 = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), hs AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_NGRAM} THEN
+           list_transform(range(1, len(t) - 1),
+             i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 7))::BIGINT)
+         ELSE [] END AS h
+  FROM toks
+), fps AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(h) >= {_WINNOW_W} THEN
+           list_transform(range(1, len(h) - {_WINNOW_W - 2}),
+                          i -> list_min(h[i:i+{_WINNOW_W - 1}]))
+         WHEN len(h) >= 1 THEN [list_min(h)]
+         ELSE [] END)) AS fp
+  FROM hs
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared FROM shared
+WHERE n_shared >= {_MIN_SHARED}
+ORDER BY n_shared DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# X22 — repetition metrics (Gopher-style quality heuristics)
+# --------------------------------------------------------------------------
+
+
+def q_x22_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most internally-repetitive documents: fraction of tokens
+    owned by the most frequent token / most frequent bigram. Ordered
+    by (rounded bigram fraction desc, doc_id) so the limit is
+    deterministic and engine-agnostic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    tok_top = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok"), F.sum("c").alias("n_tok"))
+    )
+    bgs = docs.withColumn(
+        "_sds_toks", F.split(F.trim(F.col("text")), r"\s+")
+    ).select("doc_id", F.explode(_gram_strings(2)).alias("bg"))
+    bg_top = (
+        bgs.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    return (
+        tok_top.join(bg_top, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("top_tok") / F.col("n_tok"), 6).alias("top_token_frac"),
+            F.round(F.col("top_bg") / F.col("n_bg"), 6).alias("top_bigram_frac"),
+        )
+        .orderBy(F.desc("top_bigram_frac"), "doc_id")
+        .limit(20)
+    )
+
+
+SQL_X22 = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+), tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), tok_top AS (
+  SELECT doc_id, max(c) AS top_tok, sum(c) AS n_tok FROM tok_counts GROUP BY 1
+), t2 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), bgs AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM t2
+), bg_counts AS (
+  SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY 1, 2
+), bg_top AS (
+  SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bg_counts GROUP BY 1
+)
+SELECT t.doc_id,
+       round(t.top_tok * 1.0 / t.n_tok, 6) AS top_token_frac,
+       round(b.top_bg * 1.0 / b.n_bg, 6) AS top_bigram_frac
+FROM tok_top t JOIN bg_top b ON t.doc_id = b.doc_id
+ORDER BY top_bigram_frac DESC, t.doc_id
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# X23 — PII scrub with audit counts
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def q_x23_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII-redaction audit. The corpus has no natural PII,
+    so each doc gets a deterministic planted contact line (email +
+    phone derived from doc_id/source); the scrubber replaces both with
+    typed placeholder tags. Output per source: doc count, redaction
+    counts, RESIDUAL counts after scrubbing (must be 0 — the proof the
+    scrubber caught everything), and a content fingerprint of the
+    scrubbed text (min md5) so the oracle verifies the scrubbed BYTES,
+    not just the counts."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com or +1-555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(planted, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    rows = docs.select(
+        "source",
+        F.regexp_count(planted, F.lit(_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(planted, F.lit(_PHONE_RE)).alias("n_phone"),
+        (
+            F.regexp_count(scrubbed, F.lit(_EMAIL_RE))
+            + F.regexp_count(scrubbed, F.lit(_PHONE_RE))
+        ).alias("n_residual"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )
+    return rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails_redacted"),
+        F.sum("n_phone").alias("phones_redacted"),
+        F.sum("n_residual").alias("residual_pii"),
+        F.min("scrub_md5").alias("scrub_fp"),
+    )
+
+
+SQL_X23 = rf"""
+WITH planted AS (
+  SELECT source,
+         text || ' contact user' || doc_id::VARCHAR || '@' || source
+              || '.example.com or +1-555-'
+              || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') AS ptext
+  FROM documents
+), scrubbed AS (
+  SELECT source, ptext,
+         regexp_replace(regexp_replace(ptext, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS stext
+  FROM planted
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(ptext, '{_EMAIL_RE}'))) AS BIGINT) AS emails_redacted,
+       CAST(sum(len(regexp_extract_all(ptext, '{_PHONE_RE}'))) AS BIGINT) AS phones_redacted,
+       CAST(sum(len(regexp_extract_all(stext, '{_EMAIL_RE}'))
+              + len(regexp_extract_all(stext, '{_PHONE_RE}'))) AS BIGINT) AS residual_pii,
+       min(md5(stext)) AS scrub_fp
+FROM scrubbed
+GROUP BY source
+"""
+
+
+EXT12_QUERIES = {
+    "x21_winnow_overlap": q_x21_winnow_overlap,
+    "x22_repetition": q_x22_repetition,
+    "x23_pii_scrub": q_x23_pii_scrub,
+}
+
+EXT12_ORACLES = {
+    "x21_winnow_overlap": SQL_X21,
+    "x22_repetition": SQL_X22,
+    "x23_pii_scrub": SQL_X23,
+}
