@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext10 import EXT10_QUERIES
     from streaming_data_spark.queries_ext11 import EXT11_QUERIES
     from streaming_data_spark.queries_ext12 import EXT12_QUERIES
+    from streaming_data_spark.queries_ext13 import EXT13_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-4 rotation: the 23
@@ -61,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_clean_corpus": EXT8_QUERIES["x12_clean_corpus"],
         **CORE_QUERIES,
         **EXT12_QUERIES,
+        **EXT13_QUERIES,
         **EXT_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
@@ -86,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext10 import EXT10_ORACLES
     from streaming_data_spark.queries_ext11 import EXT11_ORACLES
     from streaming_data_spark.queries_ext12 import EXT12_ORACLES
+    from streaming_data_spark.queries_ext13 import EXT13_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -95,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT5_ORACLES,
         **CORE_ORACLES,
         **EXT12_ORACLES,
+        **EXT13_ORACLES,
         **EXT_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,
