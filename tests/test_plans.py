@@ -238,3 +238,38 @@ def test_x19_stratified_sample_is_shuffle_free(spark, sf_small):
 
     df = q_x19_stratified_sample(spark, sf_small)
     assert plans.shuffle_count(df) == 0, plans.explain_str(df)
+
+
+def test_q9_star_join_fact_never_shuffles_before_agg(spark, sf_small):
+    """All three dims (part/supplier/nation) broadcast — the lineitem
+    fact's only exchange is the final (nation, year) rollup."""
+    from streaming_data_spark.queries_ext13 import q_q9_profit_by_nation_year
+
+    df = q_q9_profit_by_nation_year(spark, sf_small)
+    assert plans.has_broadcast_join(df)
+    assert plans.shuffle_count(df) == 1, plans.explain_str(df)
+    # the one-type filter prunes at the part scan, not post-join
+    assert any("p_type" in p for p in plans.pushed_filters(df))
+
+
+def test_q15_pushes_date_filter_and_broadcasts_scalar_max(spark, sf_small):
+    """The quarter filter reaches the lineitem scan; the max-revenue
+    comparison is a broadcast of ONE row, never a re-aggregation per
+    supplier row."""
+    from streaming_data_spark.queries_ext13 import q_q15_top_supplier
+
+    df = q_q15_top_supplier(spark, sf_small)
+    assert any("l_shipdate" in p for p in plans.pushed_filters(df))
+    assert plans.has_broadcast_join(df)
+
+
+def test_x21_winnow_join_is_equi_join(spark, sf_small):
+    """Winnowing pair discovery must go through the fingerprint
+    equi-join — a nested-loop/cartesian pair scan is the O(n^2) cliff
+    the fingerprints exist to avoid."""
+    from streaming_data_spark.queries_ext12 import q_x21_winnow_overlap
+
+    df = q_x21_winnow_overlap(spark, sf_small)
+    text = plans.explain_str(df, mode="simple")
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
