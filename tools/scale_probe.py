@@ -83,6 +83,11 @@ HEAVY = [
     # distinct-agg, shingle-join, and explode-heavy shapes
     "q6_forecast_revenue", "q19_disjunctive_revenue", "q16_supplier_cnt",
     "x16_decontaminate", "x17_tfidf_terms",
+    # round-4 additions: star-join rollup, outer-join histogram,
+    # double-scan share filter, winnowing fp join, regex-heavy scrub
+    "q9_profit_by_nation_year", "q13_order_count_distribution",
+    "q11_heavy_parts", "x21_winnow_overlap", "x22_repetition",
+    "x23_pii_scrub",
 ]
 
 
