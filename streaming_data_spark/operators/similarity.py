@@ -382,3 +382,42 @@ def signlsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine_raw", 6).alias("cosine"))
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[EXT X24] Symmetric per-vector int8 quantization:
+    (id, qvec array<int>, scale double) with v ≈ qvec * scale.
+
+    The standard ANN memory play at 100 TB: float32 embeddings shrink
+    4× (the dominant storage + shuffle cost of every similarity job),
+    and int8 dot products are what GPU/SIMD kernels want. Per-vector
+    symmetric scale = max(|v|)/127; quantized value is
+    floor(v/scale + 0.5) — written EXACTLY that way (not round())
+    because round()'s half-case mode differs across engines, while
+    floor(x + 0.5) is the same deterministic half-up everywhere, so
+    the DuckDB oracle matches bit-for-bit. Zero vectors get scale 0
+    and all-zero codes (guarded divide). Row-local, shuffle-free.
+
+    Reconstruction error is bounded by scale/2 per element
+    (property-tested in tests/test_ext_operators.py).
+    """
+    vmax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    base = df.withColumn("_sds_scale", vmax / F.lit(127.0))
+    safe = F.when(F.col("_sds_scale") > 0, F.col("_sds_scale")).otherwise(F.lit(1.0))
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") / safe + F.lit(0.5)).cast("int"),
+    )
+    return base.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        F.col("_sds_scale").alias("scale"),
+    )

@@ -282,14 +282,88 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# X24 — int8 embedding quantization, reconstruction-error audit
+# --------------------------------------------------------------------------
+
+
+def q_x24_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label reconstruction-error audit of symmetric int8
+    quantization (similarity.quantize_int8): mean/worst per-vector max
+    absolute error and mean L2 error. The acceptance gate a pipeline
+    runs before swapping its ANN index to quantized codes — at 100 TB
+    the 4× storage/shuffle cut is only safe if this audit's error
+    bounds hold corpus-wide, not on a sample.
+    """
+    from streaming_data_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = similarity.quantize_int8(emb, "vec_id", "embedding")
+    joined = emb.join(codes, "vec_id")
+    deq_err = F.zip_with(
+        "embedding",
+        "qvec",
+        lambda x, y: F.abs(x.cast("double") - y.cast("double") * F.col("scale")),
+    )
+    per_vec = joined.select(
+        "label",
+        F.array_max(deq_err).alias("max_err"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(deq_err, lambda e: e * e),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("l2_err"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("max_err"), 6).alias("mean_max_err"),
+        F.round(F.max("max_err"), 6).alias("worst_err"),
+        F.round(F.avg("l2_err"), 6).alias("mean_l2_err"),
+    )
+
+
+SQL_X24 = r"""
+WITH scaled AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+), codes AS (
+  SELECT vec_id, label, embedding, scale,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE)
+                           / (CASE WHEN scale > 0 THEN scale ELSE 1.0 END)
+                           + 0.5) AS INT)) AS qvec
+  FROM scaled
+), err AS (
+  SELECT label,
+         list_max(list_transform(range(1, len(embedding) + 1),
+           i -> abs(CAST(embedding[i] AS DOUBLE) - qvec[i] * scale))) AS max_err,
+         sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+           i -> pow(CAST(embedding[i] AS DOUBLE) - qvec[i] * scale, 2)))) AS l2_err
+  FROM codes
+)
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(max_err), 6) AS mean_max_err,
+       round(max(max_err), 6) AS worst_err,
+       round(avg(l2_err), 6) AS mean_l2_err
+FROM err
+GROUP BY label
+"""
+
+
 EXT12_QUERIES = {
     "x21_winnow_overlap": q_x21_winnow_overlap,
     "x22_repetition": q_x22_repetition,
     "x23_pii_scrub": q_x23_pii_scrub,
+    "x24_quantize_error": q_x24_quantize_error,
 }
 
 EXT12_ORACLES = {
     "x21_winnow_overlap": SQL_X21,
     "x22_repetition": SQL_X22,
     "x23_pii_scrub": SQL_X23,
+    "x24_quantize_error": SQL_X24,
 }

@@ -304,3 +304,27 @@ def test_keyset_pagination_two_page_protocol(spark, sf_oracle):
     walk = [(r.o_orderkey, r.o_orderdate) for r in page1 + page2]
     want = [(r.o_orderkey, r.o_orderdate) for r in first200]
     assert walk == want
+
+
+def test_quantize_int8_error_bound_and_zero_vector(spark):
+    """Element-wise reconstruction error must be <= scale/2 (the
+    half-step bound symmetric quantization guarantees), codes must
+    stay in [-127, 127], and the all-zero vector must quantize to
+    all-zero codes with scale 0 instead of dividing by zero."""
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.127]),
+        (2, [3.0, 2.999, -3.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, [1e-5, -1e-5, 5e-6, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.quantize_int8(df).collect()}
+    src = {i: v for i, v in rows}
+    for vid, r in out.items():
+        assert all(-127 <= q <= 127 for q in r.qvec), r
+        if vid == 3:
+            assert r.scale == 0.0 and all(q == 0 for q in r.qvec)
+            continue
+        bound = r.scale / 2 * (1 + 1e-9)
+        for orig, q in zip(src[vid], r.qvec):
+            assert abs(orig - q * r.scale) <= bound, (vid, orig, q, r.scale)
