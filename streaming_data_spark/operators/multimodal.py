@@ -8,17 +8,20 @@ is: binary stays columnar in parquet, decode parallelizes per
 partition, and the expensive step sees whole batches.
 
 Decoder tiers:
-- ``decoder="ppm"`` — a REAL kernel, pure numpy: decodes binary PPM
-  (P6) images, bilinear-resizes, re-encodes, and extracts real
+- ``decoder="ppm"`` — a REAL image kernel, pure numpy: decodes binary
+  PPM (P6) images, bilinear-resizes, re-encodes, and extracts real
   channel-statistics features. No media lib needed; real bytes in,
   real resized bytes out.
+- ``decoder="wav"`` — a REAL audio kernel, stdlib struct + numpy:
+  parses RIFF/WAVE PCM (8/16-bit, mono/stereo), linear-resamples, and
+  extracts real RMS / zero-crossing / frame-energy-profile features.
 - ``decoder="fake"`` — deterministic bytes-derived stand-in (sha256
-  plumbing test double for payloads that aren't PPM).
-- ``decoder="pil"``/"librosa" — the production upgrade for compressed
-  formats (JPEG/PNG/audio); those libs are absent from this container,
-  so these raise NotImplementedError naming the dependency. The
-  Spark-side contract — schemas, batch shapes, UDF signatures,
-  partition behavior — is identical across all three tiers.
+  plumbing test double for payloads in neither real format).
+- ``decoder="pil"``/"librosa" — the production upgrade for COMPRESSED
+  formats (JPEG/PNG/MP3/OGG); those libs are absent from this
+  container, so these raise NotImplementedError naming the dependency.
+  The Spark-side contract — schemas, batch shapes, UDF signatures,
+  partition behavior — is identical across all tiers.
 """
 
 from __future__ import annotations
@@ -154,8 +157,104 @@ def _make_ppm_fns():
     return decode, encode, resize, features
 
 
+def _make_wav_fns():
+    """Pure numpy+struct WAV (RIFF/PCM) kernels: decode, encode,
+    linear resample, audio features. Same nested-closure shipping rule
+    as :func:`_make_ppm_fns` — workers get these by value.
+    """
+    import struct
+
+    import numpy as np
+
+    def decode(payload: bytes):
+        """RIFF/WAVE PCM bytes -> (samples float64 in [-1,1] shaped
+        (n_frames, n_channels), sample_rate). PCM 8/16-bit only; walks
+        chunks word-aligned per the RIFF spec."""
+        if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        fmt = data = None
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+            body = payload[i + 8 : i + 8 + sz]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            i += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_format, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+        bits = struct.unpack_from("<H", fmt, 14)[0]
+        if audio_format != 1:
+            raise ValueError("only uncompressed PCM supported")
+        if bits == 16:
+            a = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 8:
+            a = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+        n = len(a) // n_ch
+        return a[: n * n_ch].reshape(n, n_ch), rate
+
+    def encode(samples, rate: int) -> bytes:
+        """float samples in [-1,1] (1-D mono or (n, ch)) -> 16-bit PCM
+        WAV bytes."""
+        a = np.asarray(samples, dtype=np.float64)
+        if a.ndim == 1:
+            a = a[:, None]
+        pcm = np.clip(np.rint(a * 32767.0), -32768, 32767).astype("<i2")
+        n_ch = pcm.shape[1]
+        data = pcm.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def resample(samples, src_rate: int, dst_rate: int):
+        """Linear-interpolation resample per channel (the audio analog
+        of bilinear image resize; center-aligned sample positions)."""
+        src = np.asarray(samples, dtype=np.float64)
+        if src.ndim == 1:
+            src = src[:, None]
+        n_src = src.shape[0]
+        n_dst = max(1, int(round(n_src * dst_rate / src_rate)))
+        xs = np.clip((np.arange(n_dst) + 0.5) * n_src / n_dst - 0.5, 0, n_src - 1)
+        x0 = np.floor(xs).astype(int)
+        x1 = np.minimum(x0 + 1, n_src - 1)
+        w = (xs - x0)[:, None]
+        return src[x0] * (1 - w) + src[x1] * w
+
+    def features(samples, rate: int, dim: int):
+        """Real audio features: RMS, zero-crossing rate, peak, mean
+        (4 scalars) + a (dim-4)-frame energy profile (RMS per equal
+        frame, peak-normalized)."""
+        a = np.asarray(samples, dtype=np.float64)
+        mono = a.mean(axis=1) if a.ndim == 2 else a
+        if mono.size == 0:
+            return [0.0] * dim
+        rms = float(np.sqrt(np.mean(mono**2)))
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+        peak = float(np.max(np.abs(mono)))
+        mean = float(np.mean(mono))
+        n_frames = dim - 4
+        edges = np.linspace(0, mono.size, n_frames + 1).astype(int)
+        prof = [
+            float(np.sqrt(np.mean(mono[s:e] ** 2))) if e > s else 0.0
+            for s, e in zip(edges[:-1], edges[1:])
+        ]
+        top = max(prof) or 1.0
+        return [rms, zcr, peak, mean] + [p / top for p in prof]
+
+    return decode, encode, resample, features
+
+
 # Driver-side aliases (tests, data generation). Worker closures call
-# _make_ppm_fns() themselves — never these module attributes.
+# _make_ppm_fns() / _make_wav_fns() themselves — never these module
+# attributes.
 def encode_ppm(img) -> bytes:
     return _make_ppm_fns()[1](img)
 
@@ -166,6 +265,18 @@ def decode_ppm(payload: bytes):
 
 def resize_ppm_array(img, width: int, height: int):
     return _make_ppm_fns()[2](img, width, height)
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    return _make_wav_fns()[1](samples, rate)
+
+
+def decode_wav(payload: bytes):
+    return _make_wav_fns()[0](payload)
+
+
+def resample_wav_array(samples, src_rate: int, dst_rate: int):
+    return _make_wav_fns()[2](samples, src_rate, dst_rate)
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -182,18 +293,21 @@ def extract_features(
 ) -> DataFrame:
     """Decode/feature-extract via Arrow-batched mapInPandas.
 
-    ``decoder='ppm'`` → REAL decode (pure-numpy P6 parser) + real
-    channel-stat features. ``decoder='fake'`` → deterministic
-    bytes-derived vector. ``decoder='pil'|'librosa'`` →
-    NotImplementedError naming the missing dependency, raised on the
-    EXECUTOR at first batch — the plan itself always builds.
+    ``decoder='ppm'`` → REAL image decode (pure-numpy P6 parser) +
+    real channel-stat features. ``decoder='wav'`` → REAL audio decode
+    (stdlib-struct RIFF/PCM parser) + real RMS/ZCR/energy-profile
+    features. ``decoder='fake'`` → deterministic bytes-derived vector.
+    ``decoder='pil'|'librosa'`` → NotImplementedError naming the
+    missing dependency (compressed formats: JPEG/PNG/MP3/OGG), raised
+    on the EXECUTOR at first batch — the plan itself always builds.
     """
     import pandas as pd
 
     dim = FEATURE_DIM
-    # Factory runs on the DRIVER; the returned nested functions are
+    # Factories run on the DRIVER; the returned nested functions are
     # captured below and shipped by value with the closure.
     ppm_decode, _, _, ppm_features = _make_ppm_fns()
+    wav_decode, _, _, wav_features = _make_wav_fns()
 
     # NB: the closure must be fully self-contained (no references to
     # module-level symbols) — cloudpickle ships it by value, and the
@@ -207,17 +321,21 @@ def extract_features(
             raise NotImplementedError("image decode requires Pillow; not in this image")
         if decoder == "librosa":
             raise NotImplementedError("audio decode requires librosa; not in this image")
-        if decoder not in ("fake", "ppm"):
+        if decoder not in ("fake", "ppm", "wav"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
         def fake(payload: bytes | None) -> list[float]:
             digest = _hashlib.sha256(payload or b"").digest()
             return [digest[i % 32] / 255.0 for i in range(dim)]
 
-        def real(payload: bytes | None) -> list[float]:
+        def real_ppm(payload: bytes | None) -> list[float]:
             return ppm_features(ppm_decode(payload), dim)
 
-        feat = real if decoder == "ppm" else fake
+        def real_wav(payload: bytes | None) -> list[float]:
+            samples, rate = wav_decode(payload)
+            return wav_features(samples, rate, dim)
+
+        feat = {"ppm": real_ppm, "wav": real_wav}.get(decoder, fake)
         for batch in batches:
             yield pd.DataFrame({
                 "media_id": batch["media_id"],

@@ -136,3 +136,68 @@ def test_extract_features_real_ppm_decoder(spark, ppm_df):
     hist = f[6:]
     assert abs(sum(hist) - 1.0) < 1e-6
     assert max(hist) == 1.0  # single luminance value → one bin
+
+
+@pytest.fixture()
+def wav_df(spark):
+    """Two real PCM WAV payloads: a 440 Hz mono sine at 8 kHz and a
+    constant-silence stereo clip."""
+    import numpy as np
+
+    t = np.arange(800) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    silence = np.zeros((400, 2))
+    rows = [
+        Row(media_id=20, kind="audio", content=mm.encode_wav(sine, 8000),
+            meta=Row(mime="audio/wav", width=None, height=None,
+                     duration_ms=100, n_bytes=None)),
+        Row(media_id=21, kind="audio", content=mm.encode_wav(silence, 8000),
+            meta=Row(mime="audio/wav", width=None, height=None,
+                     duration_ms=50, n_bytes=None)),
+    ]
+    return spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+
+
+def test_wav_codec_roundtrip():
+    """encode → decode recovers samples to 16-bit precision, for both
+    mono and stereo, and preserves the sample rate."""
+    import numpy as np
+
+    # encode scales by 32767, decode divides by 32768 (the standard
+    # asymmetric PCM convention): worst-case roundtrip error is
+    # |x|/32768 (scale mismatch) + 0.5/32768 (rounding) < 1/16384
+    bound = 1.0 / 16384
+    mono = np.linspace(-1.0, 1.0, 101)
+    got, rate = mm.decode_wav(mm.encode_wav(mono, 44100))
+    assert rate == 44100 and got.shape == (101, 1)
+    assert np.max(np.abs(got[:, 0] - mono)) <= bound
+
+    stereo = np.stack([np.sin(np.arange(50) / 5.0), np.cos(np.arange(50) / 5.0)], axis=1)
+    got2, rate2 = mm.decode_wav(mm.encode_wav(stereo, 16000))
+    assert rate2 == 16000 and got2.shape == (50, 2)
+    assert np.max(np.abs(got2 - stereo)) <= bound
+
+
+def test_wav_resample_length_and_constant_invariance():
+    import numpy as np
+
+    const = np.full(1000, 0.25)
+    down = mm.resample_wav_array(const, 8000, 2000)
+    assert down.shape[0] == 250
+    assert np.allclose(down, 0.25)
+
+
+def test_extract_features_real_wav_decoder(spark, wav_df):
+    """Real audio feature math: the sine clip has RMS ~0.5/sqrt(2) and
+    a flat energy profile; silence is all-zero features."""
+    feats = {r.media_id: r.features for r in
+             mm.extract_features(wav_df, decoder="wav").collect()}
+    sine = feats[20]
+    assert len(sine) == mm.FEATURE_DIM
+    assert abs(sine[0] - 0.5 / 2 ** 0.5) < 0.01   # RMS
+    assert sine[2] > 0.49                          # peak ~0.5
+    prof = sine[4:]
+    assert min(prof) > 0.9                         # steady tone → flat profile
+    silence = feats[21]
+    assert silence[0] == 0.0 and silence[2] == 0.0
+    assert all(p == 0.0 for p in silence[4:])
