@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from streaming_data_spark.operators import multimodal as mm
 
@@ -201,3 +202,35 @@ def test_extract_features_real_wav_decoder(spark, wav_df):
     silence = feats[21]
     assert silence[0] == 0.0 and silence[2] == 0.0
     assert all(p == 0.0 for p in silence[4:])
+
+
+def test_split_video_frames_real_ppmv(spark):
+    """A concatenated-PPM video payload splits into standalone P6
+    frames; every_n sampling keeps exactly frames 0, n, 2n... and each
+    emitted frame decodes back to its original pixels."""
+    import numpy as np
+
+    frames = [np.full((2, 3, 3), 10 * i, dtype=np.uint8) for i in range(5)]
+    payload = b"".join(mm.encode_ppm(f) for f in frames)
+    rows = [
+        Row(media_id=30, kind="video", content=payload,
+            meta=Row(mime="video/x-ppmv", width=3, height=2,
+                     duration_ms=5000, n_bytes=None)),
+        Row(media_id=31, kind="image", content=mm.encode_ppm(frames[0]),
+            meta=Row(mime="image/x-portable-pixmap", width=3, height=2,
+                     duration_ms=None, n_bytes=None)),
+    ]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+
+    out = mm.split_video_frames(df, every_n=2).collect()
+    assert {r.media_id for r in out} == {30}  # image rows filtered out
+    got = {r.frame_idx: bytes(r.content) for r in out}
+    assert sorted(got) == [0, 2, 4]
+    for idx, content in got.items():
+        assert np.array_equal(mm.decode_ppm(content), frames[idx])
+
+    # every_n=1 keeps all frames, and they chain into the ppm feature path
+    all_frames = mm.split_video_frames(df).withColumn("kind", F.lit("image"))
+    feats = mm.extract_features(all_frames, decoder="ppm").collect()
+    assert len(feats) == 5
+    assert all(len(r.features) == mm.FEATURE_DIM for r in feats)
