@@ -46,9 +46,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries whose only green rows are from the r1/r2 windows
     # (EXT2-EXT5 + x5_cosine/x6) move to the front, plus the two
     # queries whose oracle dtype was fixed this round (a12, x12) and
-    # CORE (re-verifies the NTZ-fix queries a4/f_dates_json). The
-    # r3-green waves (EXT6-EXT11, the LSH block) drop out of the
-    # window — every registry query then has a green row in r3∪r4.
+    # CORE (re-verifies the NTZ-fix queries a4/f_dates_json); EXT12
+    # (new this round) fills the window to exactly 50. The r3-green
+    # waves (EXT6-EXT11, the LSH block) drop out of the window —
+    # every registry query then has a green row in r3∪r4.
+    # Round-5 rotation note: EXT13 (q9/q11/q13/q15, new in r4) has
+    # never been driver-window-checked — front it next round along
+    # with any r4 reds.
     # Dicts preserve first-insert order, so the later full merges
     # de-duplicate without moving the early positions.
     return {
