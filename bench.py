@@ -69,13 +69,17 @@ def main() -> None:
 
     payload = {
         "metric": "headline_suite_seconds",
-        "value": round(total, 3),
+        # a suite total missing queries is NOT comparable across
+        # rounds (a failure would read as a phantom speedup) — report
+        # the sentinel and let per-query timings carry the signal
+        "value": round(total, 3) if not errors else -1.0,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
     if errors:
         payload["errors"] = errors
+        payload["suite_incomplete"] = True
 
     # regression guard: compare per-query against the earliest recorded
     # round bench (same sf) and flag anything >1.3x slower — surfaces

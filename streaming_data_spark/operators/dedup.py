@@ -147,7 +147,10 @@ def _base_hash(col: Column, variant: str = "md5") -> Column:
     at scale.
     """
     if variant == "native":
-        return F.abs(F.xxhash64(col)) % F.lit(1 << 28)
+        # pmod, not abs(...) % n: abs(Long.MIN_VALUE) is still negative
+        # under Java semantics, and % keeps the dividend's sign — a
+        # 2^-64 landmine that matters at trillions of shingles
+        return F.pmod(F.xxhash64(col), F.lit(1 << 28))
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
@@ -357,10 +360,18 @@ def connected_components_star(
     the per-round cost FALLS as contraction proceeds — the right
     trade for duplicate graphs whose shape you don't control.
     """
+    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    # every endpoint, INCLUDING nodes whose only edges are self-loops —
+    # label propagation keeps them (as singleton clusters), so this
+    # algorithm must too or switching algorithms loses rows
+    all_nodes = (
+        raw.select(F.col("s").alias("id"))
+        .union(raw.select(F.col("t").alias("id")))
+        .distinct()
+    )
     # canonical directed form: (big, small), no self-loops
     e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-        .filter(F.col("s") != F.col("t"))
+        raw.filter(F.col("s") != F.col("t"))
         .select(
             F.greatest("s", "t").alias("big"), F.least("s", "t").alias("small")
         )
@@ -368,7 +379,7 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     if e.isEmpty():
-        return e.select(F.col("big").alias("id"), F.col("small").alias("cluster_id"))
+        return all_nodes.withColumn("cluster_id", F.col("id"))
 
     for _ in range(max_iter):
         # ---- large-star ----
@@ -404,6 +415,11 @@ def connected_components_star(
     centers = e.select(F.col("small").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")
     )
-    return e.select(
+    labeled = e.select(
         F.col("big").alias("id"), F.col("small").alias("cluster_id")
     ).union(centers)
+    # self-loop-only nodes have no star edge; they are their own cluster
+    singletons = all_nodes.join(
+        labeled.select("id"), "id", "left_anti"
+    ).withColumn("cluster_id", F.col("id"))
+    return labeled.union(singletons)

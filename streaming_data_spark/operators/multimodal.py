@@ -98,16 +98,26 @@ def _make_ppm_fns():
             raise ValueError("not a binary PPM (P6) payload")
         toks: list[int] = []
         i = 2
+        # every scan position is bounds-checked: a truncated header
+        # must raise, not spin — one malformed row would otherwise
+        # hang its executor task forever
         while len(toks) < 3:
+            if i >= len(payload):
+                raise ValueError("truncated PPM header")
             c = payload[i : i + 1]
             if c == b"#":
-                i = payload.index(b"\n", i) + 1
+                nl = payload.find(b"\n", i)
+                if nl < 0:
+                    raise ValueError("truncated PPM header")
+                i = nl + 1
             elif c.isspace():
                 i += 1
             else:
                 j = i
-                while not payload[j : j + 1].isspace():
+                while j < len(payload) and not payload[j : j + 1].isspace():
                     j += 1
+                if j == len(payload):
+                    raise ValueError("truncated PPM header")
                 toks.append(int(payload[i:j]))
                 i = j
         i += 1  # single whitespace after maxval
@@ -221,6 +231,8 @@ def _make_wav_fns():
         if src.ndim == 1:
             src = src[:, None]
         n_src = src.shape[0]
+        if n_src == 0:  # empty data chunk: empty in, empty out
+            return src
         n_dst = max(1, int(round(n_src * dst_rate / src_rate)))
         xs = np.clip((np.arange(n_dst) + 0.5) * n_src / n_dst - 0.5, 0, n_src - 1)
         x0 = np.floor(xs).astype(int)
@@ -457,26 +469,41 @@ def split_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
         import pandas as pd
 
         def frame_extent(payload: bytes, off: int) -> tuple[int, int]:
-            """(body_start, next_offset) of the P6 frame at off."""
+            """(body_start, next_offset) of the P6 frame at off.
+            Bounds-checked: truncated headers/bodies raise instead of
+            spinning or silently emitting short frames."""
             if payload[off : off + 2] != b"P6":
                 raise ValueError(f"not a P6 frame at offset {off}")
             toks: list[int] = []
             i = off + 2
             while len(toks) < 3:
+                if i >= len(payload):
+                    raise ValueError(f"truncated P6 header at offset {off}")
                 c = payload[i : i + 1]
                 if c == b"#":
-                    i = payload.index(b"\n", i) + 1
+                    nl = payload.find(b"\n", i)
+                    if nl < 0:
+                        raise ValueError(f"truncated P6 header at offset {off}")
+                    i = nl + 1
                 elif c.isspace():
                     i += 1
                 else:
                     j = i
-                    while not payload[j : j + 1].isspace():
+                    while j < len(payload) and not payload[j : j + 1].isspace():
                         j += 1
+                    if j == len(payload):
+                        raise ValueError(f"truncated P6 header at offset {off}")
                     toks.append(int(payload[i:j]))
                     i = j
             i += 1  # single whitespace after maxval
             w, h, _ = toks
-            return i, i + w * h * 3
+            end = i + w * h * 3
+            if end > len(payload):
+                raise ValueError(
+                    f"truncated P6 frame body at offset {off}: "
+                    f"needs {end - off} bytes, {len(payload) - off} available"
+                )
+            return i, end
 
         for batch in batches:
             ids: list[int] = []

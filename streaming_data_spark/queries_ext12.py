@@ -46,6 +46,10 @@ from streaming_data_spark.queries import _t
 _NGRAM = 3          # word k-grams hashed
 _WINNOW_W = 4       # window of consecutive k-gram hashes; keep each window min
 _MIN_SHARED = 2     # report pairs sharing at least this many fingerprints
+_HOT_FP_CAP = 50    # fingerprints appearing in more docs are boilerplate:
+                    # dropped (stopword-style) in BOTH engines, so one hot
+                    # fingerprint can't own an O(m²) join task at 100×
+                    # (the hot_shingle_cap / bucket_cap analog)
 
 
 def _gram_strings(n: int) -> F.Column:
@@ -61,20 +65,21 @@ def _gram_strings(n: int) -> F.Column:
     )
 
 
-def q_x21_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 document pairs by shared winnowing fingerprints.
+def winnow_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fp) winnowing fingerprint rows — the shared kernel of
+    q_x21_winnow_overlap and its MOSS-guarantee property test (one
+    definition, so the test always exercises the shipped logic).
 
-    Per doc: word 3-gram hash sequence (ordered — winnowing is
+    Per doc: word _NGRAM-gram hash sequence (ordered — winnowing is
     position-sensitive), then the min hash of each sliding window of
-    4, deduplicated into the doc's fingerprint set. Docs with 1..3
-    hashes keep their global min (standard winnowing short-doc rule);
-    docs with no 3-grams have no fingerprints. Pairs sharing >=
-    _MIN_SHARED fingerprints, ordered (n_shared desc, id_a, id_b) for
-    a deterministic limit.
+    _WINNOW_W, deduplicated into the doc's fingerprint set. Docs with
+    1..W-1 hashes keep their global min (standard winnowing short-doc
+    rule); docs with no n-grams have no fingerprints.
     """
-    docs = _t(spark, sf_dir, "documents")
-    df = docs.withColumn(
-        "_sds_toks", F.split(F.trim(F.col("text")), r"\s+")
+    base = df.withColumn(
+        "_sds_toks", F.split(F.trim(F.col(text_col)), r"\s+")
     ).withColumn(
         "_h",
         F.transform(
@@ -96,7 +101,20 @@ def q_x21_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(nh >= 1, F.array(F.array_min("_h")))
         .otherwise(F.array().cast("array<long>"))
     )
-    fp = df.select("doc_id", F.explode(fps).alias("fp"))
+    return base.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def q_x21_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document pairs by shared winnowing fingerprints, with
+    hot fingerprints (doc frequency > _HOT_FP_CAP) dropped before the
+    pair join — identically in the SQL oracle — so boilerplate can't
+    blow up the equi-join. Pairs sharing >= _MIN_SHARED fingerprints,
+    ordered (n_shared desc, id_a, id_b) for a deterministic limit.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs)
+    hot = fp.groupBy("fp").count().filter(F.col("count") > _HOT_FP_CAP)
+    fp = fp.join(hot.select("fp"), "fp", "left_anti")
     a = fp.select(F.col("doc_id").alias("id_a"), "fp")
     b = fp.select(F.col("doc_id").alias("id_b"), "fp")
     return (
@@ -128,9 +146,13 @@ WITH toks AS (
          WHEN len(h) >= 1 THEN [list_min(h)]
          ELSE [] END)) AS fp
   FROM hs
+), cold AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_HOT_FP_CAP}
+), kept AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN cold USING (fp)
 ), shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, n_shared FROM shared

@@ -132,3 +132,18 @@ def test_star_cc_high_diameter_chain(spark):
 def test_star_cc_empty(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components_star(edges).count() == 0
+
+
+def test_star_cc_keeps_self_loop_only_nodes(spark):
+    """A node whose only edges are self-loops must appear as its own
+    singleton cluster — exactly as label propagation reports it — so
+    the two algorithms stay output-identical."""
+    edges = spark.createDataFrame(
+        [(5, 5), (2, 1), (7, 7)], "id_a long, id_b long"
+    )
+    lp = {(r.id, r.cluster_id) for r in dedup.connected_components(edges).collect()}
+    star = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components_star(edges).collect()
+    }
+    assert star == lp == {(5, 5), (7, 7), (1, 1), (2, 1)}

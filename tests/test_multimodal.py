@@ -234,3 +234,35 @@ def test_split_video_frames_real_ppmv(spark):
     feats = mm.extract_features(all_frames, decoder="ppm").collect()
     assert len(feats) == 5
     assert all(len(r.features) == mm.FEATURE_DIM for r in feats)
+
+
+def test_ppm_truncated_header_raises_not_hangs():
+    """A payload cut off mid-header must raise ValueError — the scan
+    loops are bounds-checked so one malformed row can't wedge an
+    executor task forever."""
+    for bad in (b"P6", b"P6\n", b"P6\n12", b"P6\n# comment with no newline",
+                b"P6\n3 2"):
+        with pytest.raises(ValueError):
+            mm.decode_ppm(bad)
+
+
+def test_split_video_frames_truncated_body_raises(spark):
+    """A PPMV payload cut off inside a frame body must raise, not
+    silently emit a short frame."""
+    import numpy as np
+
+    frame = np.full((2, 3, 3), 7, dtype=np.uint8)
+    payload = (mm.encode_ppm(frame) * 2)[:-5]  # second frame truncated
+    rows = [Row(media_id=40, kind="video", content=payload,
+                meta=Row(mime="video/x-ppmv", width=3, height=2,
+                         duration_ms=None, n_bytes=None))]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="truncated P6 frame body"):
+        mm.split_video_frames(df).collect()
+
+
+def test_wav_resample_empty_input():
+    import numpy as np
+
+    out = mm.resample_wav_array(np.zeros((0,)), 8000, 4000)
+    assert out.shape[0] == 0

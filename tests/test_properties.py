@@ -76,46 +76,19 @@ def test_winnowing_shared_run_guarantees_shared_fingerprint(
     W=4 consecutive 3-gram hashes inside the run is identical in both
     docs) must share at least one winnowing fingerprint — regardless
     of what surrounds the run. This is the property that makes
-    winnowing detect PARTIAL overlap that whole-doc Jaccard misses."""
-    from streaming_data_spark.queries_ext12 import _MIN_SHARED  # noqa: F401
+    winnowing detect PARTIAL overlap that whole-doc Jaccard misses.
+    Runs against the SHIPPED fingerprint kernel (winnow_fingerprints),
+    not a private copy of it."""
+    from streaming_data_spark.queries_ext12 import winnow_fingerprints
 
     doc_a = " ".join([*prefix_a, *shared])
     doc_b = " ".join([*prefix_b, *shared])
     docs = spark.createDataFrame(
         [(1, doc_a), (2, doc_b)], "doc_id long, text string"
     )
-    # reuse the query's fingerprint stages via a 2-doc corpus: any
-    # shared fp produces the (1, 2) pair at n_shared >= 1
-    from pyspark.sql import functions as F
-    from streaming_data_spark.queries_ext12 import _NGRAM, _WINNOW_W, _gram_strings
-
-    df = docs.withColumn(
-        "_sds_toks", F.split(F.trim(F.col("text")), r"\s+")
-    ).withColumn(
-        "_h",
-        F.transform(
-            _gram_strings(_NGRAM),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
-        ),
-    )
-    nh = F.size("_h")
-    fps = (
-        F.when(
-            nh >= _WINNOW_W,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), nh - (_WINNOW_W - 1)),
-                    lambda i: F.array_min(F.slice(F.col("_h"), i, _WINNOW_W)),
-                )
-            ),
-        )
-        .when(nh >= 1, F.array(F.array_min("_h")))
-        .otherwise(F.array().cast("array<long>"))
-    )
-    sets = {
-        r.doc_id: set(r.fps)
-        for r in df.select("doc_id", fps.alias("fps")).collect()
-    }
+    sets: dict[int, set] = {1: set(), 2: set()}
+    for r in winnow_fingerprints(docs).collect():
+        sets[r.doc_id].add(r.fp)
     assert sets[1] & sets[2], (doc_a, doc_b, sets)
 
 
