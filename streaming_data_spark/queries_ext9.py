@@ -63,6 +63,26 @@ def q_x13_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x13_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical output to q_x13_dup_clusters but clustered via
+    large-star/small-star contraction (dedup.connected_components_star)
+    instead of min-label propagation — the oracle gate proves the two
+    algorithms agree end-to-end on real near-dup pairs, not just on
+    the pytest graphs. Star is the variant to reach for when the
+    duplicate graph's diameter is unknown (chains of partial overlaps
+    rather than near-clique clusters)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comps = dedup.connected_components_star(pairs, "id_a", "id_b")
+    w = Window.partitionBy("cluster_id")
+    return comps.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 SQL_X13 = rf"""
 WITH RECURSIVE {_EDGE_SQL}, sym AS (
   SELECT id_a AS a, id_b AS b FROM edges
@@ -165,12 +185,14 @@ SELECT doc_id, chunk_id, n_tokens, bucket, seq_id, seq_fill FROM pack
 
 EXT9_QUERIES = {
     "x13_dup_clusters": q_x13_dup_clusters,
+    "x13_dup_clusters_star": q_x13_dup_clusters_star,
     "x14_chunk_documents": q_x14_chunk_documents,
     "x15_pack_sequences": q_x15_pack_sequences,
 }
 
 EXT9_ORACLES = {
     "x13_dup_clusters": SQL_X13,
+    "x13_dup_clusters_star": SQL_X13,  # same contract, different algorithm
     "x14_chunk_documents": SQL_X14,
     "x15_pack_sequences": SQL_X15,
 }
