@@ -273,3 +273,58 @@ def test_x21_winnow_join_is_equi_join(spark, sf_small):
     text = plans.explain_str(df, mode="simple")
     assert "CartesianProduct" not in text, text
     assert "BroadcastNestedLoopJoin" not in text, text
+
+def test_q2_part_filter_broadcasts_and_min_join_reuses_exchange(spark, sf_small):
+    """The size filter prunes at the part scan and broadcasts into the
+    fact; the min-per-part join must be a keyed equi-join (never a
+    nested loop), and the decorrelated min must not re-shuffle the
+    fact more than twice (rollup + tie join on the same key)."""
+    from streaming_data_spark.queries_ext14 import q_q2_min_cost_supplier
+
+    df = q_q2_min_cost_supplier(spark, sf_small)
+    assert plans.has_broadcast_join(df)
+    assert any("p_size" in p for p in plans.pushed_filters(df))
+    text = plans.explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in text, text
+    assert "CartesianProduct" not in text, text
+
+
+def test_q12_single_agg_pass_and_date_pushdown(spark, sf_small):
+    """Both CASE-sums aggregate in ONE pass (a single pair of
+    partial/final HashAggregates over the join), and the ship-date
+    range reaches the lineitem scan. The orders join is deliberately
+    a shuffle join (fact⋈fact) — but only one shuffle per side plus
+    the 2-group rollup."""
+    from streaming_data_spark.queries_ext14 import q_q12_priority_split
+
+    df = q_q12_priority_split(spark, sf_small)
+    assert any("l_shipdate" in p for p in plans.pushed_filters(df))
+    assert plans.shuffle_count(df) <= 3, plans.explain_str(df)
+
+
+def test_q20_semi_join_never_multiplies_suppliers(spark, sf_small):
+    """The IN chain must compile to a LEFT SEMI join against the
+    aggregated suppkey set — a plain inner join here would duplicate
+    suppliers per qualifying (supp, part) rollup row."""
+    from streaming_data_spark.queries_ext14 import q_q20_heavy_suppliers
+
+    df = q_q20_heavy_suppliers(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "LeftSemi" in text, text
+    assert any("l_shipdate" in p for p in plans.pushed_filters(df))
+    assert plans.has_broadcast_join(df)
+
+
+def test_q21_exists_chain_is_semi_plus_anti(spark, sf_small):
+    """The EXISTS compiles to a semi join and the NOT EXISTS to an
+    anti join — never a count-and-filter rewrite that would shuffle
+    the full self-join fan-out; and no nested-loop anywhere (the
+    non-equi suppkey<>suppkey term rides the orderkey equi-key)."""
+    from streaming_data_spark.queries_ext14 import q_q21_sole_returner
+
+    df = q_q21_sole_returner(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "LeftSemi" in text, text
+    assert "LeftAnti" in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
+    assert "CartesianProduct" not in text, text
