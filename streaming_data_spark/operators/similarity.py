@@ -384,6 +384,95 @@ def signlsh_topk(
     )
 
 
+def _assign_nearest(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Cluster assignment: per-row argmin of squared L2 distance to the
+    centroid literals (lexicographic struct min — ties to the lowest
+    cluster index). Pure per-row arithmetic over broadcast literals:
+    ZERO shuffle of the vector table, same plan shape as ``ivf_topk``'s
+    cell assignment. Distances are left-fold double sums so the DuckDB
+    oracle's ``list_sum(list_transform(...))`` matches bit-for-bit."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("vec"),
+                        F.lit(cv),
+                        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d2"),
+                F.lit(ci).cast("long").alias("cl"),
+            )
+            for ci, cv in enumerate(cents)
+        ]
+    )
+    return df.withColumn("cluster", F.array_min(cands)["cl"])
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    n_assign: int = 2,
+) -> DataFrame:
+    """[EXT X25] Distributed Lloyd's k-means over an embedding column —
+    the trainer for ``ivf_topk``'s coarse quantizer (production IVF
+    replaces the lowest-id placeholder centroids with these).
+
+    Deterministic contract (what makes an iterative ML loop
+    oracle-testable): init centroids are the ``k`` lowest-id vectors;
+    ``n_assign`` assignment passes run with a centroid update between
+    consecutive passes (so ``n_assign=2`` is assign→update→assign);
+    ties in the argmin go to the lowest cluster index; updated centroid
+    components are element-wise means rounded to 6 dp (distributed sum
+    order differs between engines — rounding pins the boundary, the
+    same convention every aggregate query in this repo uses).
+
+    Scale design: assignment is a per-row argmin over k broadcast
+    literal arrays — no shuffle, no Python. The update posexplodes to
+    (cluster, pos, component) and hash-aggregates: map-side partial
+    avgs mean the exchange carries only n_partitions × k × d partial
+    rows, never n × d. Driver traffic per iteration is the k × d
+    centroid table (the same driver-protocol scalar pattern as
+    ``ivf_topk``'s cents). Iteration count is a fixed hyperparameter,
+    not data-dependent — no convergence loop to straggle at 100 TB.
+
+    Empty clusters keep their previous centroid; callers keep k ≪ n
+    so that path stays theoretical (the SQL oracle assumes no empty
+    clusters, which holds at every tested scale).
+    """
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    init_rows = base.orderBy(F.col("vid").asc()).limit(k).collect()
+    cents: list[list[float]] = [
+        [float(x) for x in r["vec"]]
+        for r in sorted(init_rows, key=lambda r: r["vid"])
+    ]
+    assigned = _assign_nearest(base, cents)
+    for _ in range(n_assign - 1):
+        cent_rows = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("vec")).alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("val"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in cent_rows:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(r["val"])
+        cents = [
+            [by_cluster[ci][p] for p in sorted(by_cluster[ci])]
+            if ci in by_cluster
+            else cents[ci]
+            for ci in range(k)
+        ]
+        assigned = _assign_nearest(base, cents)
+    return assigned.select(F.col("vid").alias(id_col), "cluster")
+
+
 def quantize_int8(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -328,3 +328,56 @@ def test_quantize_int8_error_bound_and_zero_vector(spark):
         bound = r.scale / 2 * (1 + 1e-9)
         for orig, q in zip(src[vid], r.qvec):
             assert abs(orig - q * r.scale) <= bound, (vid, orig, q, r.scale)
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Two well-separated blobs, k=2 → every vector lands with its
+    blob regardless of the lowest-id init draw; a third pass changes
+    nothing (fixed point)."""
+    from streaming_data_spark.operators.similarity import kmeans_lloyd
+
+    rows = []
+    for i in range(20):
+        base = [10.0, 10.0] if i % 2 == 0 else [-10.0, -10.0]
+        rows.append((i, [base[0] + (i % 5) * 0.1, base[1] - (i % 3) * 0.1]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd(df, k=2, n_assign=2).collect()}
+    evens = {out[i] for i in range(0, 20, 2)}
+    odds = {out[i] for i in range(1, 20, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    out3 = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd(df, k=2, n_assign=3).collect()}
+    assert out == out3
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """k larger than the number of distinct points: the starved
+    cluster must keep its init centroid (not crash / not collapse)."""
+    from streaming_data_spark.operators.similarity import kmeans_lloyd
+
+    # 3 identical points far from a lone outlier; k=3 → at least one
+    # cluster never wins a point after the first update.
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [100.0, 100.0])],
+        ["vec_id", "embedding"],
+    )
+    out = kmeans_lloyd(df, k=3, n_assign=3).collect()
+    assert len(out) == 4  # all rows still assigned, no crash
+
+
+def test_scd2_versions_tile_the_timeline(spark, sf_oracle):
+    """Per key: exactly one open (is_current) version; every closed
+    version's effective_to equals the next version's effective_from;
+    ranges are strictly ordered."""
+    from streaming_data_spark.queries_ext15 import q_scd2_history
+
+    rows = q_scd2_history(spark, sf_oracle).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], []).append(r)
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r["effective_from"])
+        assert sum(1 for r in versions if r["is_current"]) == 1, key
+        assert versions[-1]["is_current"] and versions[-1]["effective_to"] is None
+        for a, b in zip(versions, versions[1:]):
+            assert a["effective_to"] == b["effective_from"], key
+            assert a["event_type"] != b["event_type"], key

@@ -328,3 +328,24 @@ def test_q21_exists_chain_is_semi_plus_anti(spark, sf_small):
     assert "LeftAnti" in text, text
     assert "BroadcastNestedLoopJoin" not in text, text
     assert "CartesianProduct" not in text, text
+
+
+def test_x25_kmeans_assignment_is_shuffle_free(spark, sf_small):
+    """The returned assignment is a per-row argmin over broadcast
+    centroid literals — zero exchanges in the final plan (the update
+    aggregations happen in separate driver-looped jobs; the result
+    users consume must not shuffle the vector table at all)."""
+    from streaming_data_spark.queries_ext15 import q_x25_kmeans_assign
+
+    df = q_x25_kmeans_assign(spark, sf_small)
+    assert plans.shuffle_count(df) == 0, plans.explain_str(df)
+
+
+def test_scd2_single_shuffle_shared_by_both_windows(spark, sf_small):
+    """lag() and lead() ride the SAME (key × order) partitioning —
+    one exchange total; a second exchange means the filter broke the
+    window co-partitioning."""
+    from streaming_data_spark.queries_ext15 import q_scd2_history
+
+    df = q_scd2_history(spark, sf_small)
+    assert plans.shuffle_count(df) == 1, plans.explain_str(df)
