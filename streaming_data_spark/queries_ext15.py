@@ -117,12 +117,67 @@ FROM changes
 """
 
 
+def q_dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit of the orders table: the reference's DDL-level
+    guarantees (PK, FK, enum codes — upbit_data_pipeline.py:25-31,
+    68-93) re-expressed as explicit checks, since Spark enforces none
+    of them. One scan answers every row-local rule + uniqueness; the
+    FK rule adds one broadcast anti-join against customer."""
+    from streaming_data_spark.operators.quality import Rule, dq_audit
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return dq_audit(
+        orders,
+        [
+            Rule(name="orderkey_not_null", kind="not_null", col="o_orderkey"),
+            Rule(name="orderkey_unique", kind="unique", cols=("o_orderkey",)),
+            Rule(name="totalprice_positive", kind="in_range", col="o_totalprice", lo=0.0),
+            Rule(name="status_in_enum", kind="in_set", col="o_orderstatus", values=("O", "F", "P")),
+            Rule(name="priority_format", kind="matches", col="o_orderpriority", pattern="^[1-5]-"),
+            Rule(name="custkey_fk_customer", kind="ref_integrity", col="o_custkey", ref=customer, ref_col="c_custkey"),
+        ],
+    )
+
+
+SQL_DQ_AUDIT = """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS u_key,
+         CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL
+                         OR o_orderstatus NOT IN ('O', 'F', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL
+                         OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+  FROM orders
+),
+fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS v_fk FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+)
+SELECT rule, n_rows, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'orderkey_not_null' AS rule, n AS n_rows, v_null AS n_violations FROM base
+  UNION ALL SELECT 'totalprice_positive', n, v_range FROM base
+  UNION ALL SELECT 'status_in_enum', n, v_set FROM base
+  UNION ALL SELECT 'priority_format', n, v_re FROM base
+  UNION ALL SELECT 'orderkey_unique', n, n - u_key FROM base
+  UNION ALL SELECT 'custkey_fk_customer', n, v_fk FROM base, fk
+)
+"""
+
+
 EXT15_QUERIES = {
     "x25_kmeans_assign": q_x25_kmeans_assign,
     "scd2_history": q_scd2_history,
+    "dq_audit_orders": q_dq_audit_orders,
 }
 
 EXT15_ORACLES = {
     "x25_kmeans_assign": SQL_X25,
     "scd2_history": SQL_SCD2,
+    "dq_audit_orders": SQL_DQ_AUDIT,
 }

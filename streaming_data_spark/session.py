@@ -45,6 +45,16 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- JVM sizing: in local[N] the ONE driver JVM hosts all N
+        # task slots, and Spark's 1g default heap starves 32-way
+        # parallel shuffles (observed: q21's triple self-join OOMs at
+        # 10x sf0.1). Only consulted at JVM launch — a getOrCreate
+        # against a live session keeps its existing heap. On a real
+        # cluster executors size their own JVMs and this is moot.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
         # -- shuffle sizing -------------------------------------------
         .config(
             "spark.sql.shuffle.partitions",

@@ -381,3 +381,59 @@ def test_scd2_versions_tile_the_timeline(spark, sf_oracle):
         for a, b in zip(versions, versions[1:]):
             assert a["effective_to"] == b["effective_from"], key
             assert a["event_type"] != b["event_type"], key
+
+
+def test_dq_audit_counts_planted_violations(spark):
+    """Every rule kind counts exactly its planted violations; NULLs
+    fail value rules; unknown kinds raise."""
+    import pytest as _pytest
+
+    from streaming_data_spark.operators.quality import Rule, dq_audit
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O", "1-URGENT"),
+            (1, -5.0, "X", "9-BAD"),       # dup key, range, set, regex
+            (None, None, None, None),      # null everywhere
+            (3, 20.0, "F", "5-LOW"),
+        ],
+        ["k", "price", "status", "prio"],
+    )
+    dim = spark.createDataFrame([(1,), (3,)], ["dk"])
+    out = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in dq_audit(
+            df,
+            [
+                Rule(name="k_not_null", kind="not_null", col="k"),
+                Rule(name="k_unique", kind="unique", cols=("k",)),
+                Rule(name="price_range", kind="in_range", col="price", lo=0.0),
+                Rule(name="status_set", kind="in_set", col="status", values=("O", "F")),
+                Rule(name="prio_re", kind="matches", col="prio", pattern="^[1-5]-"),
+                Rule(name="k_fk", kind="ref_integrity", col="k", ref=dim, ref_col="dk"),
+            ],
+        ).collect()
+    }
+    assert out["k_not_null"] == (4, 1, False)
+    # 4 rows, 3 distinct keys (1, None, 3) -> 1 duplicate
+    assert out["k_unique"] == (4, 1, False)
+    assert out["price_range"] == (4, 2, False)   # -5.0 and NULL
+    assert out["status_set"] == (4, 2, False)    # 'X' and NULL
+    assert out["prio_re"] == (4, 2, False)       # '9-BAD' and NULL
+    # anti-join: NULL key never matches -> orphan; both 1s match
+    assert out["k_fk"] == (4, 1, False)
+
+    with _pytest.raises(ValueError):
+        dq_audit(df, [Rule(name="bad", kind="nope", col="k")])
+
+
+def test_dq_audit_row_local_rules_share_one_scan(spark, sf_oracle):
+    """All row-local + uniqueness rules must evaluate in a single
+    aggregation over ONE scan of the audited table (plus one scan per
+    FK rule) — an audit that re-scans per rule is unusable at 100 TB."""
+    from streaming_data_spark import plans
+    from streaming_data_spark.queries_ext15 import q_dq_audit_orders
+
+    text = plans.explain_str(q_dq_audit_orders(spark, sf_oracle))
+    # orders appears once for the agg pass + once for the FK anti-join
+    assert text.count("orders.parquet") <= 2, text

@@ -349,3 +349,29 @@ def test_scd2_single_shuffle_shared_by_both_windows(spark, sf_small):
 
     df = q_scd2_history(spark, sf_small)
     assert plans.shuffle_count(df) == 1, plans.explain_str(df)
+
+
+def test_a13_gapfill_calendar_is_distributed(spark, sf_small):
+    """The calendar comes from sequence()+explode per key — no
+    CartesianProduct/nested-loop against a global date table, and
+    every join/window rides the user_id keying."""
+    from streaming_data_spark.queries_ext16 import q_a13_gapfill_daily
+
+    df = q_a13_gapfill_daily(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
+    assert "Generate explode" in text or "Generate" in text, text
+
+
+def test_a14_grouping_sets_single_expand_single_agg(spark, sf_small):
+    """All three granularities come from ONE Expand feeding one
+    aggregate — a union-of-groupbys plan would scan the fact three
+    times."""
+    from streaming_data_spark.queries_ext16 import q_a14_grouping_sets
+
+    df = q_a14_grouping_sets(spark, sf_small)
+    text = plans.explain_str(df)
+    assert text.count("Expand") >= 1, text
+    assert text.count("orders.parquet") == 1, text
+    assert plans.shuffle_count(df) == 1, text

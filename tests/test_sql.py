@@ -1,0 +1,83 @@
+"""SQL-surface parity: the reference's users write raw SQL (its engine
+is Postgres); these tests prove the same SQL shapes run through
+spark.sql over the registered catalog and agree with the DataFrame
+API / DuckDB oracle on identical inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+from streaming_data_spark import plans
+from streaming_data_spark.sql import register_catalog, run_sql
+from tests.oracle import compare, duckdb_conn
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_oracle):
+    con = duckdb_conn(sf_oracle)
+    yield con
+    con.close()
+
+
+# Reference-shaped SQL: the CTAS dim-fact join (upbit_data_pipeline.py
+# :171-176), the filtered projection (log_to_csv.py:25), the per-key
+# max watermark (upbit_daily_candels.py:152-156), and the anti-join
+# staging insert (upbit_daily_candels.py:241) — transposed to the
+# testdata schema, runnable verbatim on BOTH Spark and DuckDB.
+REFERENCE_SHAPED_SQL = {
+    "ctas_join": """
+        SELECT c_custkey, c_name, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "filtered_projection": """
+        SELECT event_id, user_id, value FROM events
+        WHERE event_type = 'click'
+    """,
+    "per_key_max_watermark": """
+        SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id
+    """,
+    "anti_join_staging": """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderkey NOT IN (
+            SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL)
+    """,
+}
+
+
+@pytest.mark.parametrize("name", sorted(REFERENCE_SHAPED_SQL))
+def test_reference_sql_matches_duckdb(name, spark, sf_oracle, oracle_con):
+    got = run_sql(spark, sf_oracle, REFERENCE_SHAPED_SQL[name])
+    want = oracle_con.execute(REFERENCE_SHAPED_SQL[name]).df()
+    compare(got, want, name=name)
+
+
+def test_register_catalog_is_idempotent_and_complete(spark, sf_oracle):
+    register_catalog(spark, sf_oracle)
+    register_catalog(spark, sf_oracle)  # second call must not raise
+    tables = {t.name for t in spark.catalog.listTables()}
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        assert t in tables, t
+
+
+def test_sql_view_keeps_pushdown_and_pruning(spark, sf_oracle):
+    """A temp view is metadata, not a materialization: filters and
+    projections written in SQL must still reach the parquet scan."""
+    df = run_sql(
+        spark, sf_oracle,
+        "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 40",
+    )
+    pushed = plans.pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+    schemas = plans.read_schema_columns(df)
+    assert schemas and set(schemas[0]) == {"l_orderkey", "l_quantity"}, schemas
+
+
+def test_sql_events_view_gets_normalized_ts(spark, sf_oracle):
+    """SQL users must see the same TimestampType events.ts the
+    DataFrame path guarantees (the testdata-drift normalization runs
+    inside the view registration)."""
+    from pyspark.sql.types import TimestampType
+
+    df = run_sql(spark, sf_oracle, "SELECT ts FROM events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)

@@ -88,6 +88,10 @@ HEAVY = [
     "q9_profit_by_nation_year", "q13_order_count_distribution",
     "q11_heavy_parts", "x21_winnow_overlap", "x22_repetition",
     "x23_pii_scrub",
+    # round-4 wave 14/15: triple-self-join exists chain, decorrelated
+    # min join, fact-fact conditional agg, iterative k-means, SCD2
+    "q21_sole_returner", "q2_min_cost_supplier", "q12_priority_split",
+    "x25_kmeans_assign", "scd2_history",
 ]
 
 
