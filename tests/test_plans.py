@@ -375,3 +375,48 @@ def test_a14_grouping_sets_single_expand_single_agg(spark, sf_small):
     assert text.count("Expand") >= 1, text
     assert text.count("orders.parquet") == 1, text
     assert plans.shuffle_count(df) == 1, text
+
+
+def test_funnel_has_no_self_joins(spark, sf_small):
+    """The k-step funnel is ONE groupBy over the events scan plus
+    per-row array math — no join operator anywhere (the textbook SQL
+    form, the oracle, needs k-1 self-joins that re-shuffle the fact
+    per step)."""
+    from streaming_data_spark.queries_ext17 import q_funnel_conversion
+
+    df = q_funnel_conversion(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "Join" not in text, text
+    assert text.count("events.parquet") == 1, text
+
+
+def test_cohort_retention_no_nested_loop(spark, sf_small):
+    """first-seen and activity both key on user_id; the join must be
+    an equi-join (hash/merge), never a nested loop."""
+    from streaming_data_spark.queries_ext17 import q_cohort_retention
+
+    df = q_cohort_retention(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_a15_robust_stats_broadcasts_group_stats(spark, sf_small):
+    """med/mad are |event_type|-row frames joined back onto the fact —
+    both joins must broadcast; a sort-merge here would shuffle the
+    full fact on a 5-key column."""
+    from streaming_data_spark.queries_ext17 import q_a15_robust_stats
+
+    df = q_a15_robust_stats(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "BroadcastHashJoin" in text, text
+    assert "SortMergeJoin" not in text, text
+
+
+def test_a16_rolling_zscore_single_exchange(spark, sf_small):
+    """avg/stddev/count share one (user_id × ts) window frame — one
+    exchange total; the filter must not break window co-partitioning."""
+    from streaming_data_spark.queries_ext17 import q_a16_rolling_zscore
+
+    df = q_a16_rolling_zscore(spark, sf_small)
+    assert plans.shuffle_count(df) == 1, plans.explain_str(df)
