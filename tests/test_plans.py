@@ -420,3 +420,25 @@ def test_a16_rolling_zscore_single_exchange(spark, sf_small):
 
     df = q_a16_rolling_zscore(spark, sf_small)
     assert plans.shuffle_count(df) == 1, plans.explain_str(df)
+
+
+def test_a17_rolling_distinct_caps_via_scalar_broadcast(spark, sf_small):
+    """The span cap is a 1-row broadcast (non-equi) — never a
+    CartesianProduct against real data; total shuffles stay at the
+    distinct + count-distinct budget."""
+    from streaming_data_spark.queries_ext18 import q_a17_rolling_distinct
+
+    df = q_a17_rolling_distinct(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "CartesianProduct" not in text, text
+    assert plans.shuffle_count(df) <= 4, text
+
+
+def test_x26_zorder_curve_shuffle_free_codegen(spark, sf_small):
+    """The curve key is pure shift/mask projection — zero exchanges,
+    whole-stage codegen, single scan."""
+    from streaming_data_spark.queries_ext18 import q_x26_zorder_curve
+
+    df = q_x26_zorder_curve(spark, sf_small)
+    assert plans.shuffle_count(df) == 0, plans.explain_str(df)
+    assert plans.has_whole_stage_codegen(df)
