@@ -131,3 +131,172 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=conf,
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key change alerts — one detection kernel, two stateful-API bindings
+# ---------------------------------------------------------------------------
+
+ALERT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("prev_value", DoubleType()),
+        StructField("change_pct", DoubleType()),
+    ]
+)
+
+# cross-batch state: the key's last-seen event
+_LAST_SCHEMA = StructType(
+    [StructField("ts_us", LongType()), StructField("value", DoubleType())]
+)
+
+
+def _detect_changes(prev, ts_us, values, pct):
+    """Shared kernel: scan one key's batch (ts-sorted) against the
+    carried (ts_us, value) state; return (alert rows, new state).
+    Out-of-order stragglers older than the carried state never alert
+    and never regress the state (same late-data stance as
+    sessionize_stream: state moves forward only)."""
+    out: list[tuple[int, float, float, float]] = []
+    for t, v in zip(ts_us, values):
+        if prev is not None:
+            p_ts, p_val = prev
+            if t >= p_ts and abs(v - p_val) > pct * abs(p_val):
+                chg = (v - p_val) / p_val if p_val != 0 else float("inf")
+                out.append((int(t), float(v), float(p_val), round(chg, 6)))
+        if prev is None or t >= prev[0]:
+            prev = (int(t), float(v))
+    return out, prev
+
+
+def _alerts_frame(key, rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": [key] * len(rows),
+            "ts": pd.to_datetime([r[0] for r in rows], unit="us"),
+            "value": [r[1] for r in rows],
+            "prev_value": [r[2] for r in rows],
+            "change_pct": [r[3] for r in rows],
+        }
+    )
+
+
+def has_transform_with_state_runtime() -> bool:
+    """transformWithState's state-server protocol is protobuf-based;
+    the PySpark side needs the ``protobuf`` package at worker runtime
+    (pyspark/sql/streaming/proto/StateMessage_pb2.py imports
+    google.protobuf). Absent → the query crashes at state-schema
+    validation, so bind the fallback API instead."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def change_alert_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    pct: float = 0.5,
+    api: str = "auto",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key change detection across micro-batches: emit an alert row
+    whenever a key's value moves more than ``pct`` (relative) against
+    that key's PREVIOUS event — even when the two events arrive in
+    different micro-batches. The streaming twin of the batch change
+    classifier (a5 / operators.aggregates) and the engine-side version
+    of the reference's poll-and-alert monitor loop (monitor_errors.py
+    greps logs on a timer; here state lives in the engine and alerting
+    is event-driven).
+
+    ``api`` selects the stateful binding, both over the SAME kernel:
+
+    - ``"tws"`` — Spark 4 ``transformWithStateInPandas`` (SPARK-46815):
+      named/typed per-variable state, native TTL (``state_ttl_ms`` —
+      state hygiene at 100 TB key cardinality without hand-rolled
+      timers), RocksDB state store (spills to disk instead of growing
+      the heap with key count). Requires the ``protobuf`` package at
+      worker runtime.
+    - ``"apply"`` — ``applyInPandasWithState``, the 3.4+ API; no
+      runtime deps beyond Arrow. TTL is not supported here (ignored).
+    - ``"auto"`` (default) — tws when its runtime is present, else
+      apply. Either way per-key state is ONE (ts, value) tuple —
+      O(keys) total, the minimum any cross-batch comparator holds.
+    """
+    if api == "auto":
+        api = "tws" if has_transform_with_state_runtime() else "apply"
+
+    if api == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _ChangeDetector(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._last = handle.getValueState(
+                    "last", _LAST_SCHEMA, state_ttl_ms
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
+
+                batch = pd.concat(list(rows)).sort_values(ts_col)
+                prev = self._last.get() if self._last.exists() else None
+                out, prev = _detect_changes(
+                    prev,
+                    batch[ts_col].astype("int64") // 1000,
+                    batch[value_col].astype("float64"),
+                    pct,
+                )
+                self._last.update(prev)
+                if out:
+                    yield _alerts_frame(key[0], out)
+
+            def close(self) -> None:
+                pass
+
+        return events.groupBy(key_col).transformWithStateInPandas(
+            statefulProcessor=_ChangeDetector(),
+            outputStructType=ALERT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+
+    if api != "apply":
+        raise ValueError(f"unknown api {api!r}; one of auto/tws/apply")
+
+    def _fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs)).sort_values(ts_col)
+        prev = tuple(state.get) if state.exists else None
+        out, prev = _detect_changes(
+            prev,
+            batch[ts_col].astype("int64") // 1000,
+            batch[value_col].astype("float64"),
+            pct,
+        )
+        state.update(tuple(prev))
+        if out:
+            yield _alerts_frame(key[0], out)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=_LAST_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -592,3 +592,102 @@ def test_backpressure_caps_rows_per_microbatch(spark, sf_small, tmp_path):
     assert len(seen_keys) == len(set(seen_keys)) == 40
     assert len(sizes) >= 4, sizes  # the backlog drained in bounded bites
     assert max(sizes) <= 10, sizes  # 2 files/trigger × ≤5 rows/file
+
+
+def _drive_change_alerts(spark, sf_small, tmp_path, api):
+    """Feed 300 ts-ordered events through 3 micro-batches and return
+    (streamed alert set, batch-twin alert set)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from streaming_data_spark.streaming.stateful import change_alert_stream
+
+    events = (
+        load_table(spark, sf_small, "events")
+        .select("user_id", "ts", "value")
+        .orderBy("ts")
+        .limit(300)
+    )
+    pdf = events.toPandas().sort_values("ts").reset_index(drop=True)
+
+    src = tmp_path / f"alerts_in_{api}"
+    src.mkdir()
+    for i, chunk in enumerate((pdf.iloc[:100], pdf.iloc[100:200], pdf.iloc[200:])):
+        p = src / f"part-{i}.json"
+        chunk.assign(ts=chunk["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")).to_json(
+            p, orient="records", lines=True
+        )
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = (
+        StructType().add("user_id", "long").add("ts", "timestamp").add("value", "double")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    alerts = change_alert_stream(stream, pct=0.5, api=api)
+    writer = (
+        alerts.writeStream.format("memory")
+        .queryName(f"alerts_{api}")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{api}"))
+    )
+    sp.run_to_completion(writer)
+    got = {
+        (r.user_id, r.ts, round(r.value, 4), round(r.prev_value, 4), r.change_pct)
+        for r in spark.sql(f"SELECT * FROM alerts_{api}").collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    batch = (
+        events.withColumn("prev_value", F.lag("value").over(w))
+        .filter(
+            F.col("prev_value").isNotNull()
+            & (F.abs(F.col("value") - F.col("prev_value")) > 0.5 * F.abs("prev_value"))
+        )
+        .withColumn(
+            "change_pct",
+            F.round((F.col("value") - F.col("prev_value")) / F.col("prev_value"), 6),
+        )
+    )
+    want = {
+        (r.user_id, r.ts, round(r.value, 4), round(r.prev_value, 4), r.change_pct)
+        for r in batch.collect()
+    }
+    return got, want
+
+
+def test_change_alert_stream_matches_batch(spark, sf_small, tmp_path):
+    """T6 — per-key change alerts: state (last seen event) must
+    survive micro-batch boundaries, and the streamed alert set must
+    equal the batch lag() computation. Default binding (auto resolves
+    to applyInPandasWithState in this container)."""
+    got, want = _drive_change_alerts(spark, sf_small, tmp_path, api="auto")
+    assert got == want
+    assert len(got) > 0  # the threshold actually fires on this data
+
+
+def test_change_alert_stream_tws_binding(spark, sf_small, tmp_path):
+    """Same contract through the Spark 4 transformWithStateInPandas
+    binding. Its state-server protocol needs protobuf at worker
+    runtime — skip (with the named dependency) where absent."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol requires protobuf",
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got, want = _drive_change_alerts(spark, sf_small, tmp_path, api="tws")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert got == want
+    assert len(got) > 0
