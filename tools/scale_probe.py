@@ -92,6 +92,11 @@ HEAVY = [
     # min join, fact-fact conditional agg, iterative k-means, SCD2
     "q21_sole_returner", "q2_min_cost_supplier", "q12_priority_split",
     "x25_kmeans_assign", "scd2_history",
+    # round-4 wave 17/18: one-pass funnel, keyed retention join,
+    # two-quantile-pass robust stats, trailing window frames,
+    # explode-into-windows rolling distinct, bit-interleave projection
+    "funnel_conversion", "cohort_retention", "a15_robust_stats",
+    "a16_rolling_zscore", "a17_rolling_distinct", "x26_zorder_curve",
 ]
 
 
