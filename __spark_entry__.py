@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext17 import EXT17_QUERIES
     from streaming_data_spark.queries_ext18 import EXT18_QUERIES
     from streaming_data_spark.queries_ext19 import EXT19_QUERIES
+    from streaming_data_spark.queries_ext20 import EXT20_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-4 rotation: the 23
@@ -60,8 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (q2/q12/q20/q21), EXT15 (x25 k-means, scd2, dq_audit), EXT16
     # (gapfill, grouping sets), EXT17 (funnel, cohort, robust
     # stats, rolling z-score), EXT18 (rolling distinct, z-order
-    # curve), and EXT19 (fuzzy match, inverted index, bigram LM,
-    # equi-depth hist), all new in r4, have never been
+    # curve), EXT19 (fuzzy match, inverted index, bigram LM,
+    # equi-depth hist), and EXT20 (temporal join, unpivot,
+    # incremental rollup), all new in r4, have never been
     # driver-window-checked — front them next round along with any
     # r4 reds.
     # Dicts preserve first-insert order, so the later full merges
@@ -84,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT17_QUERIES,
         **EXT18_QUERIES,
         **EXT19_QUERIES,
+        **EXT20_QUERIES,
         **EXT_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
@@ -116,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext17 import EXT17_ORACLES
     from streaming_data_spark.queries_ext18 import EXT18_ORACLES
     from streaming_data_spark.queries_ext19 import EXT19_ORACLES
+    from streaming_data_spark.queries_ext20 import EXT20_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -132,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT17_ORACLES,
         **EXT18_ORACLES,
         **EXT19_ORACLES,
+        **EXT20_ORACLES,
         **EXT_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,

@@ -473,3 +473,39 @@ def test_a18_equidepth_global_sort_sees_projected_rows_only(spark, sf_small):
     df = q_a18_equidepth_hist(spark, sf_small)
     schemas = plans.read_schema_columns(df)
     assert schemas and set(schemas[0]) == {"doc_id", "n_chars"}, schemas
+
+
+def test_j7_temporal_join_is_keyed_never_nested_loop(spark, sf_small):
+    """The range predicate must ride the user_id equi-join as a
+    residual condition — a nested loop over history × facts is the
+    failure mode temporal joins are famous for."""
+    from streaming_data_spark.queries_ext20 import q_j7_temporal_join
+
+    df = q_j7_temporal_join(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_p14_unpivot_single_scan_single_expand(spark, sf_small):
+    """Native unpivot: one Expand over ONE scan — the union-of-
+    projections rewrite would read lineitem four times."""
+    from streaming_data_spark.queries_ext20 import q_p14_unpivot
+
+    df = q_p14_unpivot(spark, sf_small)
+    text = plans.explain_str(df)
+    assert text.count("lineitem.parquet") == 1, text
+    assert "Expand" in text, text
+    assert plans.shuffle_count(df) == 0, text
+
+
+def test_incremental_rollup_pushes_disjoint_date_filters(spark, sf_small):
+    """Both halves must push their date predicate to the scan — the
+    production shape reads yesterday's rollup table plus ONLY the
+    delta partition, and pushdown is what makes the delta scan
+    partition-prunable."""
+    from streaming_data_spark.queries_ext20 import q_incremental_rollup
+
+    df = q_incremental_rollup(spark, sf_small)
+    pushed = plans.pushed_filters(df)
+    assert sum("ts" in p for p in pushed) >= 2, pushed
