@@ -97,6 +97,12 @@ HEAVY = [
     # explode-into-windows rolling distinct, bit-interleave projection
     "funnel_conversion", "cohort_retention", "a15_robust_stats",
     "a16_rolling_zscore", "a17_rolling_distinct", "x26_zorder_curve",
+    # round-4 wave 19/20: blocked fuzzy join, explode-heavy index
+    # build and bigram counting, global-sort ntile, temporal range
+    # join, Expand-based unpivot, partial-merge rollup
+    "x29_fuzzy_match", "x30_inverted_index", "x31_bigram_lm",
+    "a18_equidepth_hist", "j7_temporal_join", "p14_unpivot",
+    "incremental_rollup",
 ]
 
 
