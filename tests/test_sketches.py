@@ -70,3 +70,21 @@ def test_distinct_rollup_reaggregates_without_rescanning(spark, sf_oracle):
         assert abs(by_type[k] - n) <= max(2, REL_TOL * n)
     exact_total = events.select("user_id").distinct().count()
     assert abs(total - exact_total) <= max(2, REL_TOL * exact_total)
+
+
+def test_approx_percentile_tier_within_tolerance(spark, sf_oracle):
+    """The 100 TB tier for the exact-quantile paths (a10, a15's
+    median/MAD, a18's ntile boundaries): approx_percentile with
+    accuracy=10000 must land within 1% relative error of the exact
+    percentile on every probe point. Documents the swap, bounds the
+    cost of making it."""
+    events = load_table(spark, sf_oracle, "events")
+    probes = [0.25, 0.5, 0.75, 0.95]
+    row = events.agg(
+        F.percentile("value", F.array(*[F.lit(p) for p in probes])).alias("exact"),
+        F.percentile_approx(
+            "value", F.array(*[F.lit(p) for p in probes]), 10000
+        ).alias("approx"),
+    ).collect()[0]
+    for p, ex, ap in zip(probes, row["exact"], row["approx"]):
+        assert abs(ap - ex) <= max(0.05, 0.01 * abs(ex)), (p, ex, ap)
