@@ -118,3 +118,76 @@ def test_quantize_error_bound_random_vectors(spark, vec):
     stored = df.collect()[0].embedding
     for orig, q in zip(stored, row.qvec):
         assert abs(orig - q * row.scale) <= bound, (orig, q, row.scale)
+
+
+def _ref_morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_morton_code_matches_reference_bit_interleave(spark, pts):
+    """The engine's shift/mask Morton column must equal the defining
+    per-bit interleave for arbitrary 16-bit coordinates (bijectivity
+    on the grid follows: the reference map is invertible by
+    construction)."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_spark.operators.layout import morton_code
+
+    df = spark.createDataFrame(pts, "x long, y long").withColumn(
+        "z", morton_code(F.col("x"), F.col("y"), 16)
+    )
+    for r in df.collect():
+        assert r.z == _ref_morton(r.x, r.y, 16), (r.x, r.y, r.z)
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=0.5, max_value=100.0, allow_nan=False),
+        min_size=2,
+        max_size=40,
+    ),
+    n_cuts=st.integers(0, 3),
+    data=st.data(),
+)
+@settings(**_SETTINGS)
+def test_change_alert_kernel_invariant_under_batch_splits(values, n_cuts, data):
+    """Micro-batch boundaries are an accident of arrival, not of
+    semantics: running the change-detection kernel over ANY split of
+    an ordered event sequence must produce exactly the alerts of the
+    single-batch run, with state threaded across the cuts. Pure-Python
+    kernel property — this is the invariant the stream==batch Spark
+    test samples once; here it's exercised across random splits."""
+    from streaming_data_spark.streaming.stateful import _detect_changes
+
+    ts = list(range(1, len(values) + 1))
+    whole, _ = _detect_changes(None, ts, values, pct=0.25)
+
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(1, len(values) - 1),
+                min_size=n_cuts,
+                max_size=n_cuts,
+                unique=True,
+            )
+        )
+    )
+    bounds = [0, *cuts, len(values)]
+    state = None
+    pieced = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        out, state = _detect_changes(state, ts[lo:hi], values[lo:hi], pct=0.25)
+        pieced.extend(out)
+    assert pieced == whole
