@@ -33,6 +33,18 @@ HEADLINE = (
     "q5_regional_revenue",
 )
 
+# Secondary suite: representative round-4 additions, timed min-of-2 and
+# reported under "queries_ext" WITHOUT entering the headline total — the
+# suite number must stay comparable across rounds (same query set as r1).
+EXT_HEADLINE = (
+    "funnel_conversion",
+    "a17_rolling_distinct",
+    "x30_inverted_index",
+    "j7_temporal_join",
+    "x29_fuzzy_match",
+    "a15_robust_stats",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,6 +79,22 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    ext_timings: dict[str, float] = {}
+    ext_errors: dict[str, str] = {}  # never poisons the headline sentinel
+    for name in EXT_HEADLINE:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        try:
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            ext_timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            ext_errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+
     payload = {
         "metric": "headline_suite_seconds",
         # a suite total missing queries is NOT comparable across
@@ -75,11 +103,14 @@ def main() -> None:
         "value": round(total, 3) if not errors else -1.0,
         "unit": "sec",
         "queries": timings,
+        "queries_ext": ext_timings,
         "sf": sf,
     }
     if errors:
         payload["errors"] = errors
         payload["suite_incomplete"] = True
+    if ext_errors:
+        payload["errors_ext"] = ext_errors
 
     # regression guard: compare per-query against the earliest recorded
     # round bench (same sf) and flag anything >1.3x slower — surfaces
