@@ -423,3 +423,80 @@ def connected_components_star(
         labeled.select("id"), "id", "left_anti"
     ).withColumn("cluster_id", F.col("id"))
     return labeled.union(singletons)
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """X2a via prefix filtering (PPJoin-family, Chaudhuri et al.
+    ICDE'06 / Xiao et al. WWW'08 — public algorithms): identical
+    output to :func:`ngram_jaccard_pairs`, with PROVABLY LOSSLESS
+    candidate pruning instead of the lossy ``hot_shingle_cap``.
+
+    The filter: order each document's shingles globally by (document
+    frequency asc, shingle asc) — rarest first; for Jaccard ≥ t, two
+    sets of sizes |a|,|b| need |a∩b| ≥ ceil(t/(1+t)·(|a|+|b|)), and in
+    particular a set can "afford" to miss at most |s| − ceil(t·|s|)
+    of its own elements in any qualifying partner — so if two sets
+    share ANY element, they must share one inside their first
+    |s| − ceil(t·|s|) + 1 rarest elements. Joining on prefix tokens
+    only therefore keeps every qualifying pair while skipping exactly
+    the joins that hot (stopword-grade) shingles would have fanned
+    out, because hot shingles sort LAST and fall outside prefixes.
+
+    Cost shape: one extra groupBy (df counts) + one window rank per
+    doc vs the plain form, in exchange for a candidate join bounded by
+    prefix×prefix instead of set×set. Verification then computes the
+    exact intersection for candidates only — two keyed joins against
+    the full shingle table. At 100 TB the candidate join is the term
+    that explodes; this is the standard published fix.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("_df").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    pref = (
+        ranked.join(sizes, id_col)
+        # prefix length = |s| - ceil(t*|s|) + 1
+        .filter(F.col("_rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+        .select(F.col(id_col), "shingle")
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(pref.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification for candidates only
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

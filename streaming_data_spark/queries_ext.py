@@ -62,6 +62,24 @@ WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
 """
 
 # --------------------------------------------------------------------------
+# X2a'' — prefix-filtered n-gram Jaccard (PPJoin-family): LOSSLESS
+# candidate pruning — identical output to the plain form (and so it
+# shares SQL_X2_JACCARD as its oracle), but candidates come only from
+# the rarest-first prefixes each qualifying pair MUST intersect in.
+# Hot shingles sort last and fall outside every prefix, so the
+# stopword fan-out the capped form cuts lossily is skipped here with
+# zero recall loss. tests/test_properties.py proves output equality
+# with the plain form on random corpora.
+# --------------------------------------------------------------------------
+
+
+def q_x2_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+# --------------------------------------------------------------------------
 # X2a' — capped n-gram Jaccard: the 100 TB form. Shingles appearing in
 # more than `cap` docs are dropped like stopwords BEFORE the pair join,
 # bounding join fan-out (one hot trigram would otherwise create
@@ -381,6 +399,7 @@ SQL_X6 = _text_metrics_sql()
 EXT_QUERIES = {
     "x1_exact_dedup": q_x1_exact_dedup,
     "x2_ngram_jaccard": q_x2_ngram_jaccard,
+    "x2_ngram_jaccard_prefix": q_x2_ngram_jaccard_prefix,
     "x2_ngram_jaccard_capped": q_x2_ngram_jaccard_capped,
     "x2_minhash_lsh": q_x2_minhash_lsh,
     "x4_simhash": q_x4_simhash,
@@ -392,6 +411,8 @@ EXT_QUERIES = {
 EXT_ORACLES = {
     "x1_exact_dedup": SQL_X1,
     "x2_ngram_jaccard": SQL_X2_JACCARD,
+    # lossless pruning ⇒ the prefix form answers to the PLAIN oracle
+    "x2_ngram_jaccard_prefix": SQL_X2_JACCARD,
     "x2_ngram_jaccard_capped": SQL_X2_JACCARD_CAPPED,
     "x2_minhash_lsh": SQL_X2_MINHASH,
     "x4_simhash": SQL_X4_SIMHASH,

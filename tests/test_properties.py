@@ -191,3 +191,38 @@ def test_change_alert_kernel_invariant_under_batch_splits(values, n_cuts, data):
         out, state = _detect_changes(state, ts[lo:hi], values[lo:hi], pct=0.25)
         pieced.extend(out)
     assert pieced == whole
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(**_SETTINGS)
+def test_prefix_filtered_jaccard_equals_plain(spark, docs, threshold):
+    """Prefix filtering must be LOSSLESS: on arbitrary corpora and
+    thresholds the prefix-filtered pair set equals the plain all-
+    shared-shingle pair set exactly — the property that separates it
+    from the (intentionally lossy) hot-shingle cap."""
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=threshold
+        ).collect()
+    }
+    pref = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs_prefix(
+            df, "doc_id", "text", n=2, threshold=threshold
+        ).collect()
+    }
+    assert pref == plain
