@@ -509,3 +509,27 @@ def test_incremental_rollup_pushes_disjoint_date_filters(spark, sf_small):
     df = q_incremental_rollup(spark, sf_small)
     pushed = plans.pushed_filters(df)
     assert sum("ts" in p for p in pushed) >= 2, pushed
+
+
+def test_a19_streaks_no_joins_single_keyed_lineage(spark, sf_small):
+    """Gaps-and-islands via the row_number anchor: the whole plan is
+    windows + groupBys on the user_id keying — a self-join formulation
+    would shuffle the activity table against itself."""
+    from streaming_data_spark.queries_ext21 import q_a19_activity_streaks
+
+    df = q_a19_activity_streaks(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "Join" not in text, text
+    assert text.count("events.parquet") == 1, text
+
+
+def test_a20_rolling_corr_windows_daily_frame_only(spark, sf_small):
+    """corr() runs over the DAILY rollup (rows = days), so the events
+    scan feeds one aggregation and the window sees the tiny frame —
+    the fact table itself is never window-sorted."""
+    from streaming_data_spark.queries_ext21 import q_a20_rolling_corr
+
+    df = q_a20_rolling_corr(spark, sf_small)
+    text = plans.explain_str(df)
+    assert text.count("events.parquet") == 1, text
+    assert "Join" not in text, text
