@@ -103,6 +103,8 @@ HEAVY = [
     "x29_fuzzy_match", "x30_inverted_index", "x31_bigram_lm",
     "a18_equidepth_hist", "j7_temporal_join", "p14_unpivot",
     "incremental_rollup",
+    # round-4 wave 21 + lossless-pruning jaccard tier
+    "a19_activity_streaks", "a20_rolling_corr", "x2_ngram_jaccard_prefix",
 ]
 
 
