@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -109,3 +109,106 @@ def failed_rows_job(
     wrote = gated_write(failed, write_csv, out_csv)
     alert({"event": "failed_rows_check", "wrote": wrote})
     return wrote
+
+
+def corpus_curation_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    min_quality: float = 0.25,
+    jaccard_threshold: float = 0.8,
+    decon_ngram: int = 5,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    max_tokens: int = 128,
+    test_pct: int = 10,
+    out_dir: str | None = None,
+) -> dict[str, object]:
+    """[EXT] The full training-corpus curation path as ONE engine job —
+    the executable form of the toolchain the registry proves piecewise
+    (README "Training-corpus toolchain"; each stage is an already-
+    oracle-verified operator, composed):
+
+      quality gate → exact dedup (canonical-form fingerprint) →
+      near-dup clustering (prefix-filtered Jaccard → star-contraction
+      components, cluster-min survivor) → benchmark decontamination
+      (broadcast n-gram probe) → context-window chunking → greedy
+      sequence packing → deterministic train/test split.
+
+    Returns {"clean_docs", "chunks", "packed", "summary"}; ``summary``
+    is [(stage, rows_surviving)] — the per-stage scalar counts a
+    curation run reports (driver-side scalars, like every job here).
+    ``out_dir`` additionally materializes the packed sequences and the
+    clean corpus as parquet.
+
+    Scale shape: every stage is the registry operator unchanged — no
+    stage introduces a new shuffle pattern beyond what its operator
+    already proved at x10.
+    """
+    from streaming_data_spark.operators import dedup as ddp
+    from streaming_data_spark.operators import text as txt
+    from streaming_data_spark.operators.chunking import chunk_documents, pack_sequences
+    from streaming_data_spark.queries_ext8 import split_column
+
+    summary: list[tuple[str, int]] = [("input", docs.count())]
+
+    gated = docs.filter(txt.quality_score("text") >= min_quality)
+    summary.append(("quality_gate", gated.count()))
+
+    # exact dedup on the canonical-form fingerprint, min-id survivor
+    fp = gated.withColumn("_fp", txt.fingerprint("text"))
+    exact_survivors = fp.withColumn(
+        "_keep",
+        F.row_number().over(
+            Window.partitionBy("_fp").orderBy(F.col("doc_id").asc())
+        ) == 1,
+    ).filter("_keep").drop("_fp", "_keep")
+    summary.append(("exact_dedup", exact_survivors.count()))
+
+    # near-dup clustering: lossless prefix-filtered pairs → star CC;
+    # survivor = cluster minimum; unpaired docs survive untouched
+    pairs = ddp.ngram_jaccard_pairs_prefix(
+        exact_survivors, "doc_id", "text", n=3, threshold=jaccard_threshold
+    )
+    clusters = ddp.connected_components_star(pairs, "id_a", "id_b")
+    dropped = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    near_survivors = exact_survivors.join(dropped, "doc_id", "left_anti")
+    summary.append(("near_dedup", near_survivors.count()))
+
+    # benchmark decontamination: any shared n-gram with the held-out
+    # set disqualifies the training doc; benchmark side broadcasts
+    if benchmark is not None:
+        bench_sh = ddp.shingles(benchmark, "doc_id", "text", n=decon_ngram).select(
+            "shingle"
+        ).distinct()
+        train_sh = ddp.shingles(near_survivors, "doc_id", "text", n=decon_ngram)
+        contaminated = (
+            train_sh.join(F.broadcast(bench_sh), "shingle")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = near_survivors.join(contaminated, "doc_id", "left_anti")
+    else:
+        clean = near_survivors
+    summary.append(("decontaminated", clean.count()))
+
+    chunks = chunk_documents(
+        clean, chunk_tokens=chunk_tokens, overlap=overlap
+    )
+    packed = pack_sequences(chunks, max_tokens=max_tokens).withColumn(
+        "split", split_column("doc_id", test_pct)
+    )
+    summary.append(("chunks", chunks.count()))
+
+    if out_dir:
+        clean.write.mode("overwrite").parquet(f"{out_dir}/clean_docs")
+        packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
+
+    return {
+        "clean_docs": clean,
+        "chunks": chunks,
+        "packed": packed,
+        "summary": summary,
+    }

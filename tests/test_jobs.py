@@ -124,3 +124,48 @@ def test_failed_rows_job(spark, tmp_path):
     assert out.count() == 2
     clean = log.filter("event = 'SUCCESS'")
     assert jobs.failed_rows_job(clean, str(tmp_path / "none"), alert=alerts.append) is False
+
+
+def test_corpus_curation_job_end_to_end(spark, sf_small):
+    """The full curation chain as one job: per-stage counts monotone
+    non-increasing, no near-dup pair survives among the clean docs, no
+    clean doc shares a decon n-gram with the benchmark, every clean
+    doc is chunked, packing respects the token budget, and the split
+    tiles the corpus."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_spark.jobs import corpus_curation_job
+    from streaming_data_spark.operators import dedup as ddp
+    from streaming_data_spark.schemas import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    bench = docs.filter(F.pmod("doc_id", F.lit(20)) == 0)
+    train_in = docs.filter(F.pmod("doc_id", F.lit(20)) != 0)
+
+    out = corpus_curation_job(spark, train_in, benchmark=bench, max_tokens=128)
+    stages = dict(out["summary"])
+    order = ["input", "quality_gate", "exact_dedup", "near_dedup", "decontaminated"]
+    counts = [stages[s] for s in order]
+    assert counts == sorted(counts, reverse=True), stages
+    assert stages["decontaminated"] > 0, stages
+
+    clean = out["clean_docs"]
+    # near-dup-free: re-running pair detection on the survivors is empty
+    assert ddp.ngram_jaccard_pairs_prefix(
+        clean, "doc_id", "text", n=3, threshold=0.8
+    ).isEmpty()
+    # decontaminated: no shared 5-gram with the benchmark remains
+    bench_sh = ddp.shingles(bench, "doc_id", "text", n=5).select("shingle").distinct()
+    assert ddp.shingles(clean, "doc_id", "text", n=5).join(
+        bench_sh, "shingle"
+    ).isEmpty()
+
+    chunks, packed = out["chunks"], out["packed"]
+    assert chunks.select("doc_id").distinct().count() == stages["decontaminated"]
+    over = packed.groupBy("bucket", "seq_id").agg(
+        F.max("seq_fill").alias("fill"), F.count(F.lit(1)).alias("n_chunks")
+    )
+    # a sequence may exceed the budget only as a single oversize chunk
+    assert over.filter((F.col("fill") > 128) & (F.col("n_chunks") > 1)).isEmpty()
+    splits = {r["split"] for r in packed.select("split").distinct().collect()}
+    assert splits == {"train", "test"}
