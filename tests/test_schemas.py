@@ -45,3 +45,41 @@ def test_events_ts_usable_by_micros_functions(spark, sf_small):
         F.unix_micros("ts").alias("us"), F.unix_millis("ts").alias("ms")
     ).first()
     assert row.us is not None and row.ms == row.us // 1000
+
+
+def test_documents_and_embeddings_schemas_match_declared(spark, sf_small):
+    """Extend the drift guard to the other [EXT]-critical tables: a
+    regeneration that flips embeddings to array<double> (or renames a
+    documents column) should fail HERE, not inside ANN/quantization
+    math or the text toolchain."""
+    docs = schemas.load_table(spark, sf_small, "documents")
+    assert {f.name: f.dataType for f in docs.schema.fields} == {
+        f.name: f.dataType for f in schemas.DOCUMENTS.fields
+    }
+    emb = schemas.load_table(spark, sf_small, "embeddings")
+    assert {f.name: f.dataType for f in emb.schema.fields} == {
+        f.name: f.dataType for f in schemas.EMBEDDINGS.fields
+    }
+
+
+def test_relational_tables_have_expected_key_columns(spark, sf_small):
+    """Cheap presence guard for the TPC-H-ish tables: the join keys
+    every registry query depends on must exist with integral types —
+    a regeneration that re-types a key breaks half the registry."""
+    from pyspark.sql.types import IntegerType, LongType
+
+    keys = {
+        "region": ["r_regionkey"],
+        "nation": ["n_nationkey", "n_regionkey"],
+        "customer": ["c_custkey", "c_nationkey"],
+        "supplier": ["s_suppkey", "s_nationkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    }
+    for table, cols in keys.items():
+        df = schemas.load_table(spark, sf_small, table)
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        for c in cols:
+            assert c in fields, (table, c, sorted(fields))
+            assert isinstance(fields[c], (LongType, IntegerType)), (table, c, fields[c])
