@@ -49,8 +49,15 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     all surface. The part filter broadcasts and prunes both sides;
     supplier⋈nation broadcast for the name lookup. The fact shuffles
     once (on l_partkey) and that exchange is reused by both branches
-    under AQE; unit_price is rounded identically on both sides so the
-    equality join is engine-agnostic.
+    under AQE.
+
+    unit_price is deliberately NOT rounded: IEEE division of identical
+    doubles is bit-deterministic in every engine, so the EXACT value
+    is the engine-agnostic join key — whereas round(x, 4) on DOUBLE
+    diverges at boundary values (Spark rounds the shortest decimal
+    representation HALF_UP; DuckDB multiplies by 1e4 in binary first,
+    which can carry the product across the .5 line; observed:
+    26.2412 vs 26.2413 at sf0.001). min() of exact doubles is exact.
     """
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") == Q2_PART_SIZE)
     supplier = _t(spark, sf_dir, "supplier")
@@ -61,9 +68,7 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_partkey",
             "l_suppkey",
-            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias(
-                "unit_price"
-            ),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
         )
     )
     # distinct output names on the agg side — self-derived joins are
@@ -94,7 +99,7 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q2 = f"""
 WITH priced AS (
   SELECT l_partkey, l_suppkey,
-         round(l_extendedprice / l_quantity, 4) AS unit_price
+         l_extendedprice / l_quantity AS unit_price
   FROM lineitem
   JOIN part ON l_partkey = p_partkey AND p_size = {Q2_PART_SIZE}
 )
