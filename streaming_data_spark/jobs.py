@@ -163,6 +163,10 @@ def corpus_curation_job(
             Window.partitionBy("_fp").orderBy(F.col("doc_id").asc())
         ) == 1,
     ).filter("_keep").drop("_fp", "_keep")
+    # checkpoint between stages: each later stage count/write would
+    # otherwise re-execute everything upstream (the prefix-join and
+    # the CC loop are the expensive passes — they must run ONCE)
+    exact_survivors = exact_survivors.localCheckpoint(eager=True)
     summary.append(("exact_dedup", exact_survivors.count()))
 
     # near-dup clustering: lossless prefix-filtered pairs → star CC;
@@ -175,6 +179,7 @@ def corpus_curation_job(
         F.col("id").alias("doc_id")
     )
     near_survivors = exact_survivors.join(dropped, "doc_id", "left_anti")
+    near_survivors = near_survivors.localCheckpoint(eager=True)
     summary.append(("near_dedup", near_survivors.count()))
 
     # benchmark decontamination: any shared n-gram with the held-out
@@ -190,6 +195,7 @@ def corpus_curation_job(
             .distinct()
         )
         clean = near_survivors.join(contaminated, "doc_id", "left_anti")
+        clean = clean.localCheckpoint(eager=True)
     else:
         clean = near_survivors
     summary.append(("decontaminated", clean.count()))

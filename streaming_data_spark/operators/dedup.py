@@ -471,10 +471,18 @@ def ngram_jaccard_pairs_prefix(
         )
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # prefix length = |s| - ceil(t*|s|) + 1. The ceil must be of the
+    # EXACT product: in doubles 0.29*100 = 29.000000000000004 and a
+    # naive ceil() returns 30, shortening the prefix by one and
+    # silently dropping qualifying pairs — which would break the
+    # lossless guarantee. Nudging down by 1e-9 before ceil restores
+    # exactness for every threshold with < ~8 significant digits
+    # (the true product is a rational ≥ 0.01 away from the next-lower
+    # integer unless it IS an integer).
+    needed = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
     pref = (
         ranked.join(sizes, id_col)
-        # prefix length = |s| - ceil(t*|s|) + 1
-        .filter(F.col("_rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+        .filter(F.col("_rk") <= F.col("n_sh") - needed + 1)
         .select(F.col(id_col), "shingle")
     )
     cand = (

@@ -106,7 +106,12 @@ def distinct_rollup_hll(
             F.hll_union_agg("sketch", F.lit(False)).alias("sketch")
         )
         for dropped in key_cols[i:]:
-            lvl = lvl.withColumn(dropped, F.lit(None).cast("string"))
+            # NULL typed as the SOURCE column's type — a string-typed
+            # NULL would make unionByName coerce the whole key column
+            # to string, unlike GROUP BY ROLLUP which preserves types
+            lvl = lvl.withColumn(
+                dropped, F.lit(None).cast(base.schema[dropped].dataType)
+            )
         levels.append(lvl.select(*key_cols, "sketch"))
     out = levels[0]
     for lvl in levels[1:]:

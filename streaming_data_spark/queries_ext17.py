@@ -89,6 +89,11 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.orderBy("step").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # denominator: explicitly the STEP-1 count, not "first surviving
+    # row" — the hit chain (t2 needs t1) makes them equal whenever any
+    # row exists, but the explicit form can't silently renormalize if
+    # a future edit breaks that invariant
+    entered = F.max(F.when(F.col("step") == 1, F.col("users"))).over(w_all)
     return (
         steps.filter("hit")
         .groupBy("step", "step_name")
@@ -96,7 +101,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 3-row frame: the single-partition window is free here
         .withColumn(
             "conversion",
-            F.round(F.col("users") / F.first("users").over(w_all).cast("double"), 6),
+            F.round(F.col("users") / entered.cast("double"), 6),
         )
         .select("step", "step_name", "users", "conversion")
     )

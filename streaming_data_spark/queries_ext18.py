@@ -85,22 +85,10 @@ GROUP BY day
 """
 
 
-# 16 low bits of each dimension, interleaved x→even bits, y→odd bits.
-ZORDER_BITS = 16
-
-
-def _morton(x, y):  # Column, Column -> Column
-    """32-bit Morton code: bit i of x lands at position 2i, bit i of
-    y at 2i+1. Pure shift/mask arithmetic — identical in any engine,
-    stays in whole-stage codegen."""
-    z = F.lit(0).cast("long")
-    for i in range(ZORDER_BITS):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return z
+# Single source of truth for the curve math: the layout writer's
+# morton_code (operators/layout.py) — the oracle-matched query and the
+# clustered-file writer must never diverge on the key they share.
+from streaming_data_spark.operators.layout import ZORDER_BITS, morton_code
 
 
 def q_x26_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,11 +105,7 @@ def q_x26_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 2-D box probe vs a 1-D sorted layout.
     """
     li = _t(spark, sf_dir, "lineitem")
-    mask = (1 << ZORDER_BITS) - 1
-    zval = _morton(
-        F.col("l_partkey").bitwiseAND(F.lit(mask)),
-        F.col("l_suppkey").bitwiseAND(F.lit(mask)),
-    )
+    zval = morton_code(F.col("l_partkey"), F.col("l_suppkey"), ZORDER_BITS)
     return li.select(
         "l_orderkey",
         "l_linenumber",

@@ -125,6 +125,10 @@ def q_a20_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).alias("w_n"),
         )
         .filter(F.col("w_n") >= 7)
+        # degenerate windows (zero variance, or <2 days where both
+        # series are non-null) are Spark NaN but DuckDB NULL — drop
+        # both spellings so sparse corpora can't diverge the oracle
+        .filter(F.col("corr_7d").isNotNull() & ~F.isnan("corr_7d"))
         .select("day", "corr_7d")
     )
 
@@ -143,7 +147,7 @@ rolled AS (
   FROM daily
   WINDOW w AS (ORDER BY day ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
-SELECT day, corr_7d FROM rolled WHERE w_n >= 7
+SELECT day, corr_7d FROM rolled WHERE w_n >= 7 AND corr_7d IS NOT NULL
 """
 
 

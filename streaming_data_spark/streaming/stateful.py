@@ -158,14 +158,25 @@ def _detect_changes(prev, ts_us, values, pct):
     carried (ts_us, value) state; return (alert rows, new state).
     Out-of-order stragglers older than the carried state never alert
     and never regress the state (same late-data stance as
-    sessionize_stream: state moves forward only)."""
+    sessionize_stream: state moves forward only). A ZERO baseline
+    never alerts — relative change against 0 is undefined, and the
+    engine-side twin (lag + double division) yields NULL there, so
+    emitting ±inf would diverge stream from batch. Rounding is
+    HALF-UP (away from zero), matching Spark's round(), not Python's
+    banker's rounding."""
+    import math
+
+    def _round6(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
     out: list[tuple[int, float, float, float]] = []
     for t, v in zip(ts_us, values):
         if prev is not None:
             p_ts, p_val = prev
-            if t >= p_ts and abs(v - p_val) > pct * abs(p_val):
-                chg = (v - p_val) / p_val if p_val != 0 else float("inf")
-                out.append((int(t), float(v), float(p_val), round(chg, 6)))
+            if t >= p_ts and p_val != 0 and abs(v - p_val) > pct * abs(p_val):
+                out.append(
+                    (int(t), float(v), float(p_val), _round6((v - p_val) / p_val))
+                )
         if prev is None or t >= prev[0]:
             prev = (int(t), float(v))
     return out, prev
@@ -187,10 +198,16 @@ def _alerts_frame(key, rows):
 
 def has_transform_with_state_runtime() -> bool:
     """transformWithState's state-server protocol is protobuf-based;
-    the PySpark side needs the ``protobuf`` package at worker runtime
-    (pyspark/sql/streaming/proto/StateMessage_pb2.py imports
+    the PySpark side needs the ``protobuf`` package at PYTHON-WORKER
+    runtime (pyspark/sql/streaming/proto/StateMessage_pb2.py imports
     google.protobuf). Absent → the query crashes at state-schema
-    validation, so bind the fallback API instead."""
+    validation, so bind the fallback API instead.
+
+    Caveat: this probes the DRIVER interpreter — correct in local
+    mode (driver and workers share one environment), best-effort on a
+    cluster whose executor images differ from the driver's. For
+    heterogeneous deployments pass ``api="apply"``/``api="tws"``
+    explicitly instead of trusting ``auto``."""
     try:
         import google.protobuf  # noqa: F401
 
@@ -268,7 +285,10 @@ def change_alert_stream(
             statefulProcessor=_ChangeDetector(),
             outputStructType=ALERT_SCHEMA,
             outputMode="append",
-            timeMode="none",
+            # TTL state is only legal under processing-time semantics
+            # (Spark raises STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_
+            # ASSIGN_TTL otherwise), so the mode follows the TTL ask.
+            timeMode="processingTime" if state_ttl_ms else "none",
         )
 
     if api != "apply":

@@ -645,6 +645,9 @@ def _drive_change_alerts(spark, sf_small, tmp_path, api):
         events.withColumn("prev_value", F.lag("value").over(w))
         .filter(
             F.col("prev_value").isNotNull()
+            # zero baselines never alert (kernel contract: relative
+            # change against 0 is undefined; engine division -> NULL)
+            & (F.col("prev_value") != 0)
             & (F.abs(F.col("value") - F.col("prev_value")) > 0.5 * F.abs("prev_value"))
         )
         .withColumn(
