@@ -81,3 +81,36 @@ def test_sql_events_view_gets_normalized_ts(spark, sf_oracle):
 
     df = run_sql(spark, sf_oracle, "SELECT ts FROM events")
     assert isinstance(df.schema["ts"].dataType, TimestampType)
+
+
+def test_recursive_cte_capability_pin(spark):
+    """Documents WHY connected components is an iterative DataFrame
+    loop and not a recursive CTE: Spark 4.1 supports WITH RECURSIVE,
+    but only with UNION ALL — and a transitive closure over a CYCLIC
+    duplicate graph under UNION ALL re-derives rows forever (DuckDB's
+    oracle terminates because UNION-distinct dedups per level). If a
+    future Spark adds UNION-distinct recursion, this pin flips and a
+    SQL CC tier becomes viable."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    # bounded linear recursion works
+    row = spark.sql(
+        """WITH RECURSIVE t(n) AS (
+             SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 5
+           ) SELECT sum(n) AS s FROM t"""
+    ).collect()[0]
+    assert row.s == 15
+
+    # UNION-distinct recursion (what graph closure needs) is rejected
+    spark.createDataFrame([(1, 2)], "a long, b long").createOrReplaceTempView(
+        "_pin_edges"
+    )
+    with pytest.raises(AnalysisException, match="UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"):
+        spark.sql(
+            """WITH RECURSIVE reach(id) AS (
+                 SELECT a AS id FROM _pin_edges
+                 UNION
+                 SELECT b AS id FROM _pin_edges JOIN reach ON a = id
+               ) SELECT count(*) FROM reach"""
+        ).collect()
