@@ -72,3 +72,26 @@ def jdbc_keys(
     upbit_data_pipeline.py:64-65); the select() pushes column pruning
     into the JDBC query."""
     return jdbc_table(spark, url, table, **kwargs).select(key_col)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    required_columns: Sequence[str] = (),
+) -> DataFrame:
+    """S8+ — ORC read (Spark-native format, bundled reader; same
+    pushdown/pruning guarantees as parquet — predicates and column
+    selection reach the ORC scan). Same required-column contract as
+    read_csv."""
+    df = spark.read.orc(path)
+    missing = [c for c in required_columns if c not in df.columns]
+    if missing:
+        raise SchemaValidationError(f"missing required columns: {missing}")
+    return df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC writer twin of read_orc — columnar with footer statistics,
+    so the min/max-skipping story (operators/layout.py) applies to ORC
+    stripes exactly as to parquet row groups."""
+    df.write.mode(mode).orc(path)

@@ -133,3 +133,40 @@ def test_jdbc_reader_plumbing(spark):
 
     with pytest.raises(ValueError, match="partition_column requires"):
         jdbc.jdbc_reader(spark, "jdbc:x", "t", partition_column="id")
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_small, tmp_path):
+    """S8+ — ORC: write/read equality plus pushdown reaching the ORC
+    scan (the format claim is only real if the scan prunes)."""
+    from streaming_data_spark import plans
+    from streaming_data_spark.schemas import load_table
+    from streaming_data_spark.sources.files import read_orc, write_orc
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = str(tmp_path / "events_orc")
+    write_orc(events, path)
+    back = read_orc(spark, path, required_columns=["event_id", "event_type"])
+    assert back.count() == events.count()
+    assert back.exceptAll(events).isEmpty()
+    filtered = back.filter(back.event_type == "click")
+    pushed = plans.pushed_filters(filtered)
+    assert any("event_type" in p for p in pushed), pushed
+
+
+def test_orc_missing_required_column_raises(spark, sf_small, tmp_path):
+    from streaming_data_spark.schemas import load_table
+    from streaming_data_spark.sources.files import (
+        SchemaValidationError,
+        read_orc,
+        write_orc,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    import pytest
+
+    with pytest.raises(SchemaValidationError, match="text"):
+        read_orc(spark, path, required_columns=["doc_id", "text"])

@@ -694,3 +694,132 @@ def test_change_alert_stream_tws_binding(spark, sf_small, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """T — leftOuter stream-stream join: an impression with no click
+    inside [ts, ts+max_delay] must surface exactly once with nulls —
+    but only after the watermark PROVES no match can still arrive.
+    A far-future flush event advances event time past the horizon."""
+    import os
+
+    import pandas as pd
+
+    left_dir = tmp_path / "imp"
+    right_dir = tmp_path / "clk"
+    left_dir.mkdir()
+    right_dir.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def _write(d, name, rows, cols):
+        p = d / name
+        pd.DataFrame(rows, columns=cols).assign(
+            ts=lambda f: f.ts.dt.strftime("%Y-%m-%dT%H:%M:%S")
+        ).to_json(p, orient="records", lines=True)
+        os.utime(p, (1_700_000_000, 1_700_000_000))
+
+    # impressions: key 1 (will match), key 2 (never clicked)
+    _write(
+        left_dir,
+        "a.json",
+        [(1, base), (2, base), (99, base + pd.Timedelta(days=10))],
+        ["k", "ts"],
+    )
+    # clicks: key 1 inside the 10-minute window; the key-99 flush row
+    # pushes BOTH watermarks far past the horizon
+    _write(
+        right_dir,
+        "a.json",
+        [(1, base + pd.Timedelta(minutes=5)), (99, base + pd.Timedelta(days=10))],
+        ["k", "ts"],
+    )
+
+    schema = StructType().add("k", "long").add("ts", "timestamp")
+    left = (
+        spark.readStream.schema(schema)
+        .json(str(left_dir))
+        .selectExpr("k", "ts AS imp_ts")
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .json(str(right_dir))
+        .selectExpr("k AS k2", "ts AS clk_ts")
+    )
+    joined = sp.stream_stream_join(
+        left.withColumnRenamed("k", "k"),
+        right.withColumnRenamed("k2", "k"),
+        key="k",
+        left_ts="imp_ts",
+        right_ts="clk_ts",
+        max_delay="10 minutes",
+        watermark="1 minute",
+        how="leftOuter",
+    )
+    writer = (
+        joined.writeStream.format("memory")
+        .queryName("outer_join_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+    )
+    q = writer.start()
+    # two passes: micro-batch 1 ingests, micro-batch 2 closes outer state
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    # both sides carry a `k` column (condition join, not USING) —
+    # read positionally: [left k, imp_ts, right k, clk_ts]
+    rows = spark.sql("SELECT * FROM outer_join_out").collect()
+    got = {(r[0], r[3] is None) for r in rows}
+    assert (1, False) in got, got      # matched pair emitted
+    assert (2, True) in got, got       # unmatched left emitted with nulls
+    assert (99, False) in got, got     # flush rows match each other
+
+
+def test_available_now_incremental_restart_processes_only_new_files(
+    spark, sf_small, tmp_path
+):
+    """T5 — trigger(availableNow): drain-everything-then-stop batches
+    over a streaming checkpoint. A restart after new files land must
+    process ONLY the new files (offsets carry across runs) and append
+    without duplicating the first run's output — the engine-native
+    form of the reference's fetch-since-max incremental loop."""
+    import os
+
+    events = (
+        load_table(spark, sf_small, "events")
+        .select("event_id", "user_id", "value")
+        .limit(60)
+        .toPandas()
+    )
+    src = tmp_path / "incr_src"
+    src.mkdir()
+    out = str(tmp_path / "incr_out")
+    ckpt = str(tmp_path / "incr_ckpt")
+    schema = (
+        StructType().add("event_id", "long").add("user_id", "long").add("value", "double")
+    )
+
+    def _run_once() -> None:
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    p1 = src / "batch1.json"
+    events.iloc[:40].to_json(p1, orient="records", lines=True)
+    os.utime(p1, (1_700_000_000, 1_700_000_000))
+    _run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+
+    p2 = src / "batch2.json"
+    events.iloc[40:].to_json(p2, orient="records", lines=True)
+    os.utime(p2, (1_700_000_100, 1_700_000_100))
+    _run_once()
+    back = spark.read.parquet(out)
+    assert back.count() == 60  # no reprocessing, no duplicates
+    assert back.select("event_id").distinct().count() == 60
