@@ -105,6 +105,8 @@ HEAVY = [
     "incremental_rollup",
     # round-4 wave 21 + lossless-pruning jaccard tier
     "a19_activity_streaks", "a20_rolling_corr", "x2_ngram_jaccard_prefix",
+    # round-4 wave 22: position-keyed centroid distance join
+    "x33_centroid_classify",
 ]
 
 
