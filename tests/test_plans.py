@@ -545,3 +545,27 @@ def test_x33_centroid_classify_no_nested_loop(spark, sf_small):
     text = plans.explain_str(df)
     assert "CartesianProduct" not in text, text
     assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_cdc_diff_is_one_full_outer_keyed_join(spark, sf_small):
+    """The diff is a single full-outer equi-join on the snapshot key —
+    no nested loop, no second diff pass."""
+    from streaming_data_spark.queries_ext23 import q_cdc_snapshot_diff
+
+    df = q_cdc_snapshot_diff(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "FullOuter" in text, text
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_a21_resample_single_scan_two_aggregates(spark, sf_small):
+    """The cascade reads raw events ONCE: hourly candles feed the 6h
+    re-aggregation without a second scan (the whole point of deriving
+    coarse candles from fine ones)."""
+    from streaming_data_spark.queries_ext23 import q_a21_candle_resample
+
+    df = q_a21_candle_resample(spark, sf_small)
+    text = plans.explain_str(df)
+    assert text.count("events.parquet") == 1, text
+    assert plans.shuffle_count(df) <= 2, text
