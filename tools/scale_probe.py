@@ -107,6 +107,8 @@ HEAVY = [
     "a19_activity_streaks", "a20_rolling_corr", "x2_ngram_jaccard_prefix",
     # round-4 wave 22: position-keyed centroid distance join
     "x33_centroid_classify",
+    # round-4 wave 23: full-outer snapshot diff, two-level candle cascade
+    "cdc_snapshot_diff", "a21_candle_resample",
 ]
 
 
