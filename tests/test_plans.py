@@ -569,3 +569,30 @@ def test_a21_resample_single_scan_two_aggregates(spark, sf_small):
     text = plans.explain_str(df)
     assert text.count("events.parquet") == 1, text
     assert plans.shuffle_count(df) <= 2, text
+
+
+def test_date_partitioned_sink_prunes_partitions_on_read(spark, sf_small, tmp_path):
+    """K5 + scale: a filter on the partition column must become a
+    PartitionFilter (directory-level pruning — no file of other days
+    is even listed into the scan), which is a DIFFERENT mechanism from
+    parquet footer pushdown and the one that matters most for
+    date-ranged queries over years of history."""
+    from streaming_data_spark.schemas import load_table
+
+    events = load_table(spark, sf_small, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    path = str(tmp_path / "by_day")
+    events.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("day") == "2024-01-05")
+    text = plans.explain_str(one_day)
+    assert "PartitionFilters" in text, text
+    # the partition filter must actually carry the day predicate
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "day" in m.group(1), text
+    # and the result is correct
+    assert one_day.count() == events.filter(F.col("day") == "2024-01-05").count()
