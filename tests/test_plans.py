@@ -596,3 +596,12 @@ def test_date_partitioned_sink_prunes_partitions_on_read(spark, sf_small, tmp_pa
     assert m and "day" in m.group(1), text
     # and the result is correct
     assert one_day.count() == events.filter(F.col("day") == "2024-01-05").count()
+
+
+def test_x34_weighted_sample_is_shuffle_free(spark, sf_small):
+    """The coin and the keep probability are pure column functions —
+    zero exchanges; the sample prunes at scan speed."""
+    from streaming_data_spark.queries_ext25 import q_x34_weighted_sample
+
+    df = q_x34_weighted_sample(spark, sf_small)
+    assert plans.shuffle_count(df) == 0, plans.explain_str(df)
