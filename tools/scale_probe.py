@@ -109,6 +109,8 @@ HEAVY = [
     "x33_centroid_classify",
     # round-4 wave 23: full-outer snapshot diff, two-level candle cascade
     "cdc_snapshot_diff", "a21_candle_resample",
+    # round-4 waves 24/25: VARIANT probe-per-path, shuffle-free weighted sample
+    "f_variant_json", "x34_weighted_sample",
 ]
 
 
