@@ -16,7 +16,9 @@ upbit_daily_candels.py:241). Document, don't pretend.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
@@ -36,19 +38,72 @@ def _is_missing_path(exc: AnalysisException) -> bool:
     )
 
 
+class ConcurrentWriterError(RuntimeError):
+    """Another writer holds the table's single-writer lock."""
+
+
+@contextmanager
+def _single_writer_lock(target_path: str):
+    """Advisory single-writer enforcement: exclusively CREATE a lock
+    file next to the table; a concurrent holder makes the second
+    writer fail FAST instead of silently racing the anti-join (the
+    read-check-append sequence is not atomic — two writers that both
+    pass the anti-join both append, breaking the at-most-once-per-key
+    contract). This makes the engine's documented single-writer
+    assumption (reference is single-writer too: one transaction per
+    load, upbit_daily_candels.py) an ENFORCED invariant rather than a
+    comment. True multi-writer semantics need a transactional table
+    format (Delta/Iceberg) — documented upgrade path, SURVEY §7.4.
+
+    O_CREAT|O_EXCL is atomic on POSIX filesystems and on s3a/abfs
+    single-object creates; a crashed writer leaves a stale lock that
+    the operator removes (the lock carries pid + timestamp for that
+    triage).
+    """
+    import json as _json
+    import time as _time
+
+    os.makedirs(target_path, exist_ok=True)
+    lock = os.path.join(target_path, "_sds_writer.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentWriterError(
+            f"another writer holds {lock}; concurrent keyed appends would "
+            "race the anti-join (remove the lock only if its owner is dead)"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(_json.dumps({"pid": os.getpid(), "ts": _time.time()}))
+    try:
+        yield
+    finally:
+        os.remove(lock)
+
+
 def write_if_absent(
     new: DataFrame,
     target_path: str,
     keys: Sequence[str],
     fmt: str = "parquet",
     partition_by: Sequence[str] | None = None,
+    enforce_single_writer: bool = False,
 ) -> int:
     """K1/K2 — idempotent keyed append to a path-based table.
 
     Returns the number of rows actually appended. The anti-join reads
     only the key columns of the target (column-pruned scan); the
     shuffle is keyed on ``keys`` and AQE-sized.
+
+    ``enforce_single_writer=True`` wraps the read-check-append in the
+    advisory lock (see _single_writer_lock) so a concurrent writer
+    fails fast instead of silently double-inserting.
     """
+    if enforce_single_writer:
+        with _single_writer_lock(target_path):
+            return write_if_absent(
+                new, target_path, keys, fmt, partition_by,
+                enforce_single_writer=False,
+            )
     spark = new.sparkSession
     deduped = new.dropDuplicates(list(keys))
     try:

@@ -83,3 +83,38 @@ def test_write_text_log_date_partitioned(spark, sf_small, tmp_path):
     assert all(len(d) == 8 for d in days) and days
     parsed = spark.read.json(out)
     assert "event_id" in parsed.columns
+
+
+def test_single_writer_lock_blocks_concurrent_append(spark, sf_small, tmp_path):
+    """The advisory lock makes the documented single-writer assumption
+    enforced: a second writer starting while the lock is held fails
+    FAST (instead of racing the anti-join into double inserts), and
+    the lock is released after a successful write."""
+    import os
+
+    import pytest
+
+    from streaming_data_spark.schemas import load_table
+    from streaming_data_spark.sinks.writers import (
+        ConcurrentWriterError,
+        write_if_absent,
+    )
+
+    rows = load_table(spark, sf_small, "documents").select("doc_id", "lang").limit(20)
+    target = str(tmp_path / "locked_table")
+
+    n = write_if_absent(rows, target, keys=["doc_id"], enforce_single_writer=True)
+    assert n == 20
+    assert not os.path.exists(os.path.join(target, "_sds_writer.lock"))
+
+    # simulate a concurrent holder
+    lock = os.path.join(target, "_sds_writer.lock")
+    with open(lock, "w") as fh:
+        fh.write("{}")
+    with pytest.raises(ConcurrentWriterError, match="another writer"):
+        write_if_absent(rows, target, keys=["doc_id"], enforce_single_writer=True)
+    os.remove(lock)
+
+    # replay after release: idempotent, appends nothing
+    n2 = write_if_absent(rows, target, keys=["doc_id"], enforce_single_writer=True)
+    assert n2 == 0
