@@ -71,17 +71,28 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (sinks/writers.write_bucketed) and the diff is exchange-free.
     """
     orders = _t(spark, sf_dir, "orders")
-    old = orders.select("o_orderkey", F.col("o_totalprice").alias("old_price"))
+    # presence comes from explicit NON-NULLABLE markers, never from
+    # the tracked column: a NULL-priced row present in both snapshots
+    # must read as unchanged, not as an insert
+    old = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("old_price"),
+        F.lit(1).alias("in_old"),
+    )
     new = _new_snapshot(orders).select(
-        "o_orderkey", F.col("o_totalprice").alias("new_price")
+        "o_orderkey",
+        F.col("o_totalprice").alias("new_price"),
+        F.lit(1).alias("in_new"),
     )
     joined = old.join(new, "o_orderkey", "full_outer")
     return (
         joined.withColumn(
             "op",
-            F.when(F.col("old_price").isNull(), F.lit("I"))
-            .when(F.col("new_price").isNull(), F.lit("D"))
-            .when(F.col("old_price") != F.col("new_price"), F.lit("U")),
+            F.when(F.col("in_old").isNull(), F.lit("I"))
+            .when(F.col("in_new").isNull(), F.lit("D"))
+            .when(
+                ~F.col("old_price").eqNullSafe(F.col("new_price")), F.lit("U")
+            ),
         )
         .filter(F.col("op").isNotNull())
         .select("o_orderkey", "op", "old_price", "new_price")
@@ -108,18 +119,20 @@ new_snap AS (
 ),
 joined AS (
   SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-         o.o_totalprice AS old_price, n.o_totalprice AS new_price
-  FROM orders o FULL OUTER JOIN new_snap n USING (o_orderkey)
+         o.o_totalprice AS old_price, n.o_totalprice AS new_price,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new
+  FROM orders o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+),
+classified AS (
+  SELECT o_orderkey, old_price, new_price,
+         CASE WHEN NOT in_old THEN 'I'
+              WHEN NOT in_new THEN 'D'
+              WHEN old_price IS DISTINCT FROM new_price THEN 'U' END AS op
+  FROM joined
 )
-SELECT o_orderkey,
-       CASE WHEN old_price IS NULL THEN 'I'
-            WHEN new_price IS NULL THEN 'D'
-            WHEN old_price <> new_price THEN 'U' END AS op,
-       old_price, new_price
-FROM joined
-WHERE (CASE WHEN old_price IS NULL THEN 'I'
-            WHEN new_price IS NULL THEN 'D'
-            WHEN old_price <> new_price THEN 'U' END) IS NOT NULL
+SELECT o_orderkey, op, old_price, new_price
+FROM classified WHERE op IS NOT NULL
 """
 
 
@@ -136,7 +149,7 @@ def q_a21_candle_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = events.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(
-        F.min_by("value", "ts").alias("open"),
+        F.min_by("value", F.struct(F.col("ts"), F.col("event_id"))).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
         F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))).alias("close"),

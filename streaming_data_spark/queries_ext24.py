@@ -1,7 +1,7 @@
 """Twenty-fourth query wave — native semi-structured processing:
 
 - f_variant_json: the events ``props`` JSON payload processed through
-  Spark 4's VARIANT type (``parse_json`` once → typed
+  Spark 4's VARIANT type (``try_parse_json`` once → typed
   ``try_variant_get`` extractions) instead of per-path
   ``get_json_object`` string re-parsing. Same answers as the string
   path (f_dates_json extracts the same field) — the difference is the
@@ -30,7 +30,9 @@ def q_f_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     v = events.select(
         "event_type",
-        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+        # try_ at BOTH layers: parse_json throws on malformed payloads,
+        # while every other json-family query here null-tolerates them
+        F.try_variant_get(F.try_parse_json("props"), "$.k", "int").alias("k"),
     )
     return v.groupBy("event_type").agg(
         F.count("k").alias("n_with_k"),

@@ -55,14 +55,25 @@ def _single_writer_lock(target_path: str):
     comment. True multi-writer semantics need a transactional table
     format (Delta/Iceberg) — documented upgrade path, SURVEY §7.4.
 
-    O_CREAT|O_EXCL is atomic on POSIX filesystems and on s3a/abfs
-    single-object creates; a crashed writer leaves a stale lock that
-    the operator removes (the lock carries pid + timestamp for that
-    triage).
+    Scope: LOCAL/POSIX paths only — os.open(O_CREAT|O_EXCL) is atomic
+    there. A URI-schemed target (s3a://, hdfs://, abfs://) would get a
+    meaningless LOCAL lock giving false assurance, so it is rejected
+    outright: on object stores there is no portable exclusive-create
+    primitive visible from here, and the honest answer is the
+    transactional-format upgrade (Delta/Iceberg). A crashed writer
+    leaves a stale lock that the operator removes (the lock carries
+    pid + timestamp for that triage).
     """
     import json as _json
+    import re as _re
     import time as _time
 
+    if _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", target_path) and not target_path.startswith("file://"):
+        raise NotImplementedError(
+            "single-writer lock enforcement is local-filesystem-only; a "
+            f"local lock cannot exclude writers of {target_path!r} — use a "
+            "transactional table format (Delta/Iceberg) for remote tables"
+        )
     os.makedirs(target_path, exist_ok=True)
     lock = os.path.join(target_path, "_sds_writer.lock")
     try:

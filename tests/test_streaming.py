@@ -743,11 +743,11 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     right = (
         spark.readStream.schema(schema)
         .json(str(right_dir))
-        .selectExpr("k AS k2", "ts AS clk_ts")
+        .selectExpr("k", "ts AS clk_ts")
     )
     joined = sp.stream_stream_join(
-        left.withColumnRenamed("k", "k"),
-        right.withColumnRenamed("k2", "k"),
+        left,
+        right,
         key="k",
         left_ts="imp_ts",
         right_ts="clk_ts",
