@@ -95,3 +95,52 @@ def run_job_with_alerts(job: Callable[[], object], send: AlertFn, name: str) -> 
         "completed": datetime.now(timezone.utc).isoformat(),
     })
     return result
+
+
+class MetricsCollector(StreamingQueryListener):
+    """Observability: per-micro-batch throughput/latency capture —
+    the numbers a dashboard (the reference's Kibana layer) charts.
+
+    Collects (batchId, numInputRows, processedRowsPerSecond,
+    batchDuration_ms, watermark) per progress event; ``summary()``
+    reduces them to totals/averages for job-level reporting. State is
+    driver-side and O(batches) — trim with ``keep_last`` when
+    attaching to a long-lived query.
+    """
+
+    def __init__(self, keep_last: int | None = None) -> None:
+        self.records: list[dict] = []
+        self._keep = keep_last
+
+    def onQueryStarted(self, event) -> None:  # pragma: no cover - noop
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        self.records.append(
+            {
+                "batchId": p.batchId,
+                "numInputRows": p.numInputRows,
+                "processedRowsPerSecond": p.processedRowsPerSecond,
+                "batchDuration_ms": p.batchDuration,
+                "watermark": p.eventTime.get("watermark") if p.eventTime else None,
+            }
+        )
+        if self._keep is not None and len(self.records) > self._keep:
+            del self.records[: -self._keep]
+
+    def onQueryIdle(self, event) -> None:  # pragma: no cover - noop
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # pragma: no cover - noop
+        pass
+
+    def summary(self) -> dict:
+        rows = sum(r["numInputRows"] for r in self.records)
+        dur = sum(r["batchDuration_ms"] for r in self.records)
+        return {
+            "n_batches": len(self.records),
+            "total_rows": rows,
+            "total_batch_ms": dur,
+            "avg_rows_per_batch": rows / len(self.records) if self.records else 0.0,
+        }

@@ -823,3 +823,37 @@ def test_available_now_incremental_restart_processes_only_new_files(
     back = spark.read.parquet(out)
     assert back.count() == 60  # no reprocessing, no duplicates
     assert back.select("event_id").distinct().count() == 60
+
+
+def test_metrics_collector_accounts_every_input_row(spark, event_stream_dir, tmp_path):
+    """Observability contract: the per-batch metrics the collector
+    captures must ACCOUNT for the stream — total numInputRows across
+    progress events equals the rows actually delivered to the sink."""
+    from streaming_data_spark.streaming.listeners import MetricsCollector
+
+    collector = MetricsCollector()
+    spark.streams.addListener(collector)
+    try:
+        stream = sp.file_json_source(spark, event_stream_dir)
+        normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+        writer = (
+            normalized.writeStream.format("memory")
+            .queryName("metrics_probe")
+            .option("checkpointLocation", str(tmp_path / "ckpt_metrics"))
+        )
+        sp.run_to_completion(writer)
+        # listener delivery is async — wait for the progress events
+        import time
+
+        delivered = spark.sql("SELECT count(*) AS n FROM metrics_probe").collect()[0].n
+        for _ in range(40):
+            if sum(r["numInputRows"] for r in collector.records) >= delivered:
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(collector)
+
+    s = collector.summary()
+    assert s["total_rows"] == delivered, (s, delivered)
+    assert s["n_batches"] >= 1
+    assert all(r["batchDuration_ms"] >= 0 for r in collector.records)
