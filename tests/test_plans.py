@@ -605,3 +605,36 @@ def test_x34_weighted_sample_is_shuffle_free(spark, sf_small):
 
     df = q_x34_weighted_sample(spark, sf_small)
     assert plans.shuffle_count(df) == 0, plans.explain_str(df)
+
+
+def test_a22_wow_growth_windows_aggregate_not_fact(spark, sf_small):
+    """lag() runs on the (priority, week) rollup — the fact shuffles
+    once for the groupBy; the window sees the tiny aggregate."""
+    from streaming_data_spark.queries_ext26 import q_a22_wow_growth
+
+    df = q_a22_wow_growth(spark, sf_small)
+    text = plans.explain_str(df)
+    assert text.count("orders.parquet") == 1, text
+    assert plans.shuffle_count(df) <= 2, text
+
+
+def test_a23_topn_others_broadcasts_dims(spark, sf_small):
+    """customer/nation enrich via broadcast — the fact never shuffles
+    for the dimension lookup; the rank runs on the |nations|-row agg."""
+    from streaming_data_spark.queries_ext26 import q_a23_topn_others
+
+    df = q_a23_topn_others(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "BroadcastHashJoin" in text, text
+    assert "SortMergeJoin" not in text, text
+
+
+def test_a24_cooccurrence_joins_deduped_pairs_only(spark, sf_small):
+    """The self-join runs on DISTINCT (user, type) pairs — fan-out is
+    bounded by |types|² per user, never events²."""
+    from streaming_data_spark.queries_ext26 import q_a24_cooccurrence
+
+    df = q_a24_cooccurrence(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
