@@ -111,6 +111,8 @@ HEAVY = [
     "cdc_snapshot_diff", "a21_candle_resample",
     # round-4 waves 24/25: VARIANT probe-per-path, shuffle-free weighted sample
     "f_variant_json", "x34_weighted_sample",
+    # round-4 wave 26: BI reporting shapes
+    "a22_wow_growth", "a23_topn_others", "a24_cooccurrence",
 ]
 
 
