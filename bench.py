@@ -137,7 +137,13 @@ def main() -> None:
                     # bug fixed in r2); today's number is honest-cold.
                     # Cold r01 measured ~10s; r2 runs ~1.8s cold.
                     payload["notes"] = {
-                        "x2_minhash_lsh": "r01 baseline was cache-leak-warmed; cold r01 ~10s, r2 cold ~1.8s"
+                        "x2_minhash_lsh": (
+                            "r01 baseline was cache-leak-warmed; cold r01 ~10s, r2 cold ~1.8s. "
+                            "High run variance: first execution in a fresh JVM pays ~6s of "
+                            "codegen/JIT for the 16-agg + band-join plan (measured "
+                            "[7.5, 1.7, 1.4, 1.5, 1.4, 1.3]s across 6 in-session runs); "
+                            "steady state is 1.3-1.5s"
+                        )
                     }
         except (OSError, ValueError):
             pass
