@@ -638,3 +638,16 @@ def test_a24_cooccurrence_joins_deduped_pairs_only(spark, sf_small):
     text = plans.explain_str(df)
     assert "CartesianProduct" not in text, text
     assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_funnel_in_session_no_self_joins_shared_keying(spark, sf_small):
+    """Session assignment and the funnel agg both ride the user_id
+    keying; like the all-history funnel, the Spark plan needs NO
+    self-joins (the oracle's 2-step joins are the SQL formulation,
+    not the plan)."""
+    from streaming_data_spark.queries_ext27 import q_funnel_in_session
+
+    df = q_funnel_in_session(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "Join" not in text, text
+    assert text.count("events.parquet") == 1, text
