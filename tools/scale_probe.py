@@ -113,6 +113,8 @@ HEAVY = [
     "f_variant_json", "x34_weighted_sample",
     # round-4 wave 26: BI reporting shapes
     "a22_wow_growth", "a23_topn_others", "a24_cooccurrence",
+    # round-4 wave 27: session-scoped funnel (two window passes + funnel agg)
+    "funnel_in_session",
 ]
 
 
