@@ -207,6 +207,30 @@ def windowed_rollup(
     )
 
 
+def windowed_distinct_users(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Streaming active-user counts per event-time window — the
+    "streaming DAU" metric. Exact COUNT(DISTINCT) is unsupported in
+    streaming aggregations (state would hold every id per window);
+    ``approx_count_distinct`` keeps a bounded HLL sketch per window
+    cell instead — the same mergeable-sketch trade as the batch tier
+    (operators/sketches.py), made by the engine automatically. At
+    rsd=0.01 counts in the thousands are near-exact; the batch
+    comparison test bounds the error."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .agg(F.approx_count_distinct(user_col, rsd).alias("users_est"))
+        .select(F.col("window.start").alias("bucket_ts"), "users_est")
+    )
+
+
 def streaming_ohlcv(
     stream: DataFrame,
     key: str,

@@ -857,3 +857,41 @@ def test_metrics_collector_accounts_every_input_row(spark, event_stream_dir, tmp
     assert s["total_rows"] == delivered, (s, delivered)
     assert s["n_batches"] >= 1
     assert all(r["batchDuration_ms"] >= 0 for r in collector.records)
+
+
+def test_streaming_windowed_distinct_matches_batch_within_tolerance(
+    spark, sf_small, event_stream_dir, tmp_path
+):
+    """T3 + sketches — streaming per-window distinct users: exact
+    distinct state is unbounded, so the streaming tier is per-window
+    HLL; its estimates must land within the sketch tolerance of the
+    batch exact counts for every window."""
+    stream = sp.file_json_source(spark, event_stream_dir)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    est = sp.windowed_distinct_users(
+        normalized, window_duration="6 hours", watermark="2 days"
+    )
+    writer = (
+        est.writeStream.format("memory")
+        .queryName("dau_est")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dau"))
+    )
+    sp.run_to_completion(writer)
+    got = {
+        r.bucket_ts: r.users_est
+        for r in spark.sql("SELECT * FROM dau_est").collect()
+    }
+
+    batch = (
+        spark.read.json(event_stream_dir)
+        .select(F.from_json("value", PAYLOAD_SCHEMA).alias("p"))
+        .select("p.*")
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("window.start").alias("bucket_ts"), "n")
+    )
+    want = {r.bucket_ts: r.n for r in batch.collect()}
+    assert set(got) == set(want)
+    for b, exact in want.items():
+        assert abs(got[b] - exact) <= max(2, 0.05 * exact), (b, got[b], exact)
