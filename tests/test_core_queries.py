@@ -41,3 +41,16 @@ def test_entry_smoke(spark, sf_small):
     df = entry.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_registry_contract_every_query_has_an_oracle():
+    """The correctness gate's own contract: every queries() entry has
+    an oracle_sql() twin (the driver records weaker rows-only checks
+    for orphans — this registry intentionally has none), and the
+    oracle dict carries no dead keys."""
+    assert set(ORACLES) == set(QUERIES), (
+        sorted(set(QUERIES) - set(ORACLES)),
+        sorted(set(ORACLES) - set(QUERIES)),
+    )
+    assert all(callable(f) for f in QUERIES.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in ORACLES.values())
