@@ -227,3 +227,91 @@ def test_prefix_filtered_jaccard_equals_plain(spark, docs, threshold):
         ).collect()
     }
     assert pref == plain
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 5),                      # user
+            st.integers(0, 9),                      # day offset
+            st.floats(min_value=0.1, max_value=50.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    split_day=st.integers(0, 9),
+)
+@settings(**_SETTINGS)
+def test_incremental_rollup_merge_equals_direct_for_any_split(spark, rows, split_day):
+    """The monoid-merge argument behind incremental_rollup, proved for
+    ARBITRARY split points (the registry query fixes one): state
+    partials + delta partials re-aggregated == one-pass groupBy,
+    including groups that span the split."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "user long, day int, value double")
+
+    def partial(d):
+        return d.groupBy("user", "day").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+
+    merged = (
+        partial(df.filter(F.col("day") < split_day))
+        .unionByName(partial(df.filter(F.col("day") >= split_day)))
+        .groupBy("user", "day")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 6).alias("total"))
+    )
+    direct = df.groupBy("user", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total")
+    )
+    got = {(r.user, r.day): (r.n, r.total) for r in merged.collect()}
+    want = {(r.user, r.day): (r.n, r.total) for r in direct.collect()}
+    assert got == want
+
+
+@given(
+    old_keys=st.sets(st.integers(1, 30), min_size=0, max_size=15),
+    new_keys=st.sets(st.integers(1, 30), min_size=0, max_size=15),
+    changed=st.sets(st.integers(1, 30), min_size=0, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_cdc_diff_classification_tiles_the_key_space(spark, old_keys, new_keys, changed):
+    """I/U/D/unchanged must PARTITION the key universe for arbitrary
+    snapshot pairs — the tiling invariant behind the CDC primitive
+    (the registry query fixes one derivation; this drives random
+    ones, including NULL prices on both sides)."""
+    from pyspark.sql import functions as F
+
+    old_rows = [(k, None if k % 7 == 0 else float(k)) for k in sorted(old_keys)]
+    new_rows = [
+        (k, None if k % 7 == 0 else float(k) * (2.0 if k in changed else 1.0))
+        for k in sorted(new_keys)
+    ]
+    old = spark.createDataFrame(old_rows, "k long, price double").select(
+        "k", F.col("price").alias("old_price"), F.lit(1).alias("in_old")
+    )
+    new = spark.createDataFrame(new_rows, "k long, price double").select(
+        "k", F.col("price").alias("new_price"), F.lit(1).alias("in_new")
+    )
+    diff = (
+        old.join(new, "k", "full_outer")
+        .withColumn(
+            "op",
+            F.when(F.col("in_old").isNull(), F.lit("I"))
+            .when(F.col("in_new").isNull(), F.lit("D"))
+            .when(~F.col("old_price").eqNullSafe(F.col("new_price")), F.lit("U")),
+        )
+    )
+    got = {(r.k, r.op) for r in diff.collect()}
+    want = set()
+    for k in old_keys | new_keys:
+        if k not in old_keys:
+            want.add((k, "I"))
+        elif k not in new_keys:
+            want.add((k, "D"))
+        else:
+            o = None if k % 7 == 0 else float(k)
+            n = None if k % 7 == 0 else float(k) * (2.0 if k in changed else 1.0)
+            want.add((k, "U" if o != n else None))
+    assert got == want
