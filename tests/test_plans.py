@@ -651,3 +651,15 @@ def test_funnel_in_session_no_self_joins_shared_keying(spark, sf_small):
     text = plans.explain_str(df)
     assert "Join" not in text, text
     assert text.count("events.parquet") == 1, text
+
+
+def test_a25_rolling_median_single_exchange_no_udf(spark, sf_small):
+    """The sorted-frame median is pure JVM built-ins over ONE user_id
+    window exchange — no Python in the hot path, no second shuffle."""
+    from streaming_data_spark.queries_ext28 import q_a25_rolling_median
+
+    df = q_a25_rolling_median(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "BatchEvalPython" not in text, text
+    assert "ArrowEvalPython" not in text, text
+    assert plans.shuffle_count(df) == 1, text
