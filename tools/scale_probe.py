@@ -115,6 +115,8 @@ HEAVY = [
     "a22_wow_growth", "a23_topn_others", "a24_cooccurrence",
     # round-4 wave 27: session-scoped funnel (two window passes + funnel agg)
     "funnel_in_session",
+    # round-4 wave 28: sorted-frame exact rolling median
+    "a25_rolling_median",
 ]
 
 
