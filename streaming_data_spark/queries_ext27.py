@@ -30,7 +30,10 @@ def q_funnel_in_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-step session counts + conversion vs sessions that started
     the funnel (step 1 = a signup inside the session)."""
     events = _t(spark, sf_dir, "events")
-    w_order = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tiebreak makes session assignment TOTAL: two same-user
+    # events sharing a ts would otherwise get order-dependent
+    # cumulative-sum session numbers (and could diverge vs the oracle).
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_order))
     sessioned = events.withColumn(
         "new_session",
@@ -80,15 +83,15 @@ def q_funnel_in_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FUNNEL_SESSION = """
 WITH flagged AS (
-  SELECT user_id, ts, event_type,
+  SELECT user_id, event_id, ts, event_type,
     CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
          THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessioned AS (
   SELECT user_id, ts, event_type,
-    (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
       AS session_seq
   FROM flagged

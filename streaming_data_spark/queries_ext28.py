@@ -29,7 +29,13 @@ FRAME = 15  # ODD on purpose: the median is a single element, exact
 
 def q_a25_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_id, user_id, ts, value, med_15) for every event with a
-    fully-warmed trailing window of 15 events (incl. current)."""
+    fully-warmed trailing window of 15 events (incl. current).
+
+    NULL contract: ``collect_list`` drops NULL values, so ``w_n``
+    counts NON-NULL values inside the 15-row frame; the oracle uses
+    ``count(value) OVER w`` (not ``count(*)``) so both engines agree
+    on what "fully warmed" means when ``events.value`` has NULLs
+    (the schema allows it even though current testdata has none)."""
     events = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -55,7 +61,7 @@ SQL_A25 = f"""
 WITH rolled AS (
   SELECT event_id, user_id, ts, value,
          median(value) OVER w AS med_15,
-         count(*) OVER w AS w_n
+         count(value) OVER w AS w_n
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC
                ROWS BETWEEN {FRAME - 1} PRECEDING AND CURRENT ROW)

@@ -113,7 +113,9 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sessions split on >30 min inactivity: lag + cumulative
     sum of gap flags — one shuffle on user_id, two window passes."""
     events = _t(spark, sf_dir, "events")
-    w_order = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tiebreak: same-ts events would otherwise make the
+    # cumulative-sum session assignment order-dependent (see ext27).
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_order))
     flagged = events.withColumn(
         "new_session",
@@ -136,17 +138,17 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSION = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
     CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
          THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessioned AS (
   SELECT user_id, ts, value,
     -- ::BIGINT: DuckDB window sum yields HUGEINT, which pandas widens
     -- to float64 and breaks the driver's value hash vs Spark's int64.
-    (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
   FROM flagged
 )

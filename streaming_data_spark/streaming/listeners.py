@@ -127,7 +127,12 @@ class MetricsCollector(StreamingQueryListener):
             }
         )
         if self._keep is not None and len(self.records) > self._keep:
-            del self.records[: -self._keep]
+            if self._keep == 0:
+                # `del records[:-0]` is `del records[:0]` — a no-op —
+                # so keep_last=0 ("retain nothing") needs its own path.
+                self.records.clear()
+            else:
+                del self.records[: -self._keep]
 
     def onQueryIdle(self, event) -> None:  # pragma: no cover - noop
         pass

@@ -147,38 +147,54 @@ ALERT_SCHEMA = StructType(
     ]
 )
 
-# cross-batch state: the key's last-seen event
+# cross-batch state: the key's last-seen event. ``seq`` is the
+# deterministic tiebreak for same-timestamp events (an event id when
+# the caller names one via ``seq_col``; constant 0 otherwise, which
+# degrades to the plain ts-only comparison).
 _LAST_SCHEMA = StructType(
-    [StructField("ts_us", LongType()), StructField("value", DoubleType())]
+    [
+        StructField("ts_us", LongType()),
+        StructField("seq", LongType()),
+        StructField("value", DoubleType()),
+    ]
 )
 
 
-def _detect_changes(prev, ts_us, values, pct):
-    """Shared kernel: scan one key's batch (ts-sorted) against the
-    carried (ts_us, value) state; return (alert rows, new state).
-    Out-of-order stragglers older than the carried state never alert
-    and never regress the state (same late-data stance as
-    sessionize_stream: state moves forward only). A ZERO baseline
-    never alerts — relative change against 0 is undefined, and the
-    engine-side twin (lag + double division) yields NULL there, so
-    emitting ±inf would diverge stream from batch. Rounding is
+def _detect_changes(prev, ts_us, values, pct, seqs=None):
+    """Shared kernel: scan one key's batch (sorted by (ts, seq)) against
+    the carried (ts_us, seq, value) state; return (alert rows, new
+    state). Out-of-order stragglers older than the carried state never
+    alert and never regress the state (same late-data stance as
+    sessionize_stream: state moves forward only); "older" is the
+    LEXICOGRAPHIC (ts, seq) order, so two same-ts events resolve the
+    same way on every replay instead of by arrival order. A ZERO
+    baseline never alerts — relative change against 0 is undefined,
+    and the engine-side twin (lag + double division) yields NULL there,
+    so emitting ±inf would diverge stream from batch. Rounding is
     HALF-UP (away from zero), matching Spark's round(), not Python's
     banker's rounding."""
+    import itertools
     import math
 
     def _round6(x: float) -> float:
         return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
 
+    if seqs is None:
+        seqs = itertools.repeat(0)
     out: list[tuple[int, float, float, float]] = []
-    for t, v in zip(ts_us, values):
+    for t, s, v in zip(ts_us, seqs, values):
         if prev is not None:
-            p_ts, p_val = prev
-            if t >= p_ts and p_val != 0 and abs(v - p_val) > pct * abs(p_val):
+            p_ts, p_seq, p_val = prev
+            if (
+                (t, s) >= (p_ts, p_seq)
+                and p_val != 0
+                and abs(v - p_val) > pct * abs(p_val)
+            ):
                 out.append(
                     (int(t), float(v), float(p_val), _round6((v - p_val) / p_val))
                 )
-        if prev is None or t >= prev[0]:
-            prev = (int(t), float(v))
+        if prev is None or (t, s) >= (prev[0], prev[1]):
+            prev = (int(t), int(s), float(v))
     return out, prev
 
 
@@ -224,6 +240,7 @@ def change_alert_stream(
     pct: float = 0.5,
     api: str = "auto",
     state_ttl_ms: int | None = None,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Per-key change detection across micro-batches: emit an alert row
     whenever a key's value moves more than ``pct`` (relative) against
@@ -245,11 +262,22 @@ def change_alert_stream(
     - ``"apply"`` — ``applyInPandasWithState``, the 3.4+ API; no
       runtime deps beyond Arrow. TTL is not supported here (ignored).
     - ``"auto"`` (default) — tws when its runtime is present, else
-      apply. Either way per-key state is ONE (ts, value) tuple —
+      apply. Either way per-key state is ONE (ts, seq, value) tuple —
       O(keys) total, the minimum any cross-batch comparator holds.
+
+    ``seq_col`` names a monotone-per-key column (an event id) used as
+    the tiebreak for same-timestamp events; without it two same-ts
+    events for one key resolve by arrival order, which can differ
+    between replays (and from the batch lag() twin). Pass it whenever
+    the source has a stable id.
     """
     if api == "auto":
         api = "tws" if has_transform_with_state_runtime() else "apply"
+
+    sort_cols = [ts_col] if seq_col is None else [ts_col, seq_col]
+
+    def _seqs(batch):
+        return None if seq_col is None else batch[seq_col].astype("int64")
 
     if api == "tws":
         from pyspark.sql.streaming.stateful_processor import (
@@ -266,13 +294,14 @@ def change_alert_stream(
             def handleInputRows(self, key, rows, timerValues):
                 import pandas as pd
 
-                batch = pd.concat(list(rows)).sort_values(ts_col)
+                batch = pd.concat(list(rows)).sort_values(sort_cols)
                 prev = self._last.get() if self._last.exists() else None
                 out, prev = _detect_changes(
                     prev,
                     batch[ts_col].astype("int64") // 1000,
                     batch[value_col].astype("float64"),
                     pct,
+                    seqs=_seqs(batch),
                 )
                 self._last.update(prev)
                 if out:
@@ -301,13 +330,14 @@ def change_alert_stream(
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        batch = pd.concat(list(pdfs)).sort_values(ts_col)
+        batch = pd.concat(list(pdfs)).sort_values(sort_cols)
         prev = tuple(state.get) if state.exists else None
         out, prev = _detect_changes(
             prev,
             batch[ts_col].astype("int64") // 1000,
             batch[value_col].astype("float64"),
             pct,
+            seqs=_seqs(batch),
         )
         state.update(tuple(prev))
         if out:

@@ -605,11 +605,11 @@ def _drive_change_alerts(spark, sf_small, tmp_path, api):
 
     events = (
         load_table(spark, sf_small, "events")
-        .select("user_id", "ts", "value")
-        .orderBy("ts")
+        .select("user_id", "event_id", "ts", "value")
+        .orderBy("ts", "event_id")
         .limit(300)
     )
-    pdf = events.toPandas().sort_values("ts").reset_index(drop=True)
+    pdf = events.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
 
     src = tmp_path / f"alerts_in_{api}"
     src.mkdir()
@@ -621,14 +621,20 @@ def _drive_change_alerts(spark, sf_small, tmp_path, api):
         os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
 
     schema = (
-        StructType().add("user_id", "long").add("ts", "timestamp").add("value", "double")
+        StructType()
+        .add("user_id", "long")
+        .add("event_id", "long")
+        .add("ts", "timestamp")
+        .add("value", "double")
     )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .json(str(src))
     )
-    alerts = change_alert_stream(stream, pct=0.5, api=api)
+    # seq_col: same-ts events resolve by event_id, matching the batch
+    # twin's lag ordering below (determinism across replays).
+    alerts = change_alert_stream(stream, pct=0.5, api=api, seq_col="event_id")
     writer = (
         alerts.writeStream.format("memory")
         .queryName(f"alerts_{api}")
@@ -640,7 +646,7 @@ def _drive_change_alerts(spark, sf_small, tmp_path, api):
         for r in spark.sql(f"SELECT * FROM alerts_{api}").collect()
     }
 
-    w = Window.partitionBy("user_id").orderBy("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     batch = (
         events.withColumn("prev_value", F.lag("value").over(w))
         .filter(
