@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext26 import EXT26_QUERIES
     from streaming_data_spark.queries_ext27 import EXT27_QUERIES
     from streaming_data_spark.queries_ext28 import EXT28_QUERIES
+    from streaming_data_spark.queries_ext29 import EXT29_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-5 rotation: front the
@@ -99,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT10_QUERIES,
         **EXT11_QUERIES,
         **EXT12_QUERIES,
+        **EXT29_QUERIES,
     }
 
 
@@ -133,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext26 import EXT26_ORACLES
     from streaming_data_spark.queries_ext27 import EXT27_ORACLES
     from streaming_data_spark.queries_ext28 import EXT28_ORACLES
+    from streaming_data_spark.queries_ext29 import EXT29_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -165,4 +168,5 @@ def oracle_sql() -> dict[str, str]:
         **EXT10_ORACLES,
         **EXT11_ORACLES,
         **EXT12_ORACLES,
+        **EXT29_ORACLES,
     }

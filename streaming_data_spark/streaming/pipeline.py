@@ -231,6 +231,38 @@ def windowed_distinct_users(
     )
 
 
+def streaming_windowed_median(
+    stream: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    keys: Sequence[str] = (),
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Streaming per-window median — the approximate tier of the exact
+    rolling median (queries_ext28.q_a25_rolling_median). An EXACT
+    windowed median in streaming would hold every value per window cell
+    in state (unbounded, like exact distinct); ``percentile_approx``
+    keeps one bounded Greenwald-Khanna sketch per cell instead — the
+    same mergeable-sketch trade as ``windowed_distinct_users`` / the
+    batch HLL tier (operators/sketches.py). The estimate is a TRUE
+    element of the window with rank error ≤ n/accuracy, so at the
+    default accuracy any window under 10k values is rank-exact; the
+    pytest tier bounds the rank error against the batch exact median.
+    State per cell is O(accuracy·log n) — independent of window row
+    count, which is what survives 100 TB event volume."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), *keys)
+        .agg(
+            F.percentile_approx(value_col, 0.5, accuracy).alias("med_est"),
+            F.count(value_col).alias("n"),
+        )
+        .select(F.col("window.start").alias("bucket_ts"), *keys, "med_est", "n")
+    )
+
+
 def streaming_ohlcv(
     stream: DataFrame,
     key: str,

@@ -901,3 +901,52 @@ def test_streaming_windowed_distinct_matches_batch_within_tolerance(
     assert set(got) == set(want)
     for b, exact in want.items():
         assert abs(got[b] - exact) <= max(2, 0.05 * exact), (b, got[b], exact)
+
+
+def test_streaming_windowed_median_rank_error_bounded(
+    spark, sf_small, event_stream_dir, tmp_path
+):
+    """Approximate tier of the exact rolling median (a25): streaming
+    per-window percentile_approx must return a TRUE element of each
+    window whose rank is within the GK sketch's guarantee
+    (n/accuracy, +1 slack for even-count windows where "the median"
+    is either middle element) of the true median rank."""
+    import bisect
+
+    stream = sp.file_json_source(spark, event_stream_dir)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    est = sp.streaming_windowed_median(
+        normalized, window_duration="6 hours", watermark="2 days"
+    )
+    writer = (
+        est.writeStream.format("memory")
+        .queryName("med_est")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_med"))
+    )
+    sp.run_to_completion(writer)
+    got = {
+        r.bucket_ts: (r.med_est, r.n)
+        for r in spark.sql("SELECT * FROM med_est").collect()
+    }
+
+    batch = (
+        spark.read.json(event_stream_dir)
+        .select(F.from_json("value", PAYLOAD_SCHEMA).alias("p"))
+        .select("p.*")
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(F.sort_array(F.collect_list("value")).alias("vals"))
+        .select(F.col("window.start").alias("bucket_ts"), "vals")
+    )
+    want = {r.bucket_ts: r.vals for r in batch.collect()}
+    assert set(got) == set(want)
+    for b, vals in want.items():
+        est_v, n = got[b]
+        assert n == len(vals), (b, n, len(vals))
+        lo = bisect.bisect_left(vals, est_v)
+        hi = bisect.bisect_right(vals, est_v)
+        assert lo < hi, f"estimate {est_v} not an element of window {b}"
+        target = (n - 1) / 2
+        # closest rank the (possibly duplicated) estimate occupies
+        rank_err = max(0.0, max(lo - target, target - (hi - 1)))
+        assert rank_err <= 1 + n / 10_000, (b, est_v, rank_err, n)
