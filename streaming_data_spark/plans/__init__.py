@@ -11,6 +11,7 @@ of surfacing as a 100 TB incident.
 
 from streaming_data_spark.plans.checks import (
     explain_str,
+    global_window_count,
     has_broadcast_join,
     has_whole_stage_codegen,
     pushed_filters,
@@ -25,4 +26,5 @@ __all__ = [
     "has_broadcast_join",
     "has_whole_stage_codegen",
     "shuffle_count",
+    "global_window_count",
 ]

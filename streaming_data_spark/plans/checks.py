@@ -50,6 +50,32 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
     return bool(re.search(r"\*\(\d+\)", explain_str(df, mode="simple")))
 
 
+def global_window_count(df: DataFrame) -> int:
+    """Number of Window operators with NO partition spec — each one
+    funnels its whole input through a single task (the WindowExec
+    "No Partition Defined" warning). Benign on aggregate-sized inputs,
+    fatal on a fact table; the sanctioned-sites test pins which
+    registry queries may carry one. Text-level: the node renders
+    `Window [exprs], [partition?], [ordering?]` with EMPTY specs
+    omitted, so one trailing group that is an ORDER spec (top-level
+    ASC/DESC markers) — or no trailing group at all — means the
+    partition spec is empty. A lone partition group (window with no
+    ordering, e.g. a per-key running avg) is NOT global."""
+    text = explain_str(df, mode="simple")
+    n = 0
+    for line in text.splitlines():
+        if not re.search(r"\bWindow \[", line):
+            continue
+        seps = line.count("], [")
+        if seps == 0:
+            n += 1  # `Window [exprs]` — neither partition nor order
+        elif seps == 1:
+            last = line.rsplit("], [", 1)[1]
+            if re.search(r"\b(ASC|DESC) NULLS", last):
+                n += 1  # the only spec group is an ordering
+    return n
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange operators in the physical plan (each is a
     full shuffle of its input at scale — the thing to minimize).

@@ -86,6 +86,12 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+    # Deliberate GLOBAL window over exactly 3 funnel-step rows — the
+    # single-partition WindowExec is free at any fact size, and beats
+    # the alternatives (a broadcast-scalar cross join would add a
+    # BroadcastNestedLoopJoin and a second subtree). The sanctioned-
+    # sites plan gate in tests/test_plans.py pins which queries may
+    # carry a partition-less window; bench.py demotes the logger.
     w_all = Window.orderBy("step").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

@@ -117,6 +117,12 @@ def q_a20_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias("click_v"),
         F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("purchase_v"),
     )
+    # Deliberate GLOBAL window: input is one row per DAY (aggregate-
+    # sized at any corpus scale), so the single-partition WindowExec is
+    # benign. A literal partitionBy key can't silence the warning
+    # (Catalyst folds it away); the sanctioned-sites plan gate in
+    # tests/test_plans.py pins this as one of the few allowed
+    # partition-less windows, and bench.py demotes the logger.
     w = Window.orderBy(F.col("day").asc()).rowsBetween(-6, 0)
     return (
         daily.select(

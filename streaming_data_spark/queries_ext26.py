@@ -71,6 +71,9 @@ def q_a23_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum("o_totalprice").alias("rev"))
     )
+    # Deliberate GLOBAL window: ranking ~25 nation AGGREGATE rows, so
+    # the single-partition WindowExec is benign at any fact size; the
+    # sanctioned-sites plan gate in tests/test_plans.py pins this.
     w = Window.orderBy(F.col("rev").desc(), F.col("n_name").asc())
     ranked = by_nation.withColumn("rk", F.row_number().over(w))
     return (

@@ -65,6 +65,9 @@ def q_funnel_in_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+    # Deliberate GLOBAL window over exactly 3 funnel-step rows (see
+    # q_funnel_conversion: single-partition WindowExec is free here,
+    # and the sanctioned-sites plan gate pins the allowed sites).
     w_all = Window.orderBy("step").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

@@ -90,6 +90,39 @@ def test_no_registry_query_uses_row_at_a_time_python(spark, sf_small):
     assert not offenders, f"row-at-a-time Python in: {sorted(offenders)}"
 
 
+# Queries ALLOWED to carry a partition-less (single-task) Window.
+# Every site operates on an aggregate-sized input whose row count is
+# fixed by the dimension space, never by fact volume — documented at
+# each call site:
+_SANCTIONED_GLOBAL_WINDOWS = {
+    "funnel_conversion",  # 3 funnel-step rows (queries_ext17)
+    "funnel_in_session",  # 3 funnel-step rows (queries_ext27)
+    "a20_rolling_corr",  # one row per calendar day (queries_ext21)
+    "a23_topn_others",  # ~25 nation aggregates (queries_ext26)
+    "a18_equidepth_hist",  # global ntile over doc lengths (queries_ext19)
+}
+
+
+def test_partitionless_windows_only_at_sanctioned_sites(spark, sf_small):
+    """Fleet-wide scale assertion: a Window with no PARTITION BY moves
+    its whole input through ONE task — benign on the aggregate-sized
+    inputs pinned above, fatal if one ever lands on a fact table. Any
+    new partition-less window must either be re-keyed or explicitly
+    added here with a justification (and the exact-set equality means
+    removing one stale entry is also flagged)."""
+    import __spark_entry__ as entry
+
+    found = {
+        name
+        for name, fn in entry.queries().items()
+        if plans.global_window_count(fn(spark, sf_small)) > 0
+    }
+    assert found == _SANCTIONED_GLOBAL_WINDOWS, (
+        f"unsanctioned global windows: {sorted(found - _SANCTIONED_GLOBAL_WINDOWS)}; "
+        f"stale sanctions: {sorted(_SANCTIONED_GLOBAL_WINDOWS - found)}"
+    )
+
+
 def test_w2_pagination_keyset_no_global_window(spark, sf_small):
     """Keyset pagination must compile to TakeOrderedAndProject — a
     single-partition global Window here funnels the whole table
