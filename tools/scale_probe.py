@@ -117,6 +117,8 @@ HEAVY = [
     "funnel_in_session",
     # round-4 wave 28: sorted-frame exact rolling median
     "a25_rolling_median",
+    # round-5 wave 29: tumbling-window exact median
+    "a26_window_median",
 ]
 
 
