@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext27 import EXT27_QUERIES
     from streaming_data_spark.queries_ext28 import EXT28_QUERIES
     from streaming_data_spark.queries_ext29 import EXT29_QUERIES
+    from streaming_data_spark.queries_ext30 import EXT30_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-5 rotation: front the
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT11_QUERIES,
         **EXT12_QUERIES,
         **EXT29_QUERIES,
+        **EXT30_QUERIES,
     }
 
 
@@ -136,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext27 import EXT27_ORACLES
     from streaming_data_spark.queries_ext28 import EXT28_ORACLES
     from streaming_data_spark.queries_ext29 import EXT29_ORACLES
+    from streaming_data_spark.queries_ext30 import EXT30_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -169,4 +172,5 @@ def oracle_sql() -> dict[str, str]:
         **EXT11_ORACLES,
         **EXT12_ORACLES,
         **EXT29_ORACLES,
+        **EXT30_ORACLES,
     }

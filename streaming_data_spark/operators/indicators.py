@@ -1,0 +1,173 @@
+"""Technical-indicator operators over per-key daily closes.
+
+The reference's candle pipeline materializes daily OHLCV rows and
+change codes (airflow/dags/upbit_daily_candels.py:60-90) and charts
+them in Kibana; the indicators a charting layer derives from those
+candles — moving-average crossovers, Bollinger bands, EWMA smoothing,
+drawdown — are the natural next operators over the same daily grid.
+All are built on ONE shuffle per key (the daily aggregate), with every
+rolling form riding that same keyed window — no re-partitioning
+between indicator passes.
+
+Scale notes: inputs are per-(key, day) aggregates, so row counts are
+bounded by keys × calendar days regardless of fact volume; the only
+fact-sized pass is the daily-close groupBy, a map-side-combinable
+aggregation. The EWMA is the one inherently-sequential recursion
+(y_t = a·x_t + (1-a)·y_{t-1}); it runs per-key inside
+``applyInPandas`` — Arrow-batched, parallel across keys, sequential
+only in the dimension the math requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def daily_closes(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+) -> DataFrame:
+    """(key, day, close): the last price of each key's day — the same
+    shape the reference stores per candle (trade_price at day end)."""
+    return events.groupBy(
+        key, F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.max_by(F.col(price_col), F.col(ts_col)).alias("close"))
+
+
+def sma_crossover(
+    daily: DataFrame,
+    key: str = "user_id",
+    short: int = 5,
+    long: int = 20,
+) -> DataFrame:
+    """Golden/death-cross detection: short-window SMA crossing the
+    long-window SMA between consecutive days. Emitted only where the
+    LONG window is fully warmed (n = ``long`` days) on both the
+    current and previous day, so every signal compares two real SMAs.
+
+    SMAs are rounded to 6 decimals BEFORE the comparison — rolling
+    averages are order-dependent float sums, and comparing rounded
+    values keeps the signal identical across engines (the oracle
+    compares the same rounded values).
+    """
+    w = Window.partitionBy(key).orderBy("day")
+    w_s = w.rowsBetween(-(short - 1), 0)
+    w_l = w.rowsBetween(-(long - 1), 0)
+    enriched = (
+        daily.withColumn("sma_s", F.round(F.avg("close").over(w_s), 6))
+        .withColumn("sma_l", F.round(F.avg("close").over(w_l), 6))
+        .withColumn("n_l", F.count("close").over(w_l))
+    )
+    lagged = (
+        enriched.withColumn("p_sma_s", F.lag("sma_s").over(w))
+        .withColumn("p_sma_l", F.lag("sma_l").over(w))
+        .withColumn("p_n_l", F.lag("n_l").over(w))
+    )
+    return (
+        lagged.filter((F.col("n_l") == long) & (F.col("p_n_l") == long))
+        .withColumn(
+            "signal",
+            F.when(
+                (F.col("sma_s") > F.col("sma_l"))
+                & (F.col("p_sma_s") <= F.col("p_sma_l")),
+                F.lit("GOLDEN"),
+            ).when(
+                (F.col("sma_s") < F.col("sma_l"))
+                & (F.col("p_sma_s") >= F.col("p_sma_l")),
+                F.lit("DEATH"),
+            ),
+        )
+        .select(key, "day", "close", "sma_s", "sma_l", "signal")
+    )
+
+
+def bollinger_bands(
+    daily: DataFrame,
+    key: str = "user_id",
+    periods: int = 20,
+    n_std: float = 2.0,
+) -> DataFrame:
+    """Rolling mean ± n_std·sample-stddev bands over ``periods`` days,
+    plus the close's position (ABOVE/IN/BELOW) against the ROUNDED
+    bands (same cross-engine determinism contract as sma_crossover).
+    Only fully-warmed windows emit — a 2-day "20-day band" is noise."""
+    w = Window.partitionBy(key).orderBy("day").rowsBetween(-(periods - 1), 0)
+    mid = F.avg("close").over(w)
+    sd = F.stddev_samp("close").over(w)
+    banded = (
+        daily.withColumn("mid", F.round(mid, 6))
+        .withColumn("upper", F.round(mid + n_std * sd, 6))
+        .withColumn("lower", F.round(mid - n_std * sd, 6))
+        .withColumn("w_n", F.count("close").over(w))
+    )
+    return (
+        banded.filter(F.col("w_n") == periods)
+        .withColumn(
+            "position",
+            F.when(F.col("close") > F.col("upper"), F.lit("ABOVE"))
+            .when(F.col("close") < F.col("lower"), F.lit("BELOW"))
+            .otherwise(F.lit("IN")),
+        )
+        .select(key, "day", "close", "mid", "upper", "lower", "position")
+    )
+
+
+def ewma(
+    daily: DataFrame,
+    key: str = "user_id",
+    alpha: float = 0.2,
+    day_col: str = "day",
+    price_col: str = "close",
+) -> DataFrame:
+    """Recursive exponentially-weighted moving average per key:
+    y_1 = x_1; y_t = alpha·x_t + (1-alpha)·y_{t-1}.
+
+    The recursion is inherently sequential along each key's day axis,
+    so it runs per key inside ``applyInPandas`` (Arrow-batched; keys
+    process in parallel, the loop only walks one key's ~calendar-days
+    rows). The fold is written as EXACTLY ``a*x + (1-a)*y`` so an
+    engine repeating the same IEEE ops (the DuckDB recursive-CTE
+    oracle) reproduces it bit-for-bit before rounding.
+
+    A closed-form window expression exists (y_t = Σ a(1-a)^(t-k)x_k)
+    but needs (1-a)^(-k) factors that overflow past a few thousand
+    rows — the per-key fold is the numerically-honest form.
+    """
+    a = float(alpha)
+    cols = [f.name for f in daily.schema.fields]
+    out_schema = StructType(
+        list(daily.schema.fields) + [StructField("ewma", DoubleType())]
+    )
+
+    def _fold(pdf):
+        pdf = pdf.sort_values(day_col).reset_index(drop=True)
+        out = []
+        y = None
+        for x in pdf[price_col]:
+            y = float(x) if y is None else a * float(x) + (1.0 - a) * y
+            out.append(y)
+        pdf["ewma"] = out
+        return pdf[cols + ["ewma"]]
+
+    return daily.groupBy(key).applyInPandas(_fold, schema=out_schema)
+
+
+def max_drawdown(daily: DataFrame, key: str = "user_id") -> DataFrame:
+    """Worst peak-to-trough decline per key: running peak via an
+    expanding max, drawdown = (close - peak) / peak, then the per-key
+    minimum. Division and min are IEEE-exact single ops, so only the
+    final value is rounded (no accumulation-order hazard)."""
+    w = Window.partitionBy(key).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = daily.withColumn("peak", F.max("close").over(w)).withColumn(
+        "drawdown", (F.col("close") - F.col("peak")) / F.col("peak")
+    )
+    return dd.groupBy(key).agg(
+        F.round(F.min("drawdown"), 6).alias("max_drawdown"),
+        F.count(F.lit(1)).alias("n_days"),
+    )

@@ -119,6 +119,9 @@ HEAVY = [
     "a25_rolling_median",
     # round-5 wave 29: tumbling-window exact median
     "a26_window_median",
+    # round-5 wave 30: technical indicators (fact-sized daily groupBy;
+    # a29's per-key Arrow fold is the sequential-recursion shape)
+    "a27_sma_crossover", "a29_ewma", "a30_max_drawdown",
 ]
 
 
