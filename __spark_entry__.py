@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext28 import EXT28_QUERIES
     from streaming_data_spark.queries_ext29 import EXT29_QUERIES
     from streaming_data_spark.queries_ext30 import EXT30_QUERIES
+    from streaming_data_spark.queries_ext31 import EXT31_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-5 rotation: front the
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT12_QUERIES,
         **EXT29_QUERIES,
         **EXT30_QUERIES,
+        **EXT31_QUERIES,
     }
 
 
@@ -139,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext28 import EXT28_ORACLES
     from streaming_data_spark.queries_ext29 import EXT29_ORACLES
     from streaming_data_spark.queries_ext30 import EXT30_ORACLES
+    from streaming_data_spark.queries_ext31 import EXT31_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -173,4 +176,5 @@ def oracle_sql() -> dict[str, str]:
         **EXT12_ORACLES,
         **EXT29_ORACLES,
         **EXT30_ORACLES,
+        **EXT31_ORACLES,
     }

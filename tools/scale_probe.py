@@ -122,6 +122,9 @@ HEAVY = [
     # round-5 wave 30: technical indicators (fact-sized daily groupBy;
     # a29's per-key Arrow fold is the sequential-recursion shape)
     "a27_sma_crossover", "a29_ewma", "a30_max_drawdown",
+    # round-5 wave 31: instance-level LM scoring (3 shuffles on bigram
+    # instances; vocabulary grows with the corpus in the x10 replica)
+    "x35_lm_score",
 ]
 
 
