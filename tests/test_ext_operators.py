@@ -437,3 +437,82 @@ def test_dq_audit_row_local_rules_share_one_scan(spark, sf_oracle):
     text = plans.explain_str(q_dq_audit_orders(spark, sf_oracle))
     # orders appears once for the agg pass + once for the FK anti-join
     assert text.count("orders.parquet") <= 2, text
+
+
+# ---------------------------------------------------------------------------
+# Technical indicators (wave 30) — hand-computed semantics beyond the
+# oracle gate (oracle equality can't catch both-engines-wrong)
+# ---------------------------------------------------------------------------
+
+
+def _daily_frame(spark, closes, key=1):
+    """One row per day with the given closes, days 2024-01-01 + i."""
+    import datetime
+
+    rows = [
+        (key, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i), float(c))
+        for i, c in enumerate(closes)
+    ]
+    return spark.createDataFrame(rows, "user_id long, day timestamp, close double")
+
+
+def test_sma_crossover_flags_crafted_golden_and_death_cross(spark):
+    """A series engineered so SMA2 crosses SMA3 in both directions at
+    known days; signals must appear exactly there and nowhere else."""
+    from streaming_data_spark.operators import indicators as ind
+
+    # closes: fall (short SMA below long), then sharp rise (golden
+    # cross), then sharp fall (death cross)
+    closes = [10, 9, 8, 7, 6, 5, 20, 30, 5, 1]
+    out = ind.sma_crossover(_daily_frame(spark, closes), short=2, long=3).collect()
+    sig = {r.day.day: r.signal for r in out}
+    golden = [d for d, s in sig.items() if s == "GOLDEN"]
+    death = [d for d, s in sig.items() if s == "DEATH"]
+    assert golden == [7], sig  # day 7: close 20 yanks SMA2 above SMA3
+    assert death == [9], sig  # day 9: close 5 drops SMA2 below SMA3
+    # warm-up rule: first emittable day needs long + 1 observed days
+    assert min(sig) == 4, sig
+
+
+def test_bollinger_position_flags_crafted_outlier(spark):
+    """A flat series with one spike: the spike day must be ABOVE the
+    band, every other warmed day IN. The window INCLUDES the current
+    day, so a single outlier in an n-day window caps at
+    z = (n-1)/sqrt(n) — undetectable at 2σ for n ≤ 5, ~4.25σ at
+    n = 20, which is why real Bollinger periods are 20, not 5."""
+    from streaming_data_spark.operators import indicators as ind
+
+    closes = [10.0] * 20 + [25.0] + [10.0] * 4
+    out = ind.bollinger_bands(_daily_frame(spark, closes), periods=20).collect()
+    pos = {r.day.day: r.position for r in out}
+    assert pos[21] == "ABOVE", pos  # the 25.0 spike (day 21)
+    assert all(p == "IN" for d, p in pos.items() if d != 21), pos
+
+
+def test_ewma_matches_hand_fold_and_bounds(spark):
+    """EWMA must equal the literal recursion and stay inside the
+    running [min, max] envelope of the prefix it smooths."""
+    from streaming_data_spark.operators import indicators as ind
+
+    closes = [4.0, 8.0, 2.0, 16.0, 1.0]
+    alpha = 0.25
+    got = {
+        r.day.day: r.ewma
+        for r in ind.ewma(_daily_frame(spark, closes), alpha=alpha).collect()
+    }
+    y = None
+    for i, x in enumerate(closes):
+        y = x if y is None else alpha * x + (1 - alpha) * y
+        assert got[i + 1] == y, (i, got[i + 1], y)  # bit-exact fold
+        assert min(closes[: i + 1]) <= got[i + 1] <= max(closes[: i + 1])
+
+
+def test_max_drawdown_crafted_peak_trough(spark):
+    """Peak 20 → trough 5 is a -75% drawdown even when the series
+    later recovers above the old peak; a monotone series draws 0."""
+    from streaming_data_spark.operators import indicators as ind
+
+    dd = ind.max_drawdown(_daily_frame(spark, [10, 20, 5, 30, 25])).collect()[0]
+    assert dd.max_drawdown == -0.75 and dd.n_days == 5
+    flat = ind.max_drawdown(_daily_frame(spark, [1, 2, 3])).collect()[0]
+    assert flat.max_drawdown == 0.0
