@@ -21,8 +21,10 @@ from typing import TYPE_CHECKING, Any, Iterator, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -347,6 +349,134 @@ def change_alert_stream(
         _fn,
         outputStructType=ALERT_SCHEMA,
         stateStructType=_LAST_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SMA crossover — golden/death-cross alerts over a candle stream
+# ---------------------------------------------------------------------------
+
+CROSS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("day", TimestampType()),
+        StructField("close", DoubleType()),
+        StructField("sma_s", DoubleType()),
+        StructField("sma_l", DoubleType()),
+        # None on warmed days without a cross — emitted anyway so the
+        # stream is row-equal to the batch form, not just alert-equal
+        StructField("signal", StringType()),
+    ]
+)
+
+# cross-batch state: the trailing `long` closes (day-ordered) plus
+# whether the PREVIOUS emitted day had a fully-warmed long window and
+# its rounded SMAs — everything the crossover rule needs, O(long) per
+# key no matter how many batches pass.
+_CROSS_STATE = StructType(
+    [
+        StructField("days_us", ArrayType(LongType())),
+        StructField("closes", ArrayType(DoubleType())),
+        StructField("prev_full", LongType()),  # 0/1 (state structs: no bool)
+        StructField("p_sma_s", DoubleType()),
+        StructField("p_sma_l", DoubleType()),
+    ]
+)
+
+
+def _round6_half_up(x: float) -> float:
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def _advance_cross(state, days_us, closes, short, long):
+    """Shared kernel: fold one key's day-ordered batch into the
+    trailing-window state; return (emitted rows, new state). Rows
+    emit only when the long window is full on BOTH the current and
+    previous day — the same warm rule as the batch operator
+    (operators/indicators.sma_crossover), so stream == batch row-for-
+    row. SMAs sum the window in day order (the order Spark's window
+    avg accumulates) and round half-up like Spark's round(). Late
+    days (≤ the newest seen) are dropped: state moves forward only,
+    the same stance as the other stateful kernels here."""
+    hist_d, hist_c, prev_full, p_s, p_l = state or ([], [], 0, None, None)
+    hist_d, hist_c = list(hist_d), list(hist_c)
+    out = []
+    for d, c in zip(days_us, closes):
+        if hist_d and d <= hist_d[-1]:
+            continue
+        hist_d.append(int(d))
+        hist_c.append(float(c))
+        del hist_d[:-long], hist_c[:-long]
+        if len(hist_c) < long:
+            continue
+        sma_s = _round6_half_up(sum(hist_c[-short:]) / short)
+        sma_l = _round6_half_up(sum(hist_c) / long)
+        if prev_full:
+            if sma_s > sma_l and p_s <= p_l:
+                sig = "GOLDEN"
+            elif sma_s < sma_l and p_s >= p_l:
+                sig = "DEATH"
+            else:
+                sig = None
+            out.append((int(d), float(c), sma_s, sma_l, sig))
+        prev_full, p_s, p_l = 1, sma_s, sma_l
+    return out, (hist_d, hist_c, prev_full, p_s, p_l)
+
+
+def sma_cross_stream(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    day_col: str = "day",
+    close_col: str = "close",
+    short: int = 5,
+    long: int = 20,
+) -> DataFrame:
+    """Streaming golden/death-cross detection over a per-key daily
+    close stream (the candle cadence the reference's daily DAG
+    materializes) — the streaming twin of
+    operators/indicators.sma_crossover. Each key carries its trailing
+    ``long`` closes across micro-batches, so a cross whose two sides
+    arrive in different batches still fires; state is O(long) per key
+    regardless of stream length, and keys shard across executors on
+    the groupBy — the same scaling shape as every stateful op here."""
+
+    def _fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs)).sort_values(day_col)
+        prev = tuple(state.get) if state.exists else None
+        rows, new_state = _advance_cross(
+            prev,
+            batch[day_col].astype("int64") // 1000,
+            batch[close_col].astype("float64"),
+            short,
+            long,
+        )
+        state.update(tuple(new_state))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "day": pd.to_datetime([r[0] for r in rows], unit="us"),
+                    "close": [r[1] for r in rows],
+                    "sma_s": [r[2] for r in rows],
+                    "sma_l": [r[3] for r in rows],
+                    "signal": [r[4] for r in rows],
+                }
+            )
+
+    return daily.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=CROSS_SCHEMA,
+        stateStructType=_CROSS_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

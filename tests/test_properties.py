@@ -315,3 +315,44 @@ def test_cdc_diff_classification_tiles_the_key_space(spark, old_keys, new_keys, 
             n = None if k % 7 == 0 else float(k) * (2.0 if k in changed else 1.0)
             want.add((k, "U" if o != n else None))
     assert got == want
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=0.5, max_value=100.0, allow_nan=False),
+        min_size=6,
+        max_size=40,
+    ),
+    n_cuts=st.integers(0, 3),
+    data=st.data(),
+)
+@settings(**_SETTINGS)
+def test_sma_cross_kernel_invariant_under_batch_splits(values, n_cuts, data):
+    """Same invariant as the change-alert kernel, for the trailing-
+    window crossover state: folding a day-ordered close sequence
+    through ANY micro-batch split must emit exactly the rows (and
+    signals) of the single-batch fold, with the O(long) window state
+    threaded across the cuts."""
+    from streaming_data_spark.streaming.stateful import _advance_cross
+
+    days = list(range(1, len(values) + 1))
+    whole, _ = _advance_cross(None, days, values, short=2, long=4)
+
+    n_cuts = min(n_cuts, len(values) - 1)
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(1, len(values) - 1),
+                min_size=n_cuts,
+                max_size=n_cuts,
+                unique=True,
+            )
+        )
+    )
+    bounds = [0, *cuts, len(values)]
+    state = None
+    pieced = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        out, state = _advance_cross(state, days[lo:hi], values[lo:hi], short=2, long=4)
+        pieced.extend(out)
+    assert pieced == whole

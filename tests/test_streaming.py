@@ -950,3 +950,65 @@ def test_streaming_windowed_median_rank_error_bounded(
         # closest rank the (possibly duplicated) estimate occupies
         rank_err = max(0.0, max(lo - target, target - (hi - 1)))
         assert rank_err <= 1 + n / 10_000, (b, est_v, rank_err, n)
+
+
+def test_sma_cross_stream_matches_batch(spark, sf_small, tmp_path):
+    """T6 — streaming golden/death-cross alerts: the trailing-window
+    state must survive micro-batch boundaries (short=3/long=5 windows
+    straddle the batch cuts below), and the streamed warmed rows must
+    equal the batch sma_crossover operator row-for-row, signals
+    included."""
+    import os
+
+    from streaming_data_spark.operators import indicators as ind
+    from streaming_data_spark.streaming.stateful import sma_cross_stream
+
+    daily = (
+        ind.daily_closes(load_table(spark, sf_small, "events"))
+        .filter(F.col("user_id") < 40)
+        .orderBy("day", "user_id")
+    )
+    pdf = daily.toPandas().sort_values(["day", "user_id"]).reset_index(drop=True)
+    n = len(pdf)
+    assert n > 60  # enough days per user that windows straddle batches
+
+    src = tmp_path / "cross_in"
+    src.mkdir()
+    cuts = (pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :])
+    for i, chunk in enumerate(cuts):
+        p = src / f"part-{i}.json"
+        chunk.assign(day=chunk["day"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")).to_json(
+            p, orient="records", lines=True
+        )
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("day", "timestamp")
+        .add("close", "double")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    crosses = sma_cross_stream(stream, short=3, long=5)
+    writer = (
+        crosses.writeStream.format("memory")
+        .queryName("sma_cross")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cross"))
+    )
+    sp.run_to_completion(writer)
+    got = {
+        (r.user_id, r.day, r.close, r.sma_s, r.sma_l, r.signal)
+        for r in spark.sql("SELECT * FROM sma_cross").collect()
+    }
+
+    want = {
+        (r.user_id, r.day, r.close, r.sma_s, r.sma_l, r.signal)
+        for r in ind.sma_crossover(daily, short=3, long=5).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    assert any(s in ("GOLDEN", "DEATH") for *_, s in got), "no cross fired"
