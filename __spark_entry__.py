@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext29 import EXT29_QUERIES
     from streaming_data_spark.queries_ext30 import EXT30_QUERIES
     from streaming_data_spark.queries_ext31 import EXT31_QUERIES
+    from streaming_data_spark.queries_ext32 import EXT32_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-5 rotation: front the
@@ -105,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT29_QUERIES,
         **EXT30_QUERIES,
         **EXT31_QUERIES,
+        **EXT32_QUERIES,
     }
 
 
@@ -142,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext29 import EXT29_ORACLES
     from streaming_data_spark.queries_ext30 import EXT30_ORACLES
     from streaming_data_spark.queries_ext31 import EXT31_ORACLES
+    from streaming_data_spark.queries_ext32 import EXT32_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -177,4 +180,5 @@ def oracle_sql() -> dict[str, str]:
         **EXT29_ORACLES,
         **EXT30_ORACLES,
         **EXT31_ORACLES,
+        **EXT32_ORACLES,
     }

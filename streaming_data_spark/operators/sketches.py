@@ -120,3 +120,78 @@ def distinct_rollup_hll(
         *key_cols,
         F.hll_sketch_estimate("sketch").cast("long").alias("users_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — Misra-Gries candidates + exact verify (frequent items)
+# ---------------------------------------------------------------------------
+
+
+def mg_summary(items, k: int) -> dict:
+    """Pure Misra-Gries frequency summary: ≤ k counters, one pass.
+    Guarantees after n items: every counter UNDERCOUNTS by at most
+    ⌊n/(k+1)⌋, and any item with true count > n/(k+1) is present.
+    The decrement-all step is the textbook form (O(k) per eviction);
+    a Space-Saving ring buys O(1) evictions at 100 TB item rates but
+    carries the same bounds — the guarantee, not the constant, is
+    what the verify pass below relies on."""
+    counters: dict = {}
+    for x in items:
+        if x in counters:
+            counters[x] += 1
+        elif len(counters) < k:
+            counters[x] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """Items whose frequency exceeds n/(k+1), with EXACT counts, in
+    bounded memory — the sketch tier of the exact full-vocabulary
+    groupBy (x18_vocab_top_tokens).
+
+    Plan: (1) one Misra-Gries summary per PARTITION via mapInPandas
+    (state ≤ k counters per task, never a full vocabulary); (2) the
+    union of partial candidates is provably a superset of every
+    global heavy hitter (an item with global count > n/(k+1) must
+    exceed the local threshold in at least one partition, by
+    averaging); (3) a broadcast semi-join + count verifies candidates
+    EXACTLY, so the final answer is deterministic — independent of
+    partitioning — and the DuckDB HAVING-threshold oracle matches it
+    hash-for-hash. The second pass shuffles only candidate rows
+    (≤ k × partitions keys after map-side combine), not the corpus.
+    """
+
+    def _partials(pdfs):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in pdfs:
+            for x in pdf[col]:
+                if x in counters:
+                    counters[x] += 1
+                elif len(counters) < k:
+                    counters[x] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        yield pd.DataFrame({col: list(counters), "est": list(counters.values())})
+
+    items = df.select(col)
+    partial = items.mapInPandas(_partials, schema=f"{col} string, est long")
+    cand = partial.select(col).distinct()
+    totals = items.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        items.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("n_item") > F.col("n_total") / F.lit(float(k + 1)))
+        .select(col, "n_item")
+    )

@@ -88,3 +88,55 @@ def test_approx_percentile_tier_within_tolerance(spark, sf_oracle):
     ).collect()[0]
     for p, ex, ap in zip(probes, row["exact"], row["approx"]):
         assert abs(ap - ex) <= max(0.05, 0.01 * abs(ex)), (p, ex, ap)
+
+
+def test_mg_summary_bounds_hold_on_random_streams():
+    """Misra-Gries guarantees, exercised across random streams: at
+    most k counters, every estimate undercounts by ≤ ⌊n/(k+1)⌋, and
+    every item with true count > n/(k+1) is present in the summary."""
+    import random
+    from collections import Counter
+
+    from streaming_data_spark.operators.sketches import mg_summary
+
+    rng = random.Random(7)
+    for trial in range(50):
+        k = rng.choice([2, 5, 10])
+        n = rng.randrange(1, 400)
+        # zipf-ish: small alphabets make heavy hitters likely
+        stream = [rng.randrange(rng.choice([3, 8, 50])) for _ in range(n)]
+        true = Counter(stream)
+        est = mg_summary(stream, k)
+        assert len(est) <= k
+        slack = n // (k + 1)
+        for item, c in est.items():
+            assert true[item] - slack <= c <= true[item], (trial, item)
+        for item, c in true.items():
+            if c > n / (k + 1):
+                assert item in est, (trial, item, c, n, k)
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark, sf_oracle):
+    """The candidate+verify plan must return exactly the tokens above
+    the n/(k+1) threshold with exact counts, and the answer must not
+    change when the input partitioning does (sketch contents do —
+    the verify pass makes the composition deterministic)."""
+    from collections import Counter
+
+    from streaming_data_spark.operators.sketches import heavy_hitters
+    from streaming_data_spark.schemas import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    truth = Counter(r.token for r in toks.collect())
+    n = sum(truth.values())
+    k = 50
+    want = {t: c for t, c in truth.items() if c > n / (k + 1)}
+    assert want, "testdata should contain heavy tokens at k=50"
+
+    for parts in (1, 7):
+        got = {
+            r.token: r.n_item
+            for r in heavy_hitters(toks.repartition(parts), "token", k=k).collect()
+        }
+        assert got == want, parts

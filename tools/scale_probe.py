@@ -125,6 +125,9 @@ HEAVY = [
     # round-5 wave 31: instance-level LM scoring (3 shuffles on bigram
     # instances; vocabulary grows with the corpus in the x10 replica)
     "x35_lm_score",
+    # round-5 wave 32: MG candidates + exact verify (bounded-state
+    # heavy hitters; verify pass shuffles candidates only)
+    "x36_heavy_hitters",
 ]
 
 
