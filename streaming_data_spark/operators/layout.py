@@ -120,3 +120,66 @@ def files_matching_box(
                 break
         hit += int(overlaps)
     return hit, len(parts)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Rewrite a parquet directory's many small files into ~target-size
+    files — the OPTIMIZE/compaction maintenance pass every streaming
+    sink eventually needs (each micro-batch commit writes
+    files-per-trigger × partitions small files; a month of 1-minute
+    triggers turns a table scan into an open()-bound listing crawl,
+    and at 100 TB the NameNode/listing cost dominates long before the
+    bytes do).
+
+    Sizing: output file count = ceil(current_bytes / target) measured
+    from the ACTUAL on-disk footprint (not row counts — compression
+    ratios vary per table). The rewrite is repartition(n) + overwrite
+    via a temp directory, then an atomic-as-the-FS-allows rename
+    swap; readers racing the swap see the old or the new listing,
+    never a half-written mix, matching the non-transactional contract
+    documented on write_if_absent (Delta/Iceberg OPTIMIZE is the
+    upgrade once a table format is in play).
+
+    Returns {files_before, files_after, bytes} for observability.
+    Skips (and reports) when the directory already has fewer than
+    ``min_files_to_compact`` data files.
+    """
+    import os
+    import shutil
+
+    def _data_files(p):
+        return [
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+
+    before = _data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    if len(before) < min_files_to_compact:
+        return {"files_before": len(before), "files_after": len(before),
+                "bytes": total, "skipped": True}
+
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    tmp = path.rstrip("/") + ".compact.tmp"
+    old = path.rstrip("/") + ".compact.old"
+    (
+        spark.read.parquet(path)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_data_files(path)),
+        "bytes": total,
+        "skipped": False,
+    }

@@ -67,3 +67,34 @@ def test_morton_code_locality_property(spark):
     for r in df.collect():
         want_top = ((r["y"] >> 3) << 1) | (r["x"] >> 3)
         assert (r["z"] >> (2 * bits - 2)) == want_top, r
+
+
+def test_compact_parquet_rewrites_small_files_content_identical(spark, tmp_path):
+    """Compaction must shrink the file count to the byte-target sizing
+    and preserve content EXACTLY (row multiset, schema); a second run
+    under the threshold must no-op and say so."""
+    from streaming_data_spark.operators.layout import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(0, 20_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+
+    before = spark.read.parquet(path)
+    before_rows = sorted((r.id, r.v) for r in before.collect())
+
+    stats = compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 64 and stats["skipped"] is False
+    # 20k longs << 10 MiB target → sizing should land on very few files
+    assert stats["files_after"] <= 4, stats
+
+    after = spark.read.parquet(path)
+    assert sorted((r.id, r.v) for r in after.collect()) == before_rows
+    assert after.schema == before.schema
+
+    again = compact_parquet(
+        spark, path, target_file_bytes=10 * 1024 * 1024,
+        min_files_to_compact=stats["files_after"] + 1,
+    )
+    assert again["skipped"] is True
+    assert again["files_after"] == stats["files_after"]
