@@ -30,12 +30,24 @@ def daily_closes(
     key: str = "user_id",
     ts_col: str = "ts",
     price_col: str = "value",
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
     """(key, day, close): the last price of each key's day — the same
-    shape the reference stores per candle (trade_price at day end)."""
+    shape the reference stores per candle (trade_price at day end).
+
+    ``tiebreak_col`` (an event id) makes the close TOTAL when two of a
+    key's events share the day's max timestamp — max_by over a bare ts
+    would pick by partition/merge order there, and every indicator
+    downstream (crossovers, bands, EWMA, drawdown) would inherit the
+    flap. Pass None only when (key, ts) is known unique."""
+    order = (
+        F.col(ts_col)
+        if tiebreak_col is None
+        else F.struct(F.col(ts_col), F.col(tiebreak_col))
+    )
     return events.groupBy(
         key, F.date_trunc("day", F.col(ts_col)).alias("day")
-    ).agg(F.max_by(F.col(price_col), F.col(ts_col)).alias("close"))
+    ).agg(F.max_by(F.col(price_col), order).alias("close"))
 
 
 def sma_crossover(

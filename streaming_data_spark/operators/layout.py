@@ -139,11 +139,16 @@ def compact_parquet(
     Sizing: output file count = ceil(current_bytes / target) measured
     from the ACTUAL on-disk footprint (not row counts — compression
     ratios vary per table). The rewrite is repartition(n) + overwrite
-    via a temp directory, then an atomic-as-the-FS-allows rename
-    swap; readers racing the swap see the old or the new listing,
-    never a half-written mix, matching the non-transactional contract
-    documented on write_if_absent (Delta/Iceberg OPTIMIZE is the
-    upgrade once a table format is in play).
+    via a temp directory, then a two-rename swap. POSIX has no atomic
+    directory exchange, so the swap has a WINDOW between the two
+    renames where ``path`` does not exist: a reader listing exactly
+    then fails with path-not-found (it never sees a half-written mix
+    — each listing is all-old or all-new), and a crash inside the
+    window leaves the data parked at ``<path>.compact.old`` for
+    manual recovery. Run it when the table is quiet, or under the
+    same single-writer lock as write_if_absent; Delta/Iceberg
+    OPTIMIZE is the upgrade that closes the window with a real
+    atomic commit.
 
     Returns {files_before, files_after, bytes} for observability.
     Skips (and reports) when the directory already has fewer than

@@ -127,26 +127,39 @@ def distinct_rollup_hll(
 # ---------------------------------------------------------------------------
 
 
-def mg_summary(items, k: int) -> dict:
-    """Pure Misra-Gries frequency summary: ≤ k counters, one pass.
-    Guarantees after n items: every counter UNDERCOUNTS by at most
-    ⌊n/(k+1)⌋, and any item with true count > n/(k+1) is present.
-    The decrement-all step is the textbook form (O(k) per eviction);
-    a Space-Saving ring buys O(1) evictions at 100 TB item rates but
-    carries the same bounds — the guarantee, not the constant, is
-    what the verify pass below relies on."""
-    counters: dict = {}
-    for x in items:
-        if x in counters:
-            counters[x] += 1
-        elif len(counters) < k:
-            counters[x] = 1
-        else:
-            for key in list(counters):
-                counters[key] -= 1
-                if counters[key] == 0:
-                    del counters[key]
-    return counters
+def _mg_factory():
+    def mg_summary(items, k: int) -> dict:
+        """Pure Misra-Gries frequency summary: ≤ k counters, one pass.
+        Guarantees after n items: every counter UNDERCOUNTS by at most
+        ⌊n/(k+1)⌋, and any item with true count > n/(k+1) is present.
+        The decrement-all step is the textbook form (O(k) per
+        eviction); a Space-Saving ring buys O(1) evictions at 100 TB
+        item rates but carries the same bounds — the guarantee, not
+        the constant, is what the verify pass below relies on."""
+        counters: dict = {}
+        for x in items:
+            if x in counters:
+                counters[x] += 1
+            elif len(counters) < k:
+                counters[x] = 1
+            else:
+                for key in list(counters):
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        del counters[key]
+        return counters
+
+    return mg_summary
+
+
+# Built through a factory ON PURPOSE: heavy_hitters ships this kernel
+# into Python workers inside a mapInPandas closure, and cloudpickle
+# serializes a plain module-level def BY REFERENCE (workers would then
+# need this repo importable — untrue when the driver runs from an
+# arbitrary cwd). A factory-made function fails the qualname lookup
+# and is pickled BY VALUE, keeping the worker closure self-contained
+# while tests and heavy_hitters share the ONE implementation.
+mg_summary = _mg_factory()
 
 
 def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
@@ -154,39 +167,63 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     bounded memory — the sketch tier of the exact full-vocabulary
     groupBy (x18_vocab_top_tokens).
 
-    Plan: (1) one Misra-Gries summary per PARTITION via mapInPandas
-    (state ≤ k counters per task, never a full vocabulary); (2) the
-    union of partial candidates is provably a superset of every
-    global heavy hitter (an item with global count > n/(k+1) must
-    exceed the local threshold in at least one partition, by
-    averaging); (3) a broadcast semi-join + count verifies candidates
-    EXACTLY, so the final answer is deterministic — independent of
-    partitioning — and the DuckDB HAVING-threshold oracle matches it
-    hash-for-hash. The second pass shuffles only candidate rows
+    Plan — exactly TWO passes over the input: (1) one Misra-Gries
+    summary per PARTITION via mapInPandas (state ≤ k counters per
+    task, never a full vocabulary), which also carries each
+    partition's row count so the global total rides the same scan;
+    (2) the union of partial candidates is provably a superset of
+    every global heavy hitter (an item with global count > n/(k+1)
+    must exceed the local threshold in at least one partition, by
+    averaging), and a broadcast semi-join + count verifies candidates
+    EXACTLY — so the final answer is deterministic, independent of
+    partitioning, and the DuckDB HAVING-threshold oracle matches it
+    hash-for-hash. The verify pass shuffles only candidate rows
     (≤ k × partitions keys after map-side combine), not the corpus.
     """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    part_schema = StructType(
+        [
+            StructField(col, df.schema[col].dataType),
+            StructField("pid", IntegerType()),
+            StructField("n_part", LongType()),
+        ]
+    )
 
     def _partials(pdfs):
         import pandas as pd
+        from pyspark import TaskContext
 
-        counters: dict = {}
-        for pdf in pdfs:
-            for x in pdf[col]:
-                if x in counters:
-                    counters[x] += 1
-                elif len(counters) < k:
-                    counters[x] = 1
-                else:
-                    for key in list(counters):
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            del counters[key]
-        yield pd.DataFrame({col: list(counters), "est": list(counters.values())})
+        n_rows = 0
+
+        def _walk():
+            nonlocal n_rows
+            for pdf in pdfs:
+                n_rows += len(pdf)
+                yield from pdf[col]
+
+        counters = mg_summary(_walk(), k)
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame(
+            {
+                col: list(counters),
+                "pid": [pid] * len(counters),
+                "n_part": [n_rows] * len(counters),
+            }
+        )
 
     items = df.select(col)
-    partial = items.mapInPandas(_partials, schema=f"{col} string, est long")
+    # persist: the summary (≤ k × partitions rows, KBs) feeds BOTH the
+    # candidate set and the totals; without the cache Spark would
+    # recompute the mapInPandas subtree — i.e. re-scan the corpus —
+    # once per consumer, silently reintroducing the third pass.
+    partial = items.mapInPandas(_partials, schema=part_schema).persist()
     cand = partial.select(col).distinct()
-    totals = items.agg(F.count(F.lit(1)).alias("n_total"))
+    totals = (
+        partial.select("pid", "n_part")
+        .distinct()
+        .agg(F.sum("n_part").alias("n_total"))
+    )
     return (
         items.join(F.broadcast(cand), col, "left_semi")
         .groupBy(col)

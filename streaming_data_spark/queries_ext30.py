@@ -32,9 +32,16 @@ from pyspark.sql import functions as F
 from streaming_data_spark.operators import indicators as ind
 from streaming_data_spark.queries import _t
 
+# row_number (not arg_max) because DuckDB's arg_max rejects a STRUCT
+# ordering key; ts DESC, event_id DESC first-row == Spark's
+# max_by(value, struct(ts, event_id)) — the same total order.
 _DAILY_SQL = """
-  SELECT user_id, date_trunc('day', ts) AS day, arg_max(value, ts) AS close
-  FROM events GROUP BY 1, 2
+  SELECT user_id, day, close FROM (
+    SELECT user_id, date_trunc('day', ts) AS day, value AS close,
+           row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1
 """
 
 

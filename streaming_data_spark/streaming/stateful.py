@@ -160,6 +160,23 @@ _LAST_SCHEMA = StructType(
         StructField("value", DoubleType()),
     ]
 )
+# State-schema compatibility: the seq field was ADDED to this struct
+# (it was (ts_us, value) before the tiebreak hardening). A
+# change_alert_stream checkpoint written by the 2-field version fails
+# state-schema validation on restart — discard the checkpoint (or
+# keep running the old build) when upgrading; stateful schema
+# migration is a table-format/operational concern Spark does not
+# solve in-place.
+
+
+def _round6_half_up(x: float) -> float:
+    """HALF-UP (away from zero) 6-decimal rounding, matching Spark's
+    round() rather than Python's banker's rounding. ONE copy on
+    purpose: every stream==batch contract in this module leans on this
+    exact rule, so all kernels must share it."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
 
 
 def _detect_changes(prev, ts_us, values, pct, seqs=None):
@@ -174,13 +191,10 @@ def _detect_changes(prev, ts_us, values, pct, seqs=None):
     and the engine-side twin (lag + double division) yields NULL there,
     so emitting ±inf would diverge stream from batch. Rounding is
     HALF-UP (away from zero), matching Spark's round(), not Python's
-    banker's rounding."""
+    banker's rounding (see _round6_half_up — the shared kernel)."""
     import itertools
-    import math
 
-    def _round6(x: float) -> float:
-        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
-
+    _round6 = _round6_half_up
     if seqs is None:
         seqs = itertools.repeat(0)
     out: list[tuple[int, float, float, float]] = []
@@ -384,12 +398,6 @@ _CROSS_STATE = StructType(
         StructField("p_sma_l", DoubleType()),
     ]
 )
-
-
-def _round6_half_up(x: float) -> float:
-    import math
-
-    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
 
 
 def _advance_cross(state, days_us, closes, short, long):

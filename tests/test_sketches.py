@@ -140,3 +140,24 @@ def test_heavy_hitters_exact_and_partition_independent(spark, sf_oracle):
             for r in heavy_hitters(toks.repartition(parts), "token", k=k).collect()
         }
         assert got == want, parts
+
+
+def test_heavy_hitters_on_long_column(spark, sf_oracle):
+    """The operator must work on non-string keys too (schema is
+    derived from the input column's type): heavy users by event
+    count, verified against the exact groupBy."""
+    from collections import Counter
+
+    from streaming_data_spark.operators.sketches import heavy_hitters
+    from streaming_data_spark.schemas import load_table
+
+    events = load_table(spark, sf_oracle, "events").select("user_id")
+    truth = Counter(r.user_id for r in events.collect())
+    n = sum(truth.values())
+    k = 20
+    want = {u: c for u, c in truth.items() if c > n / (k + 1)}
+    got = {
+        r.user_id: r.n_item
+        for r in heavy_hitters(events, "user_id", k=k).collect()
+    }
+    assert got == want
