@@ -127,6 +127,7 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
+    enforce_single_writer: bool = True,
 ) -> dict:
     """Rewrite a parquet directory's many small files into ~target-size
     files — the OPTIMIZE/compaction maintenance pass every streaming
@@ -150,12 +151,23 @@ def compact_parquet(
     OPTIMIZE is the upgrade that closes the window with a real
     atomic commit.
 
+    ``enforce_single_writer`` (default on): takes a SIBLING lock file
+    (``<path>.compact.lock`` — beside the directory, because the swap
+    renames the directory out from under anything stored inside it)
+    to exclude concurrent compactions, and refuses when a keyed
+    writer's in-dir ``_sds_writer.lock`` is present. Advisory and
+    best-effort like the writer lock itself: a writer that STARTS
+    after the check still races the swap, so schedule compaction in
+    the same maintenance slot that owns writes.
+
     Returns {files_before, files_after, bytes} for observability.
     Skips (and reports) when the directory already has fewer than
     ``min_files_to_compact`` data files.
     """
+    import json
     import os
     import shutil
+    import time
 
     def _data_files(p):
         return [
@@ -170,18 +182,41 @@ def compact_parquet(
         return {"files_before": len(before), "files_after": len(before),
                 "bytes": total, "skipped": True}
 
-    n_out = max(1, -(-total // target_file_bytes))  # ceil
-    tmp = path.rstrip("/") + ".compact.tmp"
-    old = path.rstrip("/") + ".compact.old"
-    (
-        spark.read.parquet(path)
-        .repartition(n_out)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    lock_fd = None
+    lock = path.rstrip("/") + ".compact.lock"
+    if enforce_single_writer:
+        writer_lock = os.path.join(path, "_sds_writer.lock")
+        if os.path.exists(writer_lock):
+            raise RuntimeError(
+                f"keyed writer holds {writer_lock}; compacting under an "
+                "active writer would drop its in-flight append"
+            )
+        try:
+            lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"another compaction holds {lock} (remove only if its "
+                "owner is dead — it carries pid + timestamp)"
+            ) from None
+        with os.fdopen(lock_fd, "w") as fh:
+            fh.write(json.dumps({"pid": os.getpid(), "ts": time.time()}))
+
+    try:
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        tmp = path.rstrip("/") + ".compact.tmp"
+        old = path.rstrip("/") + ".compact.old"
+        (
+            spark.read.parquet(path)
+            .repartition(n_out)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    finally:
+        if enforce_single_writer:
+            os.remove(lock)
     return {
         "files_before": len(before),
         "files_after": len(_data_files(path)),

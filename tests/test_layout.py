@@ -98,3 +98,36 @@ def test_compact_parquet_rewrites_small_files_content_identical(spark, tmp_path)
     )
     assert again["skipped"] is True
     assert again["files_after"] == stats["files_after"]
+
+
+def test_compact_parquet_lock_excludes_writers_and_compactions(spark, tmp_path):
+    """With enforcement on (the default): an in-dir keyed-writer lock
+    makes compaction refuse outright, and a held sibling compact lock
+    blocks a second compaction; both locks release/clear cleanly."""
+    import json
+    import os
+
+    import pytest
+
+    from streaming_data_spark.operators.layout import compact_parquet
+
+    path = str(tmp_path / "locked")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+
+    writer_lock = os.path.join(path, "_sds_writer.lock")
+    with open(writer_lock, "w") as fh:
+        fh.write(json.dumps({"pid": 0}))
+    with pytest.raises(RuntimeError, match="keyed writer holds"):
+        compact_parquet(spark, path, target_file_bytes=1 << 20)
+    os.remove(writer_lock)
+
+    compact_lock = path + ".compact.lock"
+    with open(compact_lock, "w") as fh:
+        fh.write(json.dumps({"pid": 0}))
+    with pytest.raises(RuntimeError, match="another compaction holds"):
+        compact_parquet(spark, path, target_file_bytes=1 << 20)
+    os.remove(compact_lock)
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 20)
+    assert stats["skipped"] is False and stats["files_after"] < 8
+    assert not os.path.exists(compact_lock)  # released on success
