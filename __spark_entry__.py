@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext30 import EXT30_QUERIES
     from streaming_data_spark.queries_ext31 import EXT31_QUERIES
     from streaming_data_spark.queries_ext32 import EXT32_QUERIES
+    from streaming_data_spark.queries_ext33 import EXT33_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-5 rotation: front the
@@ -107,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT30_QUERIES,
         **EXT31_QUERIES,
         **EXT32_QUERIES,
+        **EXT33_QUERIES,
     }
 
 
@@ -145,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext30 import EXT30_ORACLES
     from streaming_data_spark.queries_ext31 import EXT31_ORACLES
     from streaming_data_spark.queries_ext32 import EXT32_ORACLES
+    from streaming_data_spark.queries_ext33 import EXT33_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -181,4 +184,5 @@ def oracle_sql() -> dict[str, str]:
         **EXT30_ORACLES,
         **EXT31_ORACLES,
         **EXT32_ORACLES,
+        **EXT33_ORACLES,
     }

@@ -128,6 +128,9 @@ HEAVY = [
     # round-5 wave 32: MG candidates + exact verify (bounded-state
     # heavy hitters; verify pass shuffles candidates only)
     "x36_heavy_hitters",
+    # round-5 wave 33: ML featurization (partition-only LOO window;
+    # explode + md5-bucket groupBy)
+    "a31_target_encode", "x37_feature_hash",
 ]
 
 
