@@ -696,3 +696,45 @@ def test_a25_rolling_median_single_exchange_no_udf(spark, sf_small):
     assert "BatchEvalPython" not in text, text
     assert "ArrowEvalPython" not in text, text
     assert plans.shuffle_count(df) == 1, text
+
+
+def test_wave29_33_exchange_budgets(spark, sf_small):
+    """Pin the shuffle counts of the round-5 waves.
+
+    a27/a28/a30 budget TWO exchanges on purpose: the daily groupBy
+    exchanges map-side-combined (user, day) partials and the indicator
+    window re-exchanges the day-grid rows on user_id — both move
+    dimension-bounded data. The 1-exchange alternative
+    (repartition("user_id") before the groupBy so the agg and window
+    share one keying) would shuffle the RAW fact rows un-combined,
+    which is strictly more bytes at any scale; two cheap exchanges
+    beat one expensive one here."""
+    import __spark_entry__ as entry
+
+    budgets = {
+        "a26_window_median": 1,  # one (window, event_type) groupBy
+        "a31_target_encode": 1,  # partition-only window
+        "x37_feature_hash": 1,  # explode is scan-local; one groupBy
+        "a27_sma_crossover": 2,
+        "a28_bollinger": 2,
+        "a30_max_drawdown": 2,
+    }
+    qs = entry.queries()
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small))
+        for name in budgets
+    }
+    assert got == budgets, got
+
+
+def test_lm_score_and_heavy_hitters_no_python_rowpath(spark, sf_small):
+    """x35's joins and x36's verify pass stay JVM-side; the only
+    Python is the Arrow-batched MG mapInPandas (and a29's grouped
+    fold), which the fleet-wide BatchEvalPython gate already permits
+    as vectorized."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("x35_lm_score", "x36_heavy_hitters"):
+        text = plans.explain_str(qs[name](spark, sf_small))
+        assert "BatchEvalPython" not in text, name
