@@ -218,3 +218,66 @@ def corpus_curation_job(
         "packed": packed,
         "summary": summary,
     }
+
+
+def daily_indicator_report_job(
+    spark: SparkSession,
+    events: DataFrame,
+    warehouse: str,
+    short: int = 5,
+    long: int = 20,
+    bb_periods: int = 20,
+    alpha: float = 0.2,
+    alert: AlertFn = lambda payload: None,
+) -> dict:
+    """§3.3 downstream — the indicator panel a dashboard layer (the
+    reference charts stored candles in Kibana) derives from daily
+    closes, materialized as ONE job: closes → Bollinger bands + EWMA +
+    SMA-crossover panel (all riding the same user_id day grid) →
+    gated crossover-signal table (written only when a cross fired,
+    the K10 pattern) → per-user drawdown summary.
+
+    Every stage reuses the oracle-verified wave-30 operators; the
+    panel joins are (user_id, day) equi-joins between day-grid frames
+    (dimension-bounded — keys × calendar days — regardless of fact
+    volume). Returns the per-table row counts for job observability,
+    like the curation job's stage counts.
+    """
+    from streaming_data_spark.operators import indicators as ind
+
+    def _run() -> dict:
+        daily = ind.daily_closes(events)
+        bands = ind.bollinger_bands(daily, periods=bb_periods)
+        smooth = ind.ewma(daily, alpha=alpha)
+        cross = ind.sma_crossover(daily, short=short, long=long)
+
+        panel = (
+            bands.join(
+                smooth.select("user_id", "day", "ewma"), ["user_id", "day"]
+            ).join(
+                cross.select("user_id", "day", "sma_s", "sma_l", "signal"),
+                ["user_id", "day"],
+                "left",
+            )
+        )
+        panel.write.mode("overwrite").parquet(f"{warehouse}/indicator_panel")
+
+        signals = cross.filter(F.col("signal").isNotNull())
+        wrote_signals = gated_write(
+            signals,
+            lambda df, p: df.write.mode("overwrite").parquet(p),
+            f"{warehouse}/cross_signals",
+        )
+
+        dd = ind.max_drawdown(daily)
+        dd.write.mode("overwrite").parquet(f"{warehouse}/drawdown")
+
+        stored_panel = spark.read.parquet(f"{warehouse}/indicator_panel")
+        return {
+            "panel_rows": stored_panel.count(),
+            "signal_rows": signals.count() if wrote_signals else 0,
+            "users": dd.count(),
+            "wrote_signals": wrote_signals,
+        }
+
+    return run_job_with_alerts(_run, alert, name="daily_indicator_report_job")

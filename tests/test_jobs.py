@@ -169,3 +169,40 @@ def test_corpus_curation_job_end_to_end(spark, sf_small):
     assert over.filter((F.col("fill") > 128) & (F.col("n_chunks") > 1)).isEmpty()
     splits = {r["split"] for r in packed.select("split").distinct().collect()}
     assert splits == {"train", "test"}
+
+
+def test_daily_indicator_report_job_end_to_end(spark, sf_small, tmp_path):
+    """The indicator-panel job must materialize all three tables with
+    consistent cardinalities: the panel covers every warmed band day,
+    its non-null signals equal the gated signal table, drawdown has
+    one row per user — and a rerun overwrites idempotently."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_spark.jobs import daily_indicator_report_job
+    from streaming_data_spark.schemas import load_table
+
+    events = load_table(spark, sf_small, "events")
+    wh = str(tmp_path / "wh")
+    alerts = []
+    stats = daily_indicator_report_job(
+        spark, events, wh, short=3, long=5, bb_periods=5,
+        alert=alerts.append,
+    )
+    assert stats["panel_rows"] > 0
+    assert stats["users"] == events.select("user_id").distinct().count()
+    assert alerts and alerts[-1]["event"] == "job_succeeded"
+
+    panel = spark.read.parquet(f"{wh}/indicator_panel")
+    in_panel_signals = panel.filter(F.col("signal").isNotNull()).count()
+    if stats["wrote_signals"]:
+        signals = spark.read.parquet(f"{wh}/cross_signals")
+        assert signals.count() == stats["signal_rows"] > 0
+        # every stored signal day is a warmed panel day with that signal
+        assert in_panel_signals == signals.count()
+    else:
+        assert in_panel_signals == 0
+
+    rerun = daily_indicator_report_job(
+        spark, events, wh, short=3, long=5, bb_periods=5,
+    )
+    assert rerun == stats
