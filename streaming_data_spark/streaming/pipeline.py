@@ -381,6 +381,28 @@ def streaming_session_rollup(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    select: Sequence[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a
+    BROADCAST dimension table — the engine-side form of Logstash's
+    translate/jdbc_static lookup filters (enrich events with catalog
+    attributes as they flow). The static side is broadcast, so the
+    stream never shuffles for the lookup and no streaming state is
+    kept (unlike stream-stream joins, a static side needs no
+    watermark). Left join by default: an event with no dim row passes
+    through with NULL attributes instead of silently dropping —
+    enrichment must never lose events. The dim snapshot is fixed at
+    query start; restart the query to pick up a refreshed dimension
+    (the documented stream-static contract)."""
+    out = stream.join(F.broadcast(dim), on, how)
+    return out.select(*select) if select else out
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -1012,3 +1012,45 @@ def test_sma_cross_stream_matches_batch(spark, sf_small, tmp_path):
     assert got == want
     assert len(got) > 0
     assert any(s in ("GOLDEN", "DEATH") for *_, s in got), "no cross fired"
+
+
+def test_enrich_stream_matches_batch_and_keeps_unmatched(spark, sf_small, event_stream_dir, tmp_path):
+    """Stream-static enrichment: every streamed event must come out
+    enriched exactly as the batch broadcast join enriches it, and
+    events with no dimension row must pass through with NULLs, never
+    drop."""
+    stream = sp.file_json_source(spark, event_stream_dir)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    # dimension covering only HALF the users → real unmatched rows
+    dim = (
+        load_table(spark, sf_small, "events")
+        .select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("segment", F.concat(F.lit("seg-"), F.col("user_id") % 3))
+    )
+    enriched = sp.enrich_stream(
+        normalized, dim, on="user_id",
+        select=["event_id", "user_id", "segment"],
+    )
+    writer = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+    )
+    sp.run_to_completion(writer)
+    got = {
+        (r.event_id, r.user_id, r.segment)
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+
+    batch = (
+        spark.read.json(event_stream_dir)
+        .select(F.from_json("value", PAYLOAD_SCHEMA).alias("p"))
+        .select("p.*")
+        .join(dim, "user_id", "left")
+        .select("event_id", "user_id", "segment")
+    )
+    want = {(r.event_id, r.user_id, r.segment) for r in batch.collect()}
+    assert got == want
+    assert any(seg is None for *_, seg in got), "expected unmatched events"
+    assert any(seg is not None for *_, seg in got)
