@@ -43,6 +43,12 @@ EXT_HEADLINE = (
     "j7_temporal_join",
     "x29_fuzzy_match",
     "a15_robust_stats",
+    # round-5 representatives (windowed median, LM scoring, bounded
+    # heavy hitters, indicator window family)
+    "a26_window_median",
+    "x35_lm_score",
+    "x36_heavy_hitters",
+    "a27_sma_crossover",
 )
 
 
