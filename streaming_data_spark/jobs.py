@@ -246,37 +246,58 @@ def daily_indicator_report_job(
     from streaming_data_spark.operators import indicators as ind
 
     def _run() -> dict:
-        daily = ind.daily_closes(events)
-        bands = ind.bollinger_bands(daily, periods=bb_periods)
-        smooth = ind.ewma(daily, alpha=alpha)
-        cross = ind.sma_crossover(daily, short=short, long=long)
+        # ONE fact-sized pass: the daily grid is cached for the four
+        # indicator branches + the gated probe (uncached, each branch
+        # would re-aggregate the events fact).
+        daily = ind.daily_closes(events).persist()
+        try:
+            bands = ind.bollinger_bands(daily, periods=bb_periods)
+            smooth = ind.ewma(daily, alpha=alpha)
+            cross = ind.sma_crossover(daily, short=short, long=long)
 
-        panel = (
-            bands.join(
-                smooth.select("user_id", "day", "ewma"), ["user_id", "day"]
-            ).join(
-                cross.select("user_id", "day", "sma_s", "sma_l", "signal"),
-                ["user_id", "day"],
-                "left",
+            # Panel base = the FULL day grid (smooth covers every day),
+            # NOT the warmed band days: a crossover can fire during
+            # Bollinger warmup whenever bb_periods > long + 1, and a
+            # bands-based panel would silently drop it. Band columns
+            # are NULL on unwarmed days instead.
+            panel = (
+                smooth.join(
+                    bands.select(
+                        "user_id", "day", "mid", "upper", "lower", "position"
+                    ),
+                    ["user_id", "day"],
+                    "left",
+                ).join(
+                    cross.select("user_id", "day", "sma_s", "sma_l", "signal"),
+                    ["user_id", "day"],
+                    "left",
+                )
             )
-        )
-        panel.write.mode("overwrite").parquet(f"{warehouse}/indicator_panel")
+            panel.write.mode("overwrite").parquet(f"{warehouse}/indicator_panel")
 
-        signals = cross.filter(F.col("signal").isNotNull())
-        wrote_signals = gated_write(
-            signals,
-            lambda df, p: df.write.mode("overwrite").parquet(p),
-            f"{warehouse}/cross_signals",
-        )
+            signals = cross.filter(F.col("signal").isNotNull())
+            wrote_signals = gated_write(
+                signals,
+                lambda df, p: df.write.mode("overwrite").parquet(p),
+                f"{warehouse}/cross_signals",
+            )
 
-        dd = ind.max_drawdown(daily)
-        dd.write.mode("overwrite").parquet(f"{warehouse}/drawdown")
+            ind.max_drawdown(daily).write.mode("overwrite").parquet(
+                f"{warehouse}/drawdown"
+            )
+        finally:
+            daily.unpersist()
 
-        stored_panel = spark.read.parquet(f"{warehouse}/indicator_panel")
+        # observability counts come from the WRITTEN tables — the
+        # cheap read-back, not a recomputation of the indicator DAG
         return {
-            "panel_rows": stored_panel.count(),
-            "signal_rows": signals.count() if wrote_signals else 0,
-            "users": dd.count(),
+            "panel_rows": spark.read.parquet(f"{warehouse}/indicator_panel").count(),
+            "signal_rows": (
+                spark.read.parquet(f"{warehouse}/cross_signals").count()
+                if wrote_signals
+                else 0
+            ),
+            "users": spark.read.parquet(f"{warehouse}/drawdown").count(),
             "wrote_signals": wrote_signals,
         }
 

@@ -176,6 +176,19 @@ def compact_parquet(
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         ]
 
+    # Stale-swap detection BEFORE any expensive work: a crash after
+    # the second rename but before the rmtree leaves the previous data
+    # parked at <path>.compact.old; a later run would only discover it
+    # at os.rename(path, old) — AFTER the full Spark rewrite — with an
+    # ENOTEMPTY that reads like corruption. Fail fast and name the fix.
+    stale_old = path.rstrip("/") + ".compact.old"
+    if os.path.exists(stale_old):
+        raise RuntimeError(
+            f"stale {stale_old} found (a prior compaction crashed after "
+            "its swap); verify the table, then delete the .compact.old "
+            "directory before compacting again"
+        )
+
     before = _data_files(path)
     total = sum(os.path.getsize(f) for f in before)
     if len(before) < min_files_to_compact:

@@ -170,15 +170,25 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     Plan — exactly TWO passes over the input: (1) one Misra-Gries
     summary per PARTITION via mapInPandas (state ≤ k counters per
     task, never a full vocabulary), which also carries each
-    partition's row count so the global total rides the same scan;
-    (2) the union of partial candidates is provably a superset of
-    every global heavy hitter (an item with global count > n/(k+1)
-    must exceed the local threshold in at least one partition, by
+    partition's row count so the global total rides the same scan —
+    including a NULL-keyed sentinel row per partition, because a
+    summary can legitimately end EMPTY (k=2 over [a,b,c] evicts
+    everything) and its row count must still reach the total; (2) the
+    union of partial candidates is provably a superset of every
+    global heavy hitter (an item with global count > n/(k+1) must
+    exceed the local threshold in at least one partition, by
     averaging), and a broadcast semi-join + count verifies candidates
     EXACTLY — so the final answer is deterministic, independent of
     partitioning, and the DuckDB HAVING-threshold oracle matches it
-    hash-for-hash. The verify pass shuffles only candidate rows
-    (≤ k × partitions keys after map-side combine), not the corpus.
+    hash-for-hash.
+
+    The summary (≤ (k+1) × partitions rows) is collected to the
+    driver between the passes — the same bounded-driver-pull contract
+    as the k-means centroids (similarity.py): its size is set by k
+    and the partition count, never by the corpus. That materializes
+    the sketch pass exactly once with no lingering cache, and the
+    verify pass then shuffles only candidate rows (≤ k × partitions
+    keys after map-side combine), not the corpus.
     """
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
@@ -204,31 +214,33 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
 
         counters = mg_summary(_walk(), k)
         pid = TaskContext.get().partitionId()
+        keys = [*counters, None]  # sentinel: n_part survives empty summaries
         yield pd.DataFrame(
             {
-                col: list(counters),
-                "pid": [pid] * len(counters),
-                "n_part": [n_rows] * len(counters),
+                col: keys,
+                "pid": [pid] * len(keys),
+                "n_part": [n_rows] * len(keys),
             }
         )
 
     items = df.select(col)
-    # persist: the summary (≤ k × partitions rows, KBs) feeds BOTH the
-    # candidate set and the totals; without the cache Spark would
-    # recompute the mapInPandas subtree — i.e. re-scan the corpus —
-    # once per consumer, silently reintroducing the third pass.
-    partial = items.mapInPandas(_partials, schema=part_schema).persist()
-    cand = partial.select(col).distinct()
-    totals = (
-        partial.select("pid", "n_part")
-        .distinct()
-        .agg(F.sum("n_part").alias("n_total"))
+    summary = items.mapInPandas(_partials, schema=part_schema).collect()
+    n_total = sum({r["pid"]: r["n_part"] for r in summary}.values())
+    cand_vals = sorted({r[col] for r in summary if r[col] is not None})
+    if not cand_vals or n_total == 0:
+        return (
+            items.limit(0)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("n_item"))
+        )
+    cand = df.sparkSession.createDataFrame(
+        [(v,) for v in cand_vals],
+        StructType([StructField(col, df.schema[col].dataType)]),
     )
     return (
         items.join(F.broadcast(cand), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n_item"))
-        .crossJoin(F.broadcast(totals))
-        .filter(F.col("n_item") > F.col("n_total") / F.lit(float(k + 1)))
+        .filter(F.col("n_item") > F.lit(float(n_total) / (k + 1)))
         .select(col, "n_item")
     )

@@ -206,3 +206,36 @@ def test_daily_indicator_report_job_end_to_end(spark, sf_small, tmp_path):
         spark, events, wh, short=3, long=5, bb_periods=5,
     )
     assert rerun == stats
+
+
+def test_daily_indicator_report_job_keeps_warmup_signals(spark, sf_small, tmp_path):
+    """With bb_periods > long + 1, crossovers fire on days where the
+    Bollinger window is still warming; the panel (full day grid) must
+    carry every one of them — the bands-based panel of the first cut
+    silently dropped exactly these."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_spark.jobs import daily_indicator_report_job
+    from streaming_data_spark.schemas import load_table
+
+    events = load_table(spark, sf_small, "events")
+    wh = str(tmp_path / "wh_warmup")
+    stats = daily_indicator_report_job(
+        spark, events, wh, short=3, long=5, bb_periods=20,
+    )
+    assert stats["wrote_signals"], "test needs at least one cross"
+
+    panel = spark.read.parquet(f"{wh}/indicator_panel")
+    signals = spark.read.parquet(f"{wh}/cross_signals")
+    missing = signals.select("user_id", "day", "signal").exceptAll(
+        panel.filter(F.col("signal").isNotNull()).select(
+            "user_id", "day", "signal"
+        )
+    )
+    assert missing.count() == 0
+    # and at least one signal sits on an unwarmed-band day, proving
+    # the scenario actually exercises the warmup window
+    warmup_signals = (
+        panel.filter(F.col("signal").isNotNull() & F.col("mid").isNull()).count()
+    )
+    assert warmup_signals > 0

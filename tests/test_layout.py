@@ -131,3 +131,20 @@ def test_compact_parquet_lock_excludes_writers_and_compactions(spark, tmp_path):
     stats = compact_parquet(spark, path, target_file_bytes=1 << 20)
     assert stats["skipped"] is False and stats["files_after"] < 8
     assert not os.path.exists(compact_lock)  # released on success
+
+
+def test_compact_parquet_detects_stale_old_dir(spark, tmp_path):
+    """A leftover .compact.old from a crashed swap must fail FAST with
+    a recovery message — before the expensive rewrite, not at the
+    rename."""
+    import os
+
+    import pytest
+
+    from streaming_data_spark.operators.layout import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(100).repartition(4).write.parquet(path)
+    os.makedirs(path + ".compact.old/junk")
+    with pytest.raises(RuntimeError, match="stale .*compact.old"):
+        compact_parquet(spark, path, target_file_bytes=1 << 20)

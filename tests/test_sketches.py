@@ -161,3 +161,24 @@ def test_heavy_hitters_on_long_column(spark, sf_oracle):
         for r in heavy_hitters(events, "user_id", k=k).collect()
     }
     assert got == want
+
+
+def test_heavy_hitters_counts_rows_of_empty_summary_partitions(spark):
+    """A Misra-Gries summary can legitimately end EMPTY with rows
+    present (k=2 over [a,b,c]: c's eviction clears both counters) —
+    that partition's row count must still reach n_total, or the
+    threshold drops and borderline items are wrongly emitted. The
+    partitions below are crafted so the bug is visible in the OUTPUT:
+    with p1's 3 rows lost, the threshold becomes 30/3=10 and z (11)
+    leaks in; with the true n=33 threshold of 11, z is excluded."""
+    from streaming_data_spark.operators.sketches import heavy_hitters
+
+    sc = spark.sparkContext
+    rdd = sc.parallelize([("a",), ("b",), ("c",)], 1).union(
+        sc.parallelize([("y",)] * 19 + [("z",)] * 11, 1)
+    )
+    df = spark.createDataFrame(rdd, "token string")
+    assert df.rdd.getNumPartitions() == 2
+
+    got = {r.token: r.n_item for r in heavy_hitters(df, "token", k=2).collect()}
+    assert got == {"y": 19}, got  # z=11 is NOT > 33/3; a,b,c are noise
