@@ -1054,3 +1054,84 @@ def test_enrich_stream_matches_batch_and_keeps_unmatched(spark, sf_small, event_
     assert got == want
     assert any(seg is None for *_, seg in got), "expected unmatched events"
     assert any(seg is not None for *_, seg in got)
+
+
+def test_sma_cross_state_survives_query_restart(spark, sf_small, tmp_path):
+    """T1+T6 — the trailing-window state must survive a FULL query
+    stop/restart through the checkpoint, not just micro-batch
+    boundaries within one run: batches 1-2 run under one query, the
+    process 'restarts' (new query object, same checkpoint), batch 3
+    arrives, and the union of emitted rows must still equal the batch
+    operator — including crosses whose two sides straddle the
+    restart."""
+    import os
+
+    from streaming_data_spark.operators import indicators as ind
+    from streaming_data_spark.streaming.stateful import sma_cross_stream
+
+    daily = (
+        ind.daily_closes(load_table(spark, sf_small, "events"))
+        .filter(F.col("user_id") < 40)
+        .orderBy("day", "user_id")
+    )
+    pdf = daily.toPandas().sort_values(["day", "user_id"]).reset_index(drop=True)
+    n = len(pdf)
+
+    src = tmp_path / "restart_in"
+    src.mkdir()
+
+    def _write_file(i, chunk):
+        p = src / f"part-{i}.json"
+        chunk.assign(day=chunk["day"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")).to_json(
+            p, orient="records", lines=True
+        )
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("day", "timestamp")
+        .add("close", "double")
+    )
+
+    out_dir = str(tmp_path / "cross_out")
+
+    def _drive():
+        # file sink, NOT memory: the memory sink refuses checkpoint
+        # recovery, and recovery is exactly what this test is about
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        crosses = sma_cross_stream(stream, short=3, long=5)
+        writer = (
+            crosses.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt_restart"))
+            .outputMode("append")
+        )
+        sp.run_to_completion(writer)
+        return {
+            (r.user_id, r.day, r.close, r.sma_s, r.sma_l, r.signal)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # first life: two thirds of the days
+    _write_file(0, pdf.iloc[: n // 3])
+    _write_file(1, pdf.iloc[n // 3 : 2 * n // 3])
+    first = _drive()
+
+    # restart: a NEW query resumes from the checkpoint; only batch 3 is new
+    _write_file(2, pdf.iloc[2 * n // 3 :])
+    everything = _drive()
+
+    want = {
+        (r.user_id, r.day, r.close, r.sma_s, r.sma_l, r.signal)
+        for r in ind.sma_crossover(daily, short=3, long=5).collect()
+    }
+    assert everything == want
+    # life 2 appended ONLY post-restart rows (state carried, nothing
+    # replayed), and crosses straddling the restart still fired
+    assert first < everything
+    assert first and (everything - first), "both lives must emit"
