@@ -122,6 +122,7 @@ def corpus_curation_job(
     overlap: int = 8,
     max_tokens: int = 128,
     test_pct: int = 10,
+    lm_band: tuple[float, float] | None = None,
     out_dir: str | None = None,
 ) -> dict[str, object]:
     """[EXT] The full training-corpus curation path as ONE engine job —
@@ -132,8 +133,9 @@ def corpus_curation_job(
       quality gate → exact dedup (canonical-form fingerprint) →
       near-dup clustering (prefix-filtered Jaccard → star-contraction
       components, cluster-min survivor) → benchmark decontamination
-      (broadcast n-gram probe) → context-window chunking → greedy
-      sequence packing → deterministic train/test split.
+      (broadcast n-gram probe) → [optional ``lm_band``: CCNet-style
+      corpus-LM perplexity band filter] → context-window chunking →
+      greedy sequence packing → deterministic train/test split.
 
     Returns {"clean_docs", "chunks", "packed", "summary"}; ``summary``
     is [(stage, rows_surviving)] — the per-stage scalar counts a
@@ -199,6 +201,37 @@ def corpus_curation_job(
     else:
         clean = near_survivors
     summary.append(("decontaminated", clean.count()))
+
+    # optional CCNet-style LM band filter (Wenzek et al. 2020): score
+    # every surviving doc under the corpus's own bigram LM and keep
+    # only the [lo, hi] quantile band — very improbable docs are
+    # gibberish, suspiciously probable ones are boilerplate. Runs
+    # AFTER dedup/decon so duplicates don't distort the LM. Exact
+    # percentile bounds here (two scalar aggregates); at 100 TB the
+    # documented swap is approx_percentile, same as every quantile
+    # tier in this repo.
+    if lm_band is not None:
+        lo, hi = lm_band
+        scores = txt.lm_scores(clean, "doc_id", "text")
+        bounds = scores.agg(
+            F.expr(f"percentile(avg_logp, {float(lo)})").alias("lo_v"),
+            F.expr(f"percentile(avg_logp, {float(hi)})").alias("hi_v"),
+        )
+        # anti-join on the OUT-OF-BAND docs (not semi-join on in-band):
+        # a doc with < 2 tokens has no score row, and "can't score"
+        # must not mean "silently dropped" — unscorable docs pass
+        # through to the later stages' length-based handling.
+        drop = (
+            scores.crossJoin(F.broadcast(bounds))
+            .filter(
+                (F.col("avg_logp") < F.col("lo_v"))
+                | (F.col("avg_logp") > F.col("hi_v"))
+            )
+            .select("doc_id")
+        )
+        clean = clean.join(drop, "doc_id", "left_anti")
+        clean = clean.localCheckpoint(eager=True)
+        summary.append(("lm_band", clean.count()))
 
     chunks = chunk_documents(
         clean, chunk_tokens=chunk_tokens, overlap=overlap

@@ -112,3 +112,45 @@ def text_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.round(quality_score(text_col), 6).alias("quality"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+def lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_bigrams, avg_logp): each document's mean log-probability
+    under the corpus's OWN bigram LM — the perplexity-proxy quality
+    signal of CCNet-style curation (Wenzek et al., LREC 2020; KenLM in
+    the public pipeline, the n=2 engine-native analog here). Because
+    the LM is estimated from the scored corpus itself, every scored
+    bigram has count ≥ 1 and P(w2|w1) ≥ 1/n_ctx > 0 — no smoothing
+    branch. Documents with < 2 tokens emit nothing.
+
+    Scale shape: bigram/context counts and the probability join are
+    keyed SHUFFLES on the bigram key — vocabulary grows with the
+    corpus, so nothing here broadcasts (the x17 document-frequency
+    rule); hot bigrams are the skew hazard and operators/skew.py
+    salting applies unchanged. Oracle-matched as registry query
+    ``x35_lm_score``.
+    """
+    toks = F.split(F.trim(text_col), r"\s+")
+    m = F.size(toks) - 1
+    grams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    inst = df.select(
+        id_col, F.explode(F.when(F.size(toks) >= 2, grams)).alias("g")
+    ).select(id_col, "g.w1", "g.w2")
+    big = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    ctx = inst.groupBy("w1").agg(F.count(F.lit(1)).alias("n_ctx"))
+    probs = big.join(ctx, "w1").select(
+        "w1", "w2", (F.col("n_bigram") / F.col("n_ctx")).alias("p_cond")
+    )
+    return (
+        inst.join(probs, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log("p_cond")), 6).alias("avg_logp"),
+        )
+    )

@@ -37,30 +37,12 @@ from streaming_data_spark.queries import _t
 
 def q_x35_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bigrams, avg_logp): mean ln P(w2|w1) over each
-    document's bigram instances; docs with <2 tokens emit nothing."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
-    m = F.size(toks) - 1
-    grams = F.zip_with(
-        F.slice(toks, 1, m), F.slice(toks, 2, m),
-        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-    )
-    inst = docs.select(
-        "doc_id", F.explode(F.when(F.size(toks) >= 2, grams)).alias("g")
-    ).select("doc_id", "g.w1", "g.w2")
-    big = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
-    ctx = inst.groupBy("w1").agg(F.count(F.lit(1)).alias("n_ctx"))
-    probs = big.join(ctx, "w1").select(
-        "w1", "w2", (F.col("n_bigram") / F.col("n_ctx")).alias("p_cond")
-    )
-    return (
-        inst.join(probs, ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.log("p_cond")), 6).alias("avg_logp"),
-        )
-    )
+    document's bigram instances; docs with <2 tokens emit nothing.
+    Thin registry wrapper over operators/text.lm_scores (one
+    implementation — the curation job's LM-band stage reuses it)."""
+    from streaming_data_spark.operators import text as txt
+
+    return txt.lm_scores(_t(spark, sf_dir, "documents"))
 
 
 SQL_X35 = """

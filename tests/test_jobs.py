@@ -239,3 +239,41 @@ def test_daily_indicator_report_job_keeps_warmup_signals(spark, sf_small, tmp_pa
         panel.filter(F.col("signal").isNotNull() & F.col("mid").isNull()).count()
     )
     assert warmup_signals > 0
+
+
+def test_corpus_curation_lm_band_drops_only_out_of_band_docs(spark, sf_small):
+    """The optional CCNet-style LM stage must drop exactly the docs
+    whose corpus-LM score falls outside the [lo, hi] quantile band of
+    the post-decontamination corpus — nothing else, and docs without a
+    score (< 2 tokens) pass through rather than vanish."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_spark.jobs import corpus_curation_job
+    from streaming_data_spark.operators import text as txt
+    from streaming_data_spark.schemas import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    base = corpus_curation_job(spark, docs)
+    banded = corpus_curation_job(spark, docs, lm_band=(0.1, 0.9))
+    s0, s1 = dict(base["summary"]), dict(banded["summary"])
+    assert "lm_band" not in s0  # stage only reports when enabled
+    assert 0 < s1["lm_band"] < s1["decontaminated"]
+
+    # recompute the band over the SAME pre-band corpus with the same
+    # engine expressions, so the expected drop set is bit-identical
+    scores = txt.lm_scores(base["clean_docs"])
+    lo_v, hi_v = (
+        scores.agg(
+            F.expr("percentile(avg_logp, 0.1)"),
+            F.expr("percentile(avg_logp, 0.9)"),
+        ).collect()[0]
+    )
+    expected_drop = {
+        r.doc_id
+        for r in scores.filter(
+            (F.col("avg_logp") < lo_v) | (F.col("avg_logp") > hi_v)
+        ).collect()
+    }
+    base_ids = {r.doc_id for r in base["clean_docs"].select("doc_id").collect()}
+    banded_ids = {r.doc_id for r in banded["clean_docs"].select("doc_id").collect()}
+    assert banded_ids == base_ids - expected_drop
