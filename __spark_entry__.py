@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext31 import EXT31_QUERIES
     from streaming_data_spark.queries_ext32 import EXT32_QUERIES
     from streaming_data_spark.queries_ext33 import EXT33_QUERIES
+    from streaming_data_spark.queries_ext34 import EXT34_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-5 rotation: front the
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT31_QUERIES,
         **EXT32_QUERIES,
         **EXT33_QUERIES,
+        **EXT34_QUERIES,
     }
 
 
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext31 import EXT31_ORACLES
     from streaming_data_spark.queries_ext32 import EXT32_ORACLES
     from streaming_data_spark.queries_ext33 import EXT33_ORACLES
+    from streaming_data_spark.queries_ext34 import EXT34_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -190,4 +193,5 @@ def oracle_sql() -> dict[str, str]:
         **EXT31_ORACLES,
         **EXT32_ORACLES,
         **EXT33_ORACLES,
+        **EXT34_ORACLES,
     }

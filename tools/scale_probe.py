@@ -131,6 +131,8 @@ HEAVY = [
     # round-5 wave 33: ML featurization (partition-only LOO window;
     # explode + md5-bucket groupBy)
     "a31_target_encode", "x37_feature_hash",
+    # round-5 wave 34: one window pass + dimension-bounded groupBys
+    "a32_event_transitions",
 ]
 
 
