@@ -71,11 +71,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # filled by the first 10 CORE queries (flagship joins/aggregates,
     # r4-green, cheap re-verification). Everything else (r1-r4 green)
     # sits below the window.
-    # Round-6 rotation note: waves 29-33 (a26_window_median,
+    # Round-6 rotation note: waves 29-34 (a26_window_median,
     # a27_sma_crossover, a28_bollinger, a29_ewma, a30_max_drawdown,
     # x35_lm_score, x36_heavy_hitters, a31_target_encode,
-    # x37_feature_hash — 9 queries, new in r5) land BELOW the window
-    # this round; front them next round along with any r5 reds.
+    # x37_feature_hash, a32_event_transitions — 10 queries, new in
+    # r5) land BELOW the window this round; front them next round
+    # along with any r5 reds.
     # Dicts preserve first-insert order, so the later full merges
     # de-duplicate without moving the early positions.
     return {

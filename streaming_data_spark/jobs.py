@@ -212,23 +212,24 @@ def corpus_curation_job(
     # tier in this repo.
     if lm_band is not None:
         lo, hi = lm_band
-        scores = txt.lm_scores(clean, "doc_id", "text")
-        bounds = scores.agg(
-            F.expr(f"percentile(avg_logp, {float(lo)})").alias("lo_v"),
-            F.expr(f"percentile(avg_logp, {float(hi)})").alias("hi_v"),
-        )
+        # checkpoint the scores: the bounds aggregate AND the drop
+        # filter both consume them, and the 3-shuffle LM pipeline must
+        # run once, not once per consumer (same rule as the stage
+        # checkpoints above)
+        scores = txt.lm_scores(clean, "doc_id", "text").localCheckpoint(eager=True)
+        lo_v, hi_v = scores.agg(
+            F.expr(f"percentile(avg_logp, {float(lo)})"),
+            F.expr(f"percentile(avg_logp, {float(hi)})"),
+        ).collect()[0]
         # anti-join on the OUT-OF-BAND docs (not semi-join on in-band):
         # a doc with < 2 tokens has no score row, and "can't score"
         # must not mean "silently dropped" — unscorable docs pass
-        # through to the later stages' length-based handling.
-        drop = (
-            scores.crossJoin(F.broadcast(bounds))
-            .filter(
-                (F.col("avg_logp") < F.col("lo_v"))
-                | (F.col("avg_logp") > F.col("hi_v"))
-            )
-            .select("doc_id")
-        )
+        # through to the later stages' length-based handling. The two
+        # band bounds are driver scalars (the bounded-pull pattern),
+        # so the filter is two literal comparisons, no cross join.
+        drop = scores.filter(
+            (F.col("avg_logp") < F.lit(lo_v)) | (F.col("avg_logp") > F.lit(hi_v))
+        ).select("doc_id")
         clean = clean.join(drop, "doc_id", "left_anti")
         clean = clean.localCheckpoint(eager=True)
         summary.append(("lm_band", clean.count()))

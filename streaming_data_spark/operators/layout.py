@@ -176,25 +176,6 @@ def compact_parquet(
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         ]
 
-    # Stale-swap detection BEFORE any expensive work: a crash after
-    # the second rename but before the rmtree leaves the previous data
-    # parked at <path>.compact.old; a later run would only discover it
-    # at os.rename(path, old) — AFTER the full Spark rewrite — with an
-    # ENOTEMPTY that reads like corruption. Fail fast and name the fix.
-    stale_old = path.rstrip("/") + ".compact.old"
-    if os.path.exists(stale_old):
-        raise RuntimeError(
-            f"stale {stale_old} found (a prior compaction crashed after "
-            "its swap); verify the table, then delete the .compact.old "
-            "directory before compacting again"
-        )
-
-    before = _data_files(path)
-    total = sum(os.path.getsize(f) for f in before)
-    if len(before) < min_files_to_compact:
-        return {"files_before": len(before), "files_after": len(before),
-                "bytes": total, "skipped": True}
-
     lock_fd = None
     lock = path.rstrip("/") + ".compact.lock"
     if enforce_single_writer:
@@ -215,6 +196,28 @@ def compact_parquet(
             fh.write(json.dumps({"pid": os.getpid(), "ts": time.time()}))
 
     try:
+        # Stale-swap detection AFTER the lock (a live compaction
+        # legitimately has .compact.old between its renames — the lock
+        # check above reports THAT case correctly as a concurrent
+        # holder) but BEFORE any expensive work: a crash after the
+        # second rename but before the rmtree leaves the previous data
+        # parked at <path>.compact.old, and a later run would only
+        # discover it at os.rename(path, old) — after the full Spark
+        # rewrite — with an ENOTEMPTY that reads like corruption.
+        stale_old = path.rstrip("/") + ".compact.old"
+        if os.path.exists(stale_old):
+            raise RuntimeError(
+                f"stale {stale_old} found (a prior compaction crashed "
+                "after its swap); verify the table, then delete the "
+                ".compact.old directory before compacting again"
+            )
+
+        before = _data_files(path)
+        total = sum(os.path.getsize(f) for f in before)
+        if len(before) < min_files_to_compact:
+            return {"files_before": len(before), "files_after": len(before),
+                    "bytes": total, "skipped": True}
+
         n_out = max(1, -(-total // target_file_bytes))  # ceil
         tmp = path.rstrip("/") + ".compact.tmp"
         old = path.rstrip("/") + ".compact.old"

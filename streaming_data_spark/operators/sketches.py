@@ -162,34 +162,14 @@ def _mg_factory():
 mg_summary = _mg_factory()
 
 
-def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
-    """Items whose frequency exceeds n/(k+1), with EXACT counts, in
-    bounded memory — the sketch tier of the exact full-vocabulary
-    groupBy (x18_vocab_top_tokens).
-
-    Plan — exactly TWO passes over the input: (1) one Misra-Gries
-    summary per PARTITION via mapInPandas (state ≤ k counters per
-    task, never a full vocabulary), which also carries each
-    partition's row count so the global total rides the same scan —
-    including a NULL-keyed sentinel row per partition, because a
-    summary can legitimately end EMPTY (k=2 over [a,b,c] evicts
-    everything) and its row count must still reach the total; (2) the
-    union of partial candidates is provably a superset of every
-    global heavy hitter (an item with global count > n/(k+1) must
-    exceed the local threshold in at least one partition, by
-    averaging), and a broadcast semi-join + count verifies candidates
-    EXACTLY — so the final answer is deterministic, independent of
-    partitioning, and the DuckDB HAVING-threshold oracle matches it
-    hash-for-hash.
-
-    The summary (≤ (k+1) × partitions rows) is collected to the
-    driver between the passes — the same bounded-driver-pull contract
-    as the k-means centroids (similarity.py): its size is set by k
-    and the partition count, never by the corpus. That materializes
-    the sketch pass exactly once with no lingering cache, and the
-    verify pass then shuffles only candidate rows (≤ k × partitions
-    keys after map-side combine), not the corpus.
-    """
+def mg_partials(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """Pass 1 of heavy_hitters as a standalone lazy DataFrame — one
+    Misra-Gries summary (+ a NULL-keyed row-count sentinel) per
+    partition. Factored out so plan audits can inspect the sketch
+    pass: heavy_hitters itself COLLECTS this frame (bounded driver
+    pull), which removes it from the returned DataFrame's lineage and
+    would otherwise blind the fleet-wide plan gates to pass 1
+    (tests/test_plans.py::test_x36_sketch_pass_plan covers it here)."""
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     part_schema = StructType(
@@ -223,8 +203,41 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
             }
         )
 
+    return df.select(col).mapInPandas(_partials, schema=part_schema)
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """Items whose frequency exceeds n/(k+1), with EXACT counts, in
+    bounded memory — the sketch tier of the exact full-vocabulary
+    groupBy (x18_vocab_top_tokens).
+
+    Plan — exactly TWO passes over the input: (1) one Misra-Gries
+    summary per PARTITION via mapInPandas (state ≤ k counters per
+    task, never a full vocabulary), which also carries each
+    partition's row count so the global total rides the same scan —
+    including a NULL-keyed sentinel row per partition, because a
+    summary can legitimately end EMPTY (k=2 over [a,b,c] evicts
+    everything) and its row count must still reach the total; (2) the
+    union of partial candidates is provably a superset of every
+    global heavy hitter (an item with global count > n/(k+1) must
+    exceed the local threshold in at least one partition, by
+    averaging), and a broadcast semi-join + count verifies candidates
+    EXACTLY — so the final answer is deterministic, independent of
+    partitioning, and the DuckDB HAVING-threshold oracle matches it
+    hash-for-hash.
+
+    The summary (≤ (k+1) × partitions rows) is collected to the
+    driver between the passes — the same bounded-driver-pull contract
+    as the k-means centroids (similarity.py): its size is set by k
+    and the partition count, never by the corpus. That materializes
+    the sketch pass exactly once with no lingering cache, and the
+    verify pass then shuffles only candidate rows (≤ k × partitions
+    keys after map-side combine), not the corpus.
+    """
+    from pyspark.sql.types import StructField, StructType
+
     items = df.select(col)
-    summary = items.mapInPandas(_partials, schema=part_schema).collect()
+    summary = mg_partials(df, col, k).collect()
     n_total = sum({r["pid"]: r["n_part"] for r in summary}.values())
     cand_vals = sorted({r[col] for r in summary if r[col] is not None})
     if not cand_vals or n_total == 0:

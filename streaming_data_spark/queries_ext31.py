@@ -30,7 +30,6 @@ x12_clean_corpus. [EXT] per SURVEY.md §2.11 scope.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from streaming_data_spark.queries import _t
 

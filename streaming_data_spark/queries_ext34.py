@@ -48,16 +48,16 @@ def q_a32_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
     )
-    ctx = pairs.groupBy("prev_type").agg(F.count(F.lit(1)).alias("n_prev"))
-    return (
-        trans.join(ctx, "prev_type")
-        .select(
-            "prev_type",
-            "next_type",
-            "n",
-            F.round(F.col("n") / F.col("n_prev"), 6).alias("p_next"),
-            "avg_gap_s",
-        )
+    # context totals derive from the ALREADY-aggregated |types|² cells
+    # (a partition-only window over trans) — a second fact-sized
+    # groupBy of pairs would re-run the window pass over all events
+    n_prev = F.sum("n").over(Window.partitionBy("prev_type"))
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / n_prev, 6).alias("p_next"),
+        "avg_gap_s",
     )
 
 
@@ -74,16 +74,12 @@ trans AS (
          round(avg(gap_s), 6) AS avg_gap_s
   FROM pairs WHERE prev_type IS NOT NULL
   GROUP BY 1, 2
-),
-ctx AS (
-  SELECT prev_type, count(*) AS n_prev
-  FROM pairs WHERE prev_type IS NOT NULL
-  GROUP BY 1
 )
-SELECT t.prev_type, t.next_type, t.n,
-       round(t.n / CAST(c.n_prev AS DOUBLE), 6) AS p_next,
-       t.avg_gap_s
-FROM trans t JOIN ctx c USING (prev_type)
+SELECT prev_type, next_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+         AS p_next,
+       avg_gap_s
+FROM trans
 """
 
 

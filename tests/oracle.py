@@ -55,10 +55,18 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str = "") -> None:
             g = g.astype("float64")
             w = w.astype("float64")
             both_nan = g.isna() & w.isna()
-            eq = both_nan | np.isclose(g.fillna(0), w.fillna(0), rtol=0, atol=0, equal_nan=True)
+            # one-sided NaN/NULL must NOT equal anything: fillna(0)
+            # alone would let NULL-vs-0.0 drift through the gate
+            both_num = ~g.isna() & ~w.isna()
+            eq = both_nan | (
+                both_num & np.isclose(g.fillna(0), w.fillna(0), rtol=0, atol=0)
+            )
             exact = eq.all()
             if not exact:
-                close = (both_nan | np.isclose(g.fillna(0), w.fillna(0), rtol=1e-9)).all()
+                close = (
+                    both_nan
+                    | (both_num & np.isclose(g.fillna(0), w.fillna(0), rtol=1e-9))
+                ).all()
                 bad = (~eq).idxmax()
                 raise AssertionError(
                     f"{name}.{c}: float mismatch at row {bad}: {g[bad]!r} vs {w[bad]!r}"

@@ -63,3 +63,16 @@ def test_compare_distinguishes_null_from_value(spark):
     want = pd.DataFrame({"s": ["a", "b"]})
     with pytest.raises(AssertionError):
         compare(got, want, "null-vs-value")
+
+
+def test_compare_raises_on_float_null_vs_zero(spark):
+    """The gate's historical blind spot: a float NULL/NaN on one side
+    must NOT equal 0.0 on the other (fillna(0) alone would let a
+    query emitting NULL where the oracle emits 0.0 sail through every
+    sweep)."""
+    got = _sdf(spark, pd.DataFrame({"v": [float("nan"), 1.0]}))
+    want = pd.DataFrame({"v": [0.0, 1.0]})
+    with pytest.raises(AssertionError, match="float mismatch"):
+        compare(got, want, "null-vs-zero")
+    with pytest.raises(AssertionError, match="float mismatch"):
+        compare(_sdf(spark, want), pd.DataFrame({"v": [float("nan"), 1.0]}), "zero-vs-null")

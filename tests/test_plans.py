@@ -738,3 +738,25 @@ def test_lm_score_and_heavy_hitters_no_python_rowpath(spark, sf_small):
     for name in ("x35_lm_score", "x36_heavy_hitters"):
         text = plans.explain_str(qs[name](spark, sf_small))
         assert "BatchEvalPython" not in text, name
+
+
+def test_x36_sketch_pass_plan(spark, sf_small):
+    """heavy_hitters collects its sketch pass to the driver, which
+    removes pass 1 from the returned DataFrame's lineage — so audit
+    pass 1 directly: one documents scan into a MapInPandas (Arrow)
+    node; no row-at-a-time Python, no window, no shuffle before the
+    per-partition summaries."""
+    from streaming_data_spark.operators.sketches import mg_partials
+    from streaming_data_spark.schemas import load_table
+
+    toks = (
+        load_table(spark, sf_small, "documents")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    )
+    df = mg_partials(toks, "token", k=50)
+    text = plans.explain_str(df)
+    assert "BatchEvalPython" not in text, text
+    assert "MapInPandas" in text, text
+    assert text.count("documents.parquet") == 1, text
+    assert plans.shuffle_count(df) == 0, text
+    assert plans.global_window_count(df) == 0, text
