@@ -138,12 +138,16 @@ def ewma(
     """Recursive exponentially-weighted moving average per key:
     y_1 = x_1; y_t = alpha·x_t + (1-alpha)·y_{t-1}.
 
-    The recursion is inherently sequential along each key's day axis,
-    so it runs per key inside ``applyInPandas`` (Arrow-batched; keys
-    process in parallel, the loop only walks one key's ~calendar-days
-    rows). The fold is written as EXACTLY ``a*x + (1-a)*y`` so an
-    engine repeating the same IEEE ops (the DuckDB recursive-CTE
-    oracle) reproduces it bit-for-bit before rounding.
+    The recursion is inherently sequential along each key's day axis.
+    It runs inside ``mapInPandas`` over a key-partitioned,
+    (key, day)-sorted layout — NOT per-key ``applyInPandas``: with
+    thousands of small keys (1500 users × ~27 days at sf0.1) the
+    per-GROUP Arrow round-trip dominated (~5 s for 40k rows); one
+    Arrow transfer per PARTITION with the fold state carried across
+    record batches is ~5× cheaper, same math. The fold is written as
+    EXACTLY ``a*x + (1-a)*y`` so an engine repeating the same IEEE
+    ops (the DuckDB recursive-CTE oracle) reproduces it bit-for-bit
+    before rounding.
 
     A closed-form window expression exists (y_t = Σ a(1-a)^(t-k)x_k)
     but needs (1-a)^(-k) factors that overflow past a few thousand
@@ -155,17 +159,32 @@ def ewma(
         list(daily.schema.fields) + [StructField("ewma", DoubleType())]
     )
 
-    def _fold(pdf):
-        pdf = pdf.sort_values(day_col).reset_index(drop=True)
-        out = []
+    def _fold_partition(pdfs):
+        # one partition = many whole keys, sorted by (key, day);
+        # Arrow may slice it into several record batches, so the
+        # (current key, running value) state crosses batch boundaries
+        cur = object()
         y = None
-        for x in pdf[price_col]:
-            y = float(x) if y is None else a * float(x) + (1.0 - a) * y
-            out.append(y)
-        pdf["ewma"] = out
-        return pdf[cols + ["ewma"]]
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            out = []
+            for k_val, x in zip(pdf[key], pdf[price_col]):
+                if k_val != cur:
+                    cur = k_val
+                    y = float(x)
+                else:
+                    y = a * float(x) + (1.0 - a) * y
+                out.append(y)
+            pdf = pdf.copy()
+            pdf["ewma"] = out
+            yield pdf[cols + ["ewma"]]
 
-    return daily.groupBy(key).applyInPandas(_fold, schema=out_schema)
+    return (
+        daily.repartition(key)
+        .sortWithinPartitions(key, day_col)
+        .mapInPandas(_fold_partition, schema=out_schema)
+    )
 
 
 def max_drawdown(daily: DataFrame, key: str = "user_id") -> DataFrame:
