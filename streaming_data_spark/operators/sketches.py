@@ -170,13 +170,23 @@ def mg_partials(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     pull), which removes it from the returned DataFrame's lineage and
     would otherwise blind the fleet-wide plan gates to pass 1
     (tests/test_plans.py::test_x36_sketch_pass_plan covers it here)."""
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     part_schema = StructType(
         [
             StructField(col, df.schema[col].dataType),
             StructField("pid", IntegerType()),
             StructField("n_part", LongType()),
+            # sentinel rows carry ONLY the partition row count; a NULL
+            # key alone cannot mark them — NULL is a legal item (the
+            # GROUP BY oracle keeps its group, so must the sketch)
+            StructField("is_sentinel", BooleanType()),
         ]
     )
 
@@ -190,16 +200,20 @@ def mg_partials(df: DataFrame, col: str, k: int = 100) -> DataFrame:
             nonlocal n_rows
             for pdf in pdfs:
                 n_rows += len(pdf)
-                yield from pdf[col]
+                # None for NULLs so the MG dict sees ONE hashable key
+                # (pandas would otherwise surface NaN, and distinct
+                # NaN objects void the counter bound)
+                yield from (None if pd.isna(v) else v for v in pdf[col])
 
         counters = mg_summary(_walk(), k)
         pid = TaskContext.get().partitionId()
-        keys = [*counters, None]  # sentinel: n_part survives empty summaries
+        keys = [*counters, None]  # final None row = the sentinel
         yield pd.DataFrame(
             {
                 col: keys,
                 "pid": [pid] * len(keys),
                 "n_part": [n_rows] * len(keys),
+                "is_sentinel": [False] * len(counters) + [True],
             }
         )
 
@@ -233,13 +247,30 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     the sketch pass exactly once with no lingering cache, and the
     verify pass then shuffles only candidate rows (≤ k × partitions
     keys after map-side combine), not the corpus.
-    """
-    from pyspark.sql.types import StructField, StructType
 
+    NULL is a legal item: sentinel rows are flagged by a dedicated
+    marker column, NULL candidates survive via a null-safe (<=>)
+    semi-join, and the groupBy keeps the NULL group — so a NULL heavy
+    hitter matches the GROUP BY oracle instead of silently vanishing.
+    Float/double columns are REJECTED up front: distinct NaN objects
+    hash apart in the MG dict, voiding the error bound (bucket or
+    cast continuous values before sketching them).
+    """
+    from pyspark.sql.types import DoubleType, FloatType, StructField, StructType
+
+    if isinstance(df.schema[col].dataType, (FloatType, DoubleType)):
+        raise ValueError(
+            f"heavy_hitters over float column {col!r}: NaN keys void the "
+            "Misra-Gries bound — bucket/cast to a discrete type first"
+        )
     items = df.select(col)
     summary = mg_partials(df, col, k).collect()
     n_total = sum({r["pid"]: r["n_part"] for r in summary}.values())
-    cand_vals = sorted({r[col] for r in summary if r[col] is not None})
+    cand_vals = {r[col] for r in summary if not r["is_sentinel"]}
+    has_null_cand = None in cand_vals
+    cand_vals = sorted(v for v in cand_vals if v is not None)
+    if has_null_cand:
+        cand_vals.append(None)
     if not cand_vals or n_total == 0:
         return (
             items.limit(0)
@@ -249,9 +280,11 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     cand = df.sparkSession.createDataFrame(
         [(v,) for v in cand_vals],
         StructType([StructField(col, df.schema[col].dataType)]),
-    )
+    ).withColumnRenamed(col, "__cand")
     return (
-        items.join(F.broadcast(cand), col, "left_semi")
+        items.join(
+            F.broadcast(cand), F.col(col).eqNullSafe(F.col("__cand")), "left_semi"
+        )
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n_item"))
         .filter(F.col("n_item") > F.lit(float(n_total) / (k + 1)))

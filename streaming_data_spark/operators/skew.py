@@ -57,6 +57,85 @@ def salted_join(
     return left_s.join(right_s, on + [SALT_COL], how).drop(SALT_COL)
 
 
+def skew_split_inner_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    is_hot: str,
+    salt: int = 16,
+) -> DataFrame:
+    """Inner equi-join robust to power-law keys, in ONE pass over the
+    (large) left side.
+
+    ``right`` carries a boolean column ``is_hot`` marking the rows
+    whose key is above the skew threshold — the caller guarantees that
+    set is BOUNDED (e.g. by pigeonhole: share ≥ f ⇒ ≤ 1/f keys). The
+    plan then:
+
+    1. broadcast-LEFT-joins the hot slice onto ``left`` (no shuffle;
+       hot matches resolve map-side, tagged with a hit marker);
+    2. assigns the shuffle salt: hot-hit rows get a RANDOM salt (their
+       key cannot exist on the cold side, so they match nothing there
+       and any salt is correct), cold rows get salt 0 to meet the
+       cold slice (also salt 0);
+    3. equi-joins the cold slice on (keys + salt) — by construction NO
+       key above the threshold ever enters this shuffle as a single
+       reducer's load;
+    4. coalesces the hot/cold payloads and keeps inner semantics
+       (rows matched on neither side drop).
+
+    Identical results to ``left.join(right.drop(is_hot), on)`` for any
+    right-side multiplicity — hot/cold key sets are disjoint, so each
+    output row's payload comes from exactly one side. Unlike
+    ``salted_join`` (which replicates the whole right side salt×),
+    only the bounded hot slice is broadcast and the cold slice ships
+    once — this is the shape for a right side too big to replicate
+    (e.g. an n-gram probability table).
+    """
+    on = list(on)
+    payload = [c for c in right.columns if c not in on and c != is_hot]
+    hot = right.filter(F.col(is_hot)).select(
+        *on,
+        F.lit(True).alias("__hot_hit"),
+        *[F.col(c).alias(f"__hot_{c}") for c in payload],
+    )
+    # The cold salt is ALWAYS 0 — but written as floor(rand()) ∈ {0}
+    # rather than lit(0): a literal is constant-folded by Catalyst and
+    # dropped from the partitioning keys, which silently collapses the
+    # co-partitioning to the raw (unsalted) keys and defeats the whole
+    # operator. A non-deterministic zero keeps __salt a clustering key.
+    cold = right.filter(~F.col(is_hot)).select(
+        *on,
+        F.floor(F.rand(seed=43)).cast("int").alias(SALT_COL),
+        F.lit(True).alias("__cold_hit"),
+        *payload,
+    )
+    tagged = left.join(F.broadcast(hot), on, "left").withColumn(
+        SALT_COL,
+        F.when(
+            F.coalesce(F.col("__hot_hit"), F.lit(False)),
+            F.floor(F.rand(seed=42) * salt),
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    joined = tagged.join(cold, on + [SALT_COL], "left")
+    left_cols = [c for c in left.columns]
+    return (
+        joined.filter(
+            F.coalesce("__hot_hit", F.lit(False))
+            | F.coalesce("__cold_hit", F.lit(False))
+        )
+        .select(
+            *left_cols,
+            *[
+                F.coalesce(F.col(f"__hot_{c}"), F.col(c)).alias(c)
+                for c in payload
+            ],
+        )
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

@@ -115,7 +115,11 @@ def text_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 
 
 def lm_scores(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hot_frac: float | str | None = "auto",
+    salt: int = 8,
 ) -> DataFrame:
     """(id, n_bigrams, avg_logp): each document's mean log-probability
     under the corpus's OWN bigram LM — the perplexity-proxy quality
@@ -126,12 +130,34 @@ def lm_scores(
     branch. Documents with < 2 tokens emit nothing.
 
     Scale shape: bigram/context counts and the probability join are
-    keyed SHUFFLES on the bigram key — vocabulary grows with the
-    corpus, so nothing here broadcasts (the x17 document-frequency
-    rule); hot bigrams are the skew hazard and operators/skew.py
-    salting applies unchanged. Oracle-matched as registry query
-    ``x35_lm_score``.
+    keyed SHUFFLES on the bigram key — the full vocabulary grows with
+    the corpus, so the probability table itself never broadcasts (the
+    x17 document-frequency rule). Hot bigrams ("the, of") are the
+    skew hazard: the instance⋈probs join therefore goes through
+    ``operators.skew.skew_split_inner_join``, split at a frequency
+    fraction. A bigram with n ≥ hot_frac·N implies at most 1/hot_frac
+    such bigrams (pigeonhole) — a BOUNDED broadcastable set regardless
+    of corpus size — so hot instances resolve map-side against the
+    broadcast slice and enter the cold shuffle under a RANDOM salt
+    (no reducer ever owns a hot key), while cold keys ship exactly
+    once. ONE pass over the instance stream either way. Results are
+    identical to the plain join (the ``x35_lm_score`` oracle is the
+    equality gate); only the physical key distribution changes.
+
+    ``hot_frac="auto"`` (default) sets the threshold from the fair
+    shuffle share: a key is hot when its share ≥ 4/shuffle_partitions
+    (≥ 4× one reducer's fair load — below that a key cannot straggle
+    a task, above it AQE's SMJ-only skew split may not apply). On
+    local[32] nothing crosses it (the probe/pytest tier exercises the
+    hot path with synthetic skew); at P=2048 it is 0.2% — stopword-
+    bigram grade. Set ``hot_frac=None`` to disable the split.
     """
+    from streaming_data_spark.operators.skew import skew_split_inner_join
+
+    if hot_frac == "auto":
+        parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        hot_frac = 4.0 / max(parts, 1)
+
     toks = F.split(F.trim(text_col), r"\s+")
     m = F.size(toks) - 1
     grams = F.zip_with(
@@ -144,11 +170,35 @@ def lm_scores(
     big = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
     ctx = inst.groupBy("w1").agg(F.count(F.lit(1)).alias("n_ctx"))
     probs = big.join(ctx, "w1").select(
-        "w1", "w2", (F.col("n_bigram") / F.col("n_ctx")).alias("p_cond")
+        "w1", "w2", "n_bigram",
+        (F.col("n_bigram") / F.col("n_ctx")).alias("p_cond"),
     )
+    if hot_frac is None:
+        scored = inst.join(probs.drop("n_bigram"), ["w1", "w2"])
+    else:
+        # N = Σ max(|toks|-1, 0) straight off the documents scan — one
+        # shuffle-free map-side agg, NOT a recompute of the bigram
+        # groupBy lineage (same value: every doc emits |toks|-1 grams).
+        total = df.agg(
+            F.sum(F.greatest(m, F.lit(0))).alias("n_total")
+        )
+        probs_t = probs.crossJoin(F.broadcast(total)).select(
+            "w1",
+            "w2",
+            (F.col("n_bigram") >= F.col("n_total") * hot_frac).alias("__is_hot"),
+            "p_cond",
+        )
+        # The split consumes probs twice (hot slice + cold slice);
+        # without a checkpoint each filter re-runs the corpus-wide
+        # bigram aggregation. Materializing here is O(vocab) rows —
+        # bounded by the dictionary, never by corpus volume (the same
+        # double-compute guard as dedup's MinHash signatures).
+        probs_t = probs_t.localCheckpoint()
+        scored = skew_split_inner_join(
+            inst, probs_t, ["w1", "w2"], is_hot="__is_hot", salt=salt
+        )
     return (
-        inst.join(probs, ["w1", "w2"])
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg(F.log("p_cond")), 6).alias("avg_logp"),

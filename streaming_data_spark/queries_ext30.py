@@ -8,8 +8,9 @@ from exactly that daily grid:
 - a27_sma_crossover: 5/20-day moving-average golden/death crosses.
 - a28_bollinger: 20-day mean ± 2σ bands + close position.
 - a29_ewma: recursive exponential smoothing (the one inherently
-  sequential recursion — per-key ``applyInPandas``, Arrow-batched,
-  with a DuckDB RECURSIVE-CTE oracle repeating the same IEEE fold).
+  sequential recursion — a partition-level ``mapInPandas`` fold over
+  key-sorted partitions, state carried across Arrow batches, with a
+  DuckDB RECURSIVE-CTE oracle repeating the same IEEE fold).
 - a30_max_drawdown: worst peak-to-trough decline per key.
 
 Shape: one fact-sized pass (the daily-close groupBy, map-side

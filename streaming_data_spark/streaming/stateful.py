@@ -160,13 +160,23 @@ _LAST_SCHEMA = StructType(
         StructField("value", DoubleType()),
     ]
 )
-# State-schema compatibility: the seq field was ADDED to this struct
-# (it was (ts_us, value) before the tiebreak hardening). A
-# change_alert_stream checkpoint written by the 2-field version fails
-# state-schema validation on restart — discard the checkpoint (or
-# keep running the old build) when upgrading; stateful schema
-# migration is a table-format/operational concern Spark does not
-# solve in-place.
+# State-schema v1 — the (ts_us, value) layout from before the seq
+# tiebreak hardening. Spark validates the DECLARED state schema
+# against what the checkpoint stored, so a v2 (3-field) query cannot
+# open a v1 checkpoint (and Spark offers no in-place state
+# migration). ``change_alert_stream(state_schema_version=1)`` is the
+# operational escape hatch: it declares THIS schema, keeps old
+# checkpoints restartable, and runs the same kernel with seq=0
+# (arrival-order tie resolution — exactly the old behavior).
+# Upgrading to v2 for the deterministic tiebreak requires a fresh
+# checkpoint (see COVERAGE.md "State-schema versions").
+_LAST_SCHEMA_V1 = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+CHANGE_ALERT_STATE_VERSION = 2  # current default; suffix checkpoints with it
 
 
 def _round6_half_up(x: float) -> float:
@@ -257,6 +267,7 @@ def change_alert_stream(
     api: str = "auto",
     state_ttl_ms: int | None = None,
     seq_col: str | None = None,
+    state_schema_version: int = 2,
 ) -> DataFrame:
     """Per-key change detection across micro-batches: emit an alert row
     whenever a key's value moves more than ``pct`` (relative) against
@@ -286,9 +297,39 @@ def change_alert_stream(
     events for one key resolve by arrival order, which can differ
     between replays (and from the batch lag() twin). Pass it whenever
     the source has a stable id.
+
+    ``state_schema_version`` selects the stored per-key state layout:
+    2 (default) is the current (ts_us, seq, value) tuple; 1 is the
+    pre-seq (ts_us, value) layout — pass 1 to RESTART a checkpoint
+    written before the tiebreak hardening (Spark rejects a schema
+    change against a live checkpoint and cannot migrate state
+    in-place). v1 runs the same kernel with seq pinned to 0 and is
+    incompatible with ``seq_col``.
     """
     if api == "auto":
         api = "tws" if has_transform_with_state_runtime() else "apply"
+    if state_schema_version not in (1, 2):
+        raise ValueError(f"state_schema_version must be 1 or 2, got {state_schema_version}")
+    if state_schema_version == 1 and seq_col is not None:
+        raise ValueError(
+            "state_schema_version=1 (ts_us, value) cannot store the seq tiebreak; "
+            "drop seq_col or start a fresh v2 checkpoint"
+        )
+    state_schema = _LAST_SCHEMA if state_schema_version == 2 else _LAST_SCHEMA_V1
+
+    def _load(stored):
+        """Stored state tuple -> kernel (ts_us, seq, value)."""
+        if stored is None:
+            return None
+        if state_schema_version == 2:
+            return stored
+        return (stored[0], 0, stored[1])
+
+    def _store(prev):
+        """Kernel (ts_us, seq, value) -> stored state tuple."""
+        if state_schema_version == 2:
+            return prev
+        return (prev[0], prev[2])
 
     sort_cols = [ts_col] if seq_col is None else [ts_col, seq_col]
 
@@ -304,14 +345,14 @@ def change_alert_stream(
         class _ChangeDetector(StatefulProcessor):
             def init(self, handle: StatefulProcessorHandle) -> None:
                 self._last = handle.getValueState(
-                    "last", _LAST_SCHEMA, state_ttl_ms
+                    "last", state_schema, state_ttl_ms
                 )
 
             def handleInputRows(self, key, rows, timerValues):
                 import pandas as pd
 
                 batch = pd.concat(list(rows)).sort_values(sort_cols)
-                prev = self._last.get() if self._last.exists() else None
+                prev = _load(self._last.get() if self._last.exists() else None)
                 out, prev = _detect_changes(
                     prev,
                     batch[ts_col].astype("int64") // 1000,
@@ -319,7 +360,7 @@ def change_alert_stream(
                     pct,
                     seqs=_seqs(batch),
                 )
-                self._last.update(prev)
+                self._last.update(_store(prev))
                 if out:
                     yield _alerts_frame(key[0], out)
 
@@ -347,7 +388,7 @@ def change_alert_stream(
         import pandas as pd
 
         batch = pd.concat(list(pdfs)).sort_values(sort_cols)
-        prev = tuple(state.get) if state.exists else None
+        prev = _load(tuple(state.get) if state.exists else None)
         out, prev = _detect_changes(
             prev,
             batch[ts_col].astype("int64") // 1000,
@@ -355,14 +396,14 @@ def change_alert_stream(
             pct,
             seqs=_seqs(batch),
         )
-        state.update(tuple(prev))
+        state.update(tuple(_store(prev)))
         if out:
             yield _alerts_frame(key[0], out)
 
     return events.groupBy(key_col).applyInPandasWithState(
         _fn,
         outputStructType=ALERT_SCHEMA,
-        stateStructType=_LAST_SCHEMA,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -450,7 +491,17 @@ def sma_cross_stream(
     ``long`` closes across micro-batches, so a cross whose two sides
     arrive in different batches still fires; state is O(long) per key
     regardless of stream length, and keys shard across executors on
-    the groupBy — the same scaling shape as every stateful op here."""
+    the groupBy — the same scaling shape as every stateful op here.
+
+    The output key column is named ``key_col`` and typed from the
+    input schema (CROSS_SCHEMA documents the default user_id shape) —
+    a non-default key must not silently come back renamed."""
+    out_schema = StructType(
+        [
+            StructField(key_col, daily.schema[key_col].dataType),
+            *CROSS_SCHEMA.fields[1:],
+        ]
+    )
 
     def _fn(
         key: Tuple[Any, ...],
@@ -472,7 +523,7 @@ def sma_cross_stream(
         if rows:
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]] * len(rows),
+                    key_col: [key[0]] * len(rows),
                     "day": pd.to_datetime([r[0] for r in rows], unit="us"),
                     "close": [r[1] for r in rows],
                     "sma_s": [r[2] for r in rows],
@@ -483,8 +534,213 @@ def sma_cross_stream(
 
     return daily.groupBy(key_col).applyInPandasWithState(
         _fn,
-        outputStructType=CROSS_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_CROSS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bollinger bands / EWMA — the remaining indicator twins
+# (VERDICT r6 item 8: extend the sma_cross_stream O(window)-state
+# kernel pattern so the whole indicator panel has a streaming tier)
+# ---------------------------------------------------------------------------
+
+# cross-batch state: the trailing `periods` (day, close) pairs —
+# O(periods) per key no matter how many batches pass.
+_BOLL_STATE = StructType(
+    [
+        StructField("days_us", ArrayType(LongType())),
+        StructField("closes", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _advance_bollinger(state, days_us, closes, periods, n_std):
+    """Fold one key's day-ordered batch into the trailing-window state;
+    return (emitted rows, new state). Emits only fully-warmed windows
+    (the batch operator's w_n == periods rule, so stream == batch
+    row-for-row). The mean is the in-order sum/n (Spark's Average
+    fold) and the sample stddev is the in-order Welford fold (Spark's
+    CentralMomentAgg) — the SAME IEEE op sequence Spark's window
+    aggregate runs, so the rounded bands agree bit-for-bit. Late days
+    (≤ newest seen) drop: state moves forward only."""
+    hist_d, hist_c = state or ([], [])
+    hist_d, hist_c = list(hist_d), list(hist_c)
+    out = []
+    for d, c in zip(days_us, closes):
+        if hist_d and d <= hist_d[-1]:
+            continue
+        hist_d.append(int(d))
+        hist_c.append(float(c))
+        del hist_d[:-periods], hist_c[:-periods]
+        if len(hist_c) < periods:
+            continue
+        mean_raw = sum(hist_c) / periods
+        # Welford / CentralMomentAgg fold, frame order
+        n = 0
+        mean = 0.0
+        m2 = 0.0
+        for x in hist_c:
+            n += 1
+            delta = x - mean
+            mean += delta / n
+            m2 += delta * (x - mean)
+        sd = (m2 / (n - 1)) ** 0.5
+        upper = _round6_half_up(mean_raw + n_std * sd)
+        lower = _round6_half_up(mean_raw - n_std * sd)
+        close = hist_c[-1]
+        position = "ABOVE" if close > upper else ("BELOW" if close < lower else "IN")
+        out.append(
+            (int(d), close, _round6_half_up(mean_raw), upper, lower, position)
+        )
+    return out, (hist_d, hist_c)
+
+
+def bollinger_stream(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    day_col: str = "day",
+    close_col: str = "close",
+    periods: int = 20,
+    n_std: float = 2.0,
+) -> DataFrame:
+    """Streaming Bollinger bands over a per-key daily close stream —
+    the streaming twin of operators/indicators.bollinger_bands: same
+    warm rule, same rounded bands, same ABOVE/IN/BELOW classification,
+    with the trailing window carried across micro-batches. State is
+    O(periods) per key; keys shard across executors on the groupBy."""
+    out_schema = StructType(
+        [
+            StructField(key_col, daily.schema[key_col].dataType),
+            StructField("day", TimestampType()),
+            StructField("close", DoubleType()),
+            StructField("mid", DoubleType()),
+            StructField("upper", DoubleType()),
+            StructField("lower", DoubleType()),
+            StructField("position", StringType()),
+        ]
+    )
+
+    def _fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs)).sort_values(day_col)
+        prev = tuple(state.get) if state.exists else None
+        rows, new_state = _advance_bollinger(
+            prev,
+            batch[day_col].astype("int64") // 1000,
+            batch[close_col].astype("float64"),
+            periods,
+            n_std,
+        )
+        state.update(tuple(new_state))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(rows),
+                    "day": pd.to_datetime([r[0] for r in rows], unit="us"),
+                    "close": [r[1] for r in rows],
+                    "mid": [r[2] for r in rows],
+                    "upper": [r[3] for r in rows],
+                    "lower": [r[4] for r in rows],
+                    "position": [r[5] for r in rows],
+                }
+            )
+
+    return daily.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_BOLL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# cross-batch state: ONE (last day, running value) pair per key — the
+# minimum any exponential recursion can carry.
+_EWMA_STATE = StructType(
+    [
+        StructField("last_day_us", LongType()),
+        StructField("y", DoubleType()),
+    ]
+)
+
+
+def _advance_ewma(state, days_us, closes, alpha):
+    """Fold one key's day-ordered batch through y = a·x + (1-a)·y —
+    EXACTLY the batch operator's op order (indicators.ewma), so the
+    streamed values are bit-identical to the batch fold. Every row
+    emits (the recursion starts at y_1 = x_1, no warmup); late days
+    drop, state moves forward only."""
+    last_d, y = state or (None, None)
+    out = []
+    for d, c in zip(days_us, closes):
+        if last_d is not None and d <= last_d:
+            continue
+        x = float(c)
+        y = x if y is None else alpha * x + (1.0 - alpha) * y
+        last_d = int(d)
+        out.append((last_d, x, y))
+    return out, (last_d, y)
+
+
+def ewma_stream(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    day_col: str = "day",
+    close_col: str = "close",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Streaming EWMA over a per-key daily close stream — the
+    streaming twin of operators/indicators.ewma (the mapInPandas
+    partition fold): same recursion, same IEEE op order, values carry
+    across micro-batches through O(1) state per key."""
+    out_schema = StructType(
+        [
+            StructField(key_col, daily.schema[key_col].dataType),
+            StructField("day", TimestampType()),
+            StructField("close", DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    a = float(alpha)
+
+    def _fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs)).sort_values(day_col)
+        prev = tuple(state.get) if state.exists else None
+        rows, new_state = _advance_ewma(
+            prev,
+            batch[day_col].astype("int64") // 1000,
+            batch[close_col].astype("float64"),
+            a,
+        )
+        state.update(tuple(new_state))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(rows),
+                    "day": pd.to_datetime([r[0] for r in rows], unit="us"),
+                    "close": [r[1] for r in rows],
+                    "ewma": [r[2] for r in rows],
+                }
+            )
+
+    return daily.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_EWMA_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

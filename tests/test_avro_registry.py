@@ -1,0 +1,266 @@
+"""Schema-registry Avro wire tests against a REAL in-process HTTP
+registry double (Confluent REST subset — the same live-server
+strategy as the ES /_bulk tests): register/fetch round-trip, the
+5-byte wire envelope, schema EVOLUTION in both directions
+(new-consumer-old-data takes the default; old-consumer-new-data skips
+the added field), per-id lookup with 5xx retry, and the frozen JVM
+spark-avro contract (environmental — probed, skip-documented).
+
+Reference parity: kafka/zk-multiple-kafka-multiple-schema-registry.yml:1
+and kafka/full-stack.yml:40-60 deploy this registry next to the
+brokers; send_to_kafka.py's JSON envelope is what the Avro wire
+replaces.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_data_spark.schemas import load_table
+from streaming_data_spark.streaming import avro_registry as ar
+
+SCHEMA_V1 = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "user_id", "type": "long"},
+        {"name": "value", "type": "double"},
+    ],
+}
+
+# evolution: added field with a default + an optional (union) field
+SCHEMA_V2 = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "user_id", "type": "long"},
+        {"name": "value", "type": "double"},
+        {"name": "source", "type": "string", "default": "api"},
+        {"name": "note", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+class _Registry(BaseHTTPRequestHandler):
+    def _reply(self, code: int, payload: dict) -> None:
+        raw = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/vnd.schemaregistry.v1+json")
+        self.send_header("Content-Length", str(len(raw)))
+        self.end_headers()
+        self.wfile.write(raw)
+
+    def do_POST(self) -> None:  # noqa: N802 — http.server API
+        srv = self.server
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        with srv.lock:  # type: ignore[attr-defined]
+            if srv.fail_budget > 0:  # type: ignore[attr-defined]
+                srv.fail_budget -= 1  # type: ignore[attr-defined]
+                self.send_response(503)
+                self.end_headers()
+                return
+            subject = self.path.split("/")[2]
+            schema = body["schema"]
+            # idempotent register: identical schema -> same id
+            for sid, (subj, sch) in srv.schemas.items():  # type: ignore[attr-defined]
+                if subj == subject and sch == schema:
+                    self._reply(200, {"id": sid})
+                    return
+            sid = len(srv.schemas) + 1  # type: ignore[attr-defined]
+            srv.schemas[sid] = (subject, schema)  # type: ignore[attr-defined]
+            self._reply(200, {"id": sid})
+
+    def do_GET(self) -> None:  # noqa: N802
+        srv = self.server
+        with srv.lock:  # type: ignore[attr-defined]
+            srv.gets.append(self.path)  # type: ignore[attr-defined]
+            parts = self.path.strip("/").split("/")
+            if parts[:2] == ["schemas", "ids"]:
+                sid = int(parts[2])
+                if sid not in srv.schemas:  # type: ignore[attr-defined]
+                    self._reply(404, {"error_code": 40403})
+                    return
+                self._reply(200, {"schema": srv.schemas[sid][1]})  # type: ignore[attr-defined]
+                return
+            if parts[0] == "subjects" and parts[2:] == ["versions", "latest"]:
+                subject = parts[1]
+                hits = [
+                    (sid, sch)
+                    for sid, (subj, sch) in srv.schemas.items()  # type: ignore[attr-defined]
+                    if subj == subject
+                ]
+                if not hits:
+                    self._reply(404, {"error_code": 40401})
+                    return
+                sid, sch = hits[-1]
+                self._reply(
+                    200,
+                    {"id": sid, "version": len(hits), "schema": sch,
+                     "subject": subject},
+                )
+                return
+            self._reply(404, {"error_code": 404})
+
+    def log_message(self, *args) -> None:  # silence
+        pass
+
+
+@pytest.fixture()
+def registry():
+    srv = HTTPServer(("127.0.0.1", 0), _Registry)
+    srv.schemas = {}  # type: ignore[attr-defined]
+    srv.gets = []  # type: ignore[attr-defined]
+    srv.fail_budget = 0  # type: ignore[attr-defined]
+    srv.lock = threading.Lock()  # type: ignore[attr-defined]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+def _url(srv) -> str:
+    return f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_registry_client_register_fetch_latest(registry):
+    c = ar.SchemaRegistryClient(_url(registry))
+    sid1 = c.register("events-value", SCHEMA_V1)
+    assert c.register("events-value", SCHEMA_V1) == sid1  # idempotent
+    sid2 = c.register("events-value", SCHEMA_V2)
+    assert sid2 != sid1
+    assert c.get_by_id(sid1) == SCHEMA_V1
+    latest_id, latest_schema = c.latest("events-value")
+    assert (latest_id, latest_schema) == (sid2, SCHEMA_V2)
+
+
+def test_registry_client_retries_5xx_once(registry):
+    registry.fail_budget = 1
+    c = ar.SchemaRegistryClient(_url(registry))
+    assert c.register("events-value", SCHEMA_V1) == 1  # survived one 503
+
+
+def test_wire_envelope_and_roundtrip(spark, sf_small, registry):
+    """Producer output is magic 0x00 + big-endian schema id + Avro
+    body, and decoding with reader == writer returns the rows
+    bit-for-bit."""
+    events = (
+        load_table(spark, sf_small, "events")
+        .select("event_id", "user_id", "value")
+        .limit(50)
+    )
+    wire = ar.encode_avro_registry(
+        events, "events-value", SCHEMA_V1, _url(registry), key_col="event_id"
+    )
+    rows = wire.collect()
+    assert len(rows) == 50
+    magic, sid = struct.unpack_from(">bI", bytes(rows[0].value))
+    assert magic == 0 and sid == 1
+    assert rows[0].key is not None  # keyed producer contract (K4 parity)
+
+    back = ar.decode_avro_registry(wire, SCHEMA_V1, _url(registry))
+    want = {tuple(r) for r in events.collect()}
+    got = {(r.event_id, r.user_id, r.value) for r in back.collect()}
+    assert got == want
+
+
+def test_evolution_new_consumer_reads_old_data_with_defaults(
+    spark, sf_small, registry
+):
+    """v1-written messages read under the v2 reader: added field takes
+    its declared default, optional union field takes null — the
+    registry resolves the WRITER schema by embedded id."""
+    events = (
+        load_table(spark, sf_small, "events")
+        .select("event_id", "user_id", "value")
+        .limit(20)
+    )
+    wire_v1 = ar.encode_avro_registry(events, "events-value", SCHEMA_V1, _url(registry))
+    v2_rows = ar.decode_avro_registry(wire_v1, SCHEMA_V2, _url(registry)).collect()
+    assert len(v2_rows) == 20
+    assert {r.source for r in v2_rows} == {"api"}
+    assert {r.note for r in v2_rows} == {None}
+
+
+def test_evolution_old_consumer_skips_new_fields(spark, sf_small, registry):
+    """v2-written messages (extra fields on the wire) read under the
+    v1 reader: unknown fields are decoded-and-skipped, the shared
+    fields come back exactly."""
+    events = (
+        load_table(spark, sf_small, "events")
+        .select("event_id", "user_id", "value")
+        .withColumn("source", F.lit("backfill"))
+        .withColumn("note", F.lit("n1"))
+        .limit(20)
+    )
+    wire_v2 = ar.encode_avro_registry(events, "events-value", SCHEMA_V2, _url(registry))
+    got = {
+        (r.event_id, r.user_id, r.value)
+        for r in ar.decode_avro_registry(wire_v2, SCHEMA_V1, _url(registry)).collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.value)
+        for r in events.select("event_id", "user_id", "value").collect()
+    }
+    assert got == want
+
+
+def test_mixed_schema_stream_resolves_per_message(spark, sf_small, registry):
+    """A topic with BOTH v1 and v2 messages interleaved (the real
+    mid-migration state): each message resolves through ITS embedded
+    id; schema fetches stay O(distinct ids), not O(rows)."""
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", "value"
+    )
+    w1 = ar.encode_avro_registry(events.limit(15), "events-value", SCHEMA_V1, _url(registry))
+    w2 = ar.encode_avro_registry(
+        events.limit(25).withColumn("source", F.lit("v2")).withColumn(
+            "note", F.lit(None).cast("string")
+        ),
+        "events-value",
+        SCHEMA_V2,
+        _url(registry),
+    )
+    mixed = w1.unionByName(w2).repartition(4)
+    out = ar.decode_avro_registry(mixed, SCHEMA_V2, _url(registry)).collect()
+    assert len(out) == 40
+    assert {r.source for r in out} == {"api", "v2"}
+    # per-id lookup, cached per worker process: far fewer GETs than rows
+    id_gets = [g for g in registry.gets if g.startswith("/schemas/ids/")]
+    assert 0 < len(id_gets) < 40
+
+
+def test_codec_rejects_incompatible_evolution():
+    """A reader field absent from the writer WITHOUT a default is an
+    incompatibility — fail loudly, never fabricate."""
+    enc, dec = ar._codec_factory()
+    payload = enc(SCHEMA_V1, {"event_id": 1, "user_id": 2, "value": 3.0})
+    bad_reader = {
+        "type": "record",
+        "name": "Event",
+        "fields": [*SCHEMA_V1["fields"], {"name": "must_have", "type": "string"}],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        dec(SCHEMA_V1, bad_reader, payload)
+
+
+def test_jvm_spark_avro_contract_frozen(spark):
+    """The JVM tier's availability probe + the frozen expression
+    contract: in this sandbox spark-avro is not loadable, so the
+    probe must say so (environmental tier, named); where it IS
+    loaded, jvm_from_avro_wire consumes the same envelope the Python
+    tier writes."""
+    available = ar.spark_avro_available(spark)
+    if not available:
+        pytest.skip("spark-avro package not loadable in this sandbox "
+                    "(AVRO_NOT_LOADED) — contract frozen, probe verified")
+    df = spark.createDataFrame([(bytes(5),)], "value binary")
+    ar.jvm_from_avro_wire(df, SCHEMA_V1)  # must at least bind

@@ -740,6 +740,46 @@ def test_lm_score_and_heavy_hitters_no_python_rowpath(spark, sf_small):
         assert "BatchEvalPython" not in text, name
 
 
+def test_x30_capped_bounded_state_plan(spark, sf_small):
+    """The production inverted index must have NO collect_set (its
+    aggregation state is the whole posting list), a broadcast LEFT
+    ANTI join against the bounded hot-token set (hot keys never enter
+    a shuffle), and only token-keyed windows (rank state is O(1),
+    sort is spillable)."""
+    from streaming_data_spark.queries_ext35 import q_x30_inverted_index_capped
+
+    df = q_x30_inverted_index_capped(spark, sf_small)
+    text = plans.explain_str(df)
+    assert "collect_set" not in text, text
+    assert "LeftAnti" in text, text
+    assert plans.has_broadcast_join(df)
+    assert plans.global_window_count(df) == 0, text
+
+
+def test_x35_salted_exchange_when_cold_side_shuffles(spark, sf_small):
+    """With broadcast disabled (the 100 TB shape: the probability
+    table is vocabulary-sized), the instance⋈cold-probs join must
+    shuffle on (w1, w2, __salt) — EXACTLY ONE salted exchange per
+    side, so no reducer ever owns a hot bigram — while the bounded
+    hot slice still broadcasts via its explicit hint."""
+    import __spark_entry__ as entry
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = entry.queries()["x35_lm_score"](spark, sf_small)
+        text = plans.explain_str(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    salted = [
+        line
+        for line in text.splitlines()
+        if "hashpartitioning" in line and "__salt" in line
+    ]
+    assert len(salted) == 2, text  # instance side + cold-probs side
+    assert "BroadcastHashJoin" in text, text  # the hot-slice hint held
+
+
 def test_x36_sketch_pass_plan(spark, sf_small):
     """heavy_hitters collects its sketch pass to the driver, which
     removes pass 1 from the returned DataFrame's lineage — so audit

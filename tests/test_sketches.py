@@ -182,3 +182,29 @@ def test_heavy_hitters_counts_rows_of_empty_summary_partitions(spark):
 
     got = {r.token: r.n_item for r in heavy_hitters(df, "token", k=2).collect()}
     assert got == {"y": 19}, got  # z=11 is NOT > 33/3; a,b,c are noise
+
+
+def test_heavy_hitters_null_item_matches_group_by(spark):
+    """NULL is a legal key: when NULLs dominate, the NULL group must
+    surface as a heavy hitter with its exact count (the GROUP BY
+    oracle keeps the NULL group; pre-fix the sentinel conflation
+    silently dropped it while still counting it into n_total)."""
+    from streaming_data_spark.operators.sketches import heavy_hitters
+
+    rows = [(None,)] * 40 + [("a",)] * 15 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "token string").repartition(4)
+    got = {r.token: r.n_item for r in heavy_hitters(df, "token", k=3).collect()}
+    # n=60, threshold 60/4=15: NULL (40) qualifies, a (15) does not (> only)
+    assert got == {None: 40}, got
+
+
+def test_heavy_hitters_rejects_float_columns(spark):
+    """Distinct NaN objects hash apart in the MG dict and void the
+    deterministic bound — float columns fast-fail with guidance."""
+    import pytest
+
+    from streaming_data_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(1.5,), (float("nan"),)], "v double")
+    with pytest.raises(ValueError, match="float column"):
+        heavy_hitters(df, "v", k=3)

@@ -25,6 +25,83 @@ def test_salted_join_equals_plain_join(spark, sf_oracle):
     assert plain.select(*salted.columns).exceptAll(salted).count() == 0
 
 
+def _skewed_pair(spark):
+    """Synthetic power-law shape: one key ('hot') carries 5000 of 5600
+    left rows; right side has multi-row keys, NULL payloads, and a key
+    with no left match — every edge the operator must preserve."""
+    left = spark.range(5600).select(
+        F.when(F.col("id") < 5000, "hot")
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 37).cast("string")))
+        .alias("k"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("hot", 2.0), ("k3", 3.0), ("k3", None),
+         ("k5", 5.0), ("unmatched", 9.0)],
+        "k string, payload double",
+    )
+    return left, right
+
+
+def test_skew_split_inner_join_equals_plain_join(spark):
+    left, right = _skewed_pair(spark)
+    marked = right.withColumn("__is_hot", F.col("k") == "hot")
+    split = skew.skew_split_inner_join(left, marked, ["k"], is_hot="__is_hot")
+    plain = left.join(right, "k")
+    assert split.count() == plain.count()
+    assert split.exceptAll(plain.select(*split.columns)).count() == 0
+    assert plain.select(*split.columns).exceptAll(split).count() == 0
+
+
+def test_skew_split_inner_join_hot_side_spreads_salt(spark):
+    """The hot key's rows must actually leave under MANY salt values
+    (the whole point), while cold rows all carry salt 0 — asserted on
+    the physical plan (broadcast + salted exchange) and on the salt
+    distribution itself."""
+    from streaming_data_spark import plans
+
+    left, right = _skewed_pair(spark)
+    marked = right.withColumn("__is_hot", F.col("k") == "hot")
+    split = skew.skew_split_inner_join(left, marked, ["k"], is_hot="__is_hot", salt=16)
+    text = plans.explain_str(split)
+    assert "BroadcastHashJoin" in text, text
+    assert skew.SALT_COL in text, text
+    # rebuild the salted intermediate to observe the salt spread
+    hot = marked.filter("__is_hot").select(
+        "k", F.lit(True).alias("__hot_hit")
+    )
+    tagged = left.join(F.broadcast(hot.dropDuplicates(["k"])), "k", "left").withColumn(
+        skew.SALT_COL,
+        F.when(
+            F.coalesce(F.col("__hot_hit"), F.lit(False)),
+            F.floor(F.rand(seed=42) * 16),
+        ).otherwise(0).cast("int"),
+    )
+    spread = tagged.filter("__hot_hit").select(skew.SALT_COL).distinct().count()
+    assert spread >= 12, spread  # 5000 rows over 16 buckets
+    cold_salts = tagged.filter(F.col("__hot_hit").isNull()).select(
+        skew.SALT_COL
+    ).distinct().collect()
+    assert [r[0] for r in cold_salts] == [0]
+
+
+def test_lm_scores_split_equals_unsplit_on_skewed_corpus(spark):
+    """x35's salted path vs the plain join on a corpus where one
+    bigram ('a a') dominates — forcing the hot branch locally (the
+    auto threshold is 4/32 = 12.5% share; 'a a' here is ~50%)."""
+    from streaming_data_spark.operators.text import lm_scores
+
+    rows = [(i, "a " * 40) for i in range(50)] + [
+        (100 + i, f"w{i % 7} x{i % 5} y{i % 3} z{i % 11}") for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    split = lm_scores(docs)  # auto: 'a a' crosses the fair-share bar
+    plain = lm_scores(docs, hot_frac=None)
+    assert split.count() == plain.count() == 250
+    assert split.exceptAll(plain.select(*split.columns)).count() == 0
+    assert plain.select(*split.columns).exceptAll(split).count() == 0
+
+
 def test_salted_agg_equals_plain_groupby(spark, sf_oracle):
     lineitem = load_table(spark, sf_oracle, "lineitem")
     salted = skew.salted_agg(

@@ -114,3 +114,113 @@ def test_recursive_cte_capability_pin(spark):
                  SELECT b AS id FROM _pin_edges JOIN reach ON a = id
                ) SELECT count(*) FROM reach"""
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Streaming SQL surface (ksqlDB analog — kafka/full-stack.yml:61-104)
+# ---------------------------------------------------------------------------
+
+STREAM_WINDOWED_SQL = """
+    SELECT window(ts, '1 hour').start AS ws, event_type,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM ev
+    GROUP BY window(ts, '1 hour'), event_type
+"""
+
+STREAM_FILTERED_SQL = """
+    SELECT event_id, user_id, round(value * 2, 6) AS doubled
+    FROM ev
+    WHERE event_type = 'click'
+"""
+
+
+def _event_files(spark, sf_small, tmp_path, n=300, batches=3):
+    """n ts-ordered events split into micro-batch files + the batch df."""
+    import os
+
+    from streaming_data_spark.schemas import load_table
+
+    events = (
+        load_table(spark, sf_small, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .limit(n)
+    )
+    pdf = events.toPandas()
+    src = tmp_path / "sqlstream_src"
+    src.mkdir()
+    step = n // batches
+    for i in range(batches):
+        chunk = pdf.iloc[i * step : (i + 1) * step if i < batches - 1 else n]
+        p = src / f"b{i}.json"
+        chunk.assign(ts=chunk["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")).to_json(
+            p, orient="records", lines=True
+        )
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    return stream, events
+
+
+def test_stream_sql_windowed_agg_matches_batch(spark, sf_small, tmp_path):
+    """The exact SQL text a ksqlDB user types — windowed GROUP BY over
+    a stream — must compile to a STREAMING plan and, drained to
+    completion, equal the same SQL over the same rows as a batch
+    frame (stream==batch, the T3 contract via SQL)."""
+    from streaming_data_spark.sql import run_stream_sql
+    from streaming_data_spark.streaming import pipeline as sp
+
+    stream, events = _event_files(spark, sf_small, tmp_path)
+    out = run_stream_sql(spark, STREAM_WINDOWED_SQL, views={"ev": stream})
+    assert out.isStreaming
+    sp.run_to_completion(
+        out.writeStream.format("memory")
+        .queryName("sqlstream_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+    )
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM sqlstream_win").collect()
+    }
+    events.createOrReplaceTempView("ev")
+    want = {tuple(r) for r in spark.sql(STREAM_WINDOWED_SQL).collect()}
+    assert got == want and len(got) > 1
+
+
+def test_stream_sql_filtered_projection_matches_batch(spark, sf_small, tmp_path):
+    from streaming_data_spark.sql import run_stream_sql
+    from streaming_data_spark.streaming import pipeline as sp
+
+    stream, events = _event_files(spark, sf_small, tmp_path)
+    out = run_stream_sql(spark, STREAM_FILTERED_SQL, views={"ev": stream})
+    sp.run_to_completion(
+        out.writeStream.format("memory")
+        .queryName("sqlstream_proj")
+        .option("checkpointLocation", str(tmp_path / "ckpt_proj"))
+    )
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM sqlstream_proj").collect()
+    }
+    events.createOrReplaceTempView("ev")
+    want = {tuple(r) for r in spark.sql(STREAM_FILTERED_SQL).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stream_sql_rejects_batch_views_and_batch_plans(spark, sf_small, tmp_path):
+    from streaming_data_spark.schemas import load_table
+    from streaming_data_spark.sql import run_stream_sql
+
+    events = load_table(spark, sf_small, "events")
+    with pytest.raises(ValueError, match="batch frame"):
+        run_stream_sql(spark, "SELECT 1", views={"ev": events})
+
+    stream, _ = _event_files(spark, sf_small, tmp_path)
+    with pytest.raises(ValueError, match="batch plan"):
+        run_stream_sql(spark, "SELECT 1 AS one", views={"ev": stream})

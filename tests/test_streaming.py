@@ -1135,3 +1135,194 @@ def test_sma_cross_state_survives_query_restart(spark, sf_small, tmp_path):
     # replayed), and crosses straddling the restart still fired
     assert first < everything
     assert first and (everything - first), "both lives must emit"
+
+
+def test_change_alert_v1_state_schema_restartable_checkpoint(spark, tmp_path):
+    """state_schema_version=1 declares the pre-seq (ts_us, value)
+    state layout: alerts must still match the batch lag() twin AND a
+    restart against the same checkpoint must carry the 2-field state
+    across runs (the operational reason v1 exists — v2 cannot open a
+    v1 checkpoint, Spark refuses state-schema changes in place)."""
+    import os
+
+    import pandas as pd
+
+    from streaming_data_spark.streaming.stateful import change_alert_stream
+
+    # unique ts per key (v1 has no tiebreak, keep the twin total-ordered)
+    rows = pd.DataFrame(
+        {
+            "user_id": [1] * 4 + [2] * 4,
+            "ts": pd.to_datetime(
+                [f"2024-01-0{d} 00:00:00" for d in (1, 2, 3, 4)] * 2
+            ),
+            "value": [10.0, 11.0, 30.0, 5.0, 100.0, 90.0, 10.0, 40.0],
+        }
+    )
+    src = tmp_path / "v1_src"
+    src.mkdir()
+    out = str(tmp_path / "v1_out")
+    ckpt = str(tmp_path / "v1_ckpt")
+    schema = (
+        StructType().add("user_id", "long").add("ts", "timestamp").add("value", "double")
+    )
+
+    def _run_once() -> None:
+        stream = spark.readStream.schema(schema).json(str(src))
+        alerts = change_alert_stream(
+            stream, pct=0.5, api="apply", state_schema_version=1
+        )
+        q = (
+            alerts.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def _dump(chunk, name, mtime):
+        p = src / name
+        chunk.assign(ts=chunk["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S")).to_json(
+            p, orient="records", lines=True
+        )
+        os.utime(p, (mtime, mtime))
+
+    _dump(rows.iloc[:4], "b1.json", 1_700_000_000)
+    _run_once()
+    # second run: the cross-run alert (user 2: 100 -> 10 and 10 -> 40)
+    # only fires if the v1 state survived the checkpoint round-trip
+    _dump(rows.iloc[4:], "b2.json", 1_700_000_100)
+    _run_once()
+
+    got = {
+        (r.user_id, r.value, r.prev_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (1, 30.0, 11.0),  # +172%
+        (1, 5.0, 30.0),  # -83%
+        (2, 10.0, 90.0),  # -89%, prev carried from run 1's state
+        (2, 40.0, 10.0),  # +300%
+    }
+    assert got == want, got
+
+
+def test_change_alert_v1_rejects_seq_col(spark, tmp_path):
+    import pandas as pd  # noqa: F401
+
+    from streaming_data_spark.streaming.stateful import change_alert_stream
+
+    schema = (
+        StructType().add("user_id", "long").add("ts", "timestamp").add("value", "double")
+    )
+    stream = spark.readStream.schema(schema).json(str(tmp_path))
+    with pytest.raises(ValueError, match="state_schema_version=1"):
+        change_alert_stream(
+            stream, api="apply", seq_col="event_id", state_schema_version=1
+        )
+
+
+def test_sma_cross_stream_respects_key_col_name(spark, tmp_path):
+    """A non-default key column must come back under ITS name and
+    type — not silently renamed to user_id (schema is built from the
+    input; asserted without running the query)."""
+    from streaming_data_spark.streaming.stateful import sma_cross_stream
+
+    schema = (
+        StructType().add("symbol", "string").add("day", "timestamp").add("close", "double")
+    )
+    stream = spark.readStream.schema(schema).json(str(tmp_path))
+    out = sma_cross_stream(stream, key_col="symbol")
+    assert out.schema.fieldNames()[0] == "symbol"
+    assert out.schema["symbol"].dataType.typeName() == "string"
+
+
+def _daily_stream(spark, sf_small, tmp_path, tag):
+    """Per-user daily closes split into 3 micro-batch files + batch df."""
+    import os
+
+    from streaming_data_spark.operators import indicators as ind
+
+    daily = (
+        ind.daily_closes(load_table(spark, sf_small, "events"))
+        .filter(F.col("user_id") < 40)
+        .orderBy("day", "user_id")
+    )
+    pdf = daily.toPandas().sort_values(["day", "user_id"]).reset_index(drop=True)
+    n = len(pdf)
+    src = tmp_path / f"daily_in_{tag}"
+    src.mkdir()
+    cuts = (pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :])
+    for i, chunk in enumerate(cuts):
+        p = src / f"part-{i}.json"
+        chunk.assign(day=chunk["day"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")).to_json(
+            p, orient="records", lines=True
+        )
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("day", "timestamp")
+        .add("close", "double")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    return stream, daily
+
+
+def test_bollinger_stream_matches_batch(spark, sf_small, tmp_path):
+    """T6 — streaming Bollinger bands: the trailing window straddles
+    micro-batch cuts; warmed rows must equal the batch operator
+    row-for-row — rounded bands AND classification (the kernel
+    repeats Spark's Average + CentralMomentAgg fold order)."""
+    from streaming_data_spark.operators import indicators as ind
+    from streaming_data_spark.streaming.stateful import bollinger_stream
+
+    stream, daily = _daily_stream(spark, sf_small, tmp_path, "boll")
+    bands = bollinger_stream(stream, periods=5, n_std=2.0)
+    sp.run_to_completion(
+        bands.writeStream.format("memory")
+        .queryName("boll_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_boll"))
+    )
+    got = {
+        (r.user_id, r.day, r.close, r.mid, r.upper, r.lower, r.position)
+        for r in spark.sql("SELECT * FROM boll_stream").collect()
+    }
+    want = {
+        (r.user_id, r.day, r.close, r.mid, r.upper, r.lower, r.position)
+        for r in ind.bollinger_bands(daily, periods=5, n_std=2.0).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    assert {p for *_, p in got} >= {"IN"}, "no classified rows"
+
+
+def test_ewma_stream_matches_batch(spark, sf_small, tmp_path):
+    """T6 — streaming EWMA: the recursion's O(1) state carries across
+    micro-batches and the streamed values are BIT-identical to the
+    batch mapInPandas fold (same IEEE op order, no rounding)."""
+    from streaming_data_spark.operators import indicators as ind
+    from streaming_data_spark.streaming.stateful import ewma_stream
+
+    stream, daily = _daily_stream(spark, sf_small, tmp_path, "ewma")
+    smoothed = ewma_stream(stream, alpha=0.2)
+    sp.run_to_completion(
+        smoothed.writeStream.format("memory")
+        .queryName("ewma_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+    )
+    got = {
+        (r.user_id, r.day, r.close, r.ewma)
+        for r in spark.sql("SELECT * FROM ewma_stream").collect()
+    }
+    want = {
+        (r.user_id, r.day, r.close, r.ewma)
+        for r in ind.ewma(daily, alpha=0.2).collect()
+    }
+    assert got == want
+    assert len(got) == daily.count()
