@@ -1,0 +1,114 @@
+"""30× scale probe for the three worst x10 ratios (VERDICT r5 item 7):
+``x2_ngram_jaccard_prefix`` (3.46× at 10×), ``x35_lm_score`` (3.09×),
+``q21_sole_returner`` (2.73×). The question a 10× probe cannot answer:
+is the sublinearity a latency-floor artifact, or does the trend hold
+another 3×? A quadratic term that hides at 10× (t = a·n + b·n²/big)
+shows at 30× as a ratio bending ABOVE 3× the x10 ratio.
+
+Replication is the same FK-consistent fan-out as tools/scale_probe.py
+(fact keys offset per copy, dims shared, document text
+suffix-perturbed per copy so vocabulary grows with the corpus — the
+honest shape for the two text queries). Only the tables these three
+queries read are replicated (documents / lineitem / orders — dims are
+copied 1×).
+
+Staged for the 600 s shell cap:
+    python tools/scale_probe_30x.py replicate
+    python tools/scale_probe_30x.py run x2_ngram_jaccard_prefix
+    python tools/scale_probe_30x.py run x35_lm_score
+    python tools/scale_probe_30x.py run q21_sole_returner
+Each ``run`` prints one JSON line: times at sf0.1 / x10 / x30 and the
+ratios (min-of-2 per scale, noop sink).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+X10 = os.environ.get("SPARK_GRAFT_X10_DIR", "/tmp/sfx10")
+X30 = os.environ.get("SPARK_GRAFT_X30_DIR", "/tmp/sfx30")
+COPIES = 30
+OFF = 10_000_000
+
+NEEDED_DIMS = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+
+
+def _replicate(spark: SparkSession) -> None:
+    for t in NEEDED_DIMS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{X30}/{t}.parquet"
+        )
+
+    def fan(df: DataFrame, build) -> DataFrame:
+        out = None
+        for i in range(COPIES):
+            c = build(df, i)
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    fan(orders, lambda d, i: d.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * OFF))) \
+        .write.mode("overwrite").parquet(f"{X30}/orders.parquet")
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    fan(li, lambda d, i: d.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * OFF))) \
+        .write.mode("overwrite").parquet(f"{X30}/lineitem.parquet")
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    fan(docs, lambda d, i: d
+        .withColumn("doc_id", F.col("doc_id") + F.lit(i * OFF))
+        .withColumn("text", F.regexp_replace("text", r"(\S+)", rf"$1c{i}"))) \
+        .write.mode("overwrite").parquet(f"{X30}/documents.parquet")
+
+
+def main() -> None:
+    from streaming_data_spark.session import get_session
+    import __spark_entry__ as entry
+
+    spark = get_session(
+        app_name="scale-probe-30x",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    stage = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if stage == "replicate":
+        t0 = time.time()
+        _replicate(spark)
+        print(json.dumps({"replicated": "x30", "sec": round(time.time() - t0, 1)}))
+        spark.stop()
+        return
+
+    names = sys.argv[2:]
+    qs = entry.queries()
+    result: dict[str, dict[str, float]] = {}
+    for name in names:
+        fn = qs[name]
+        times: dict[str, float] = {}
+        for label, d in (("sf0.1", SRC), ("x10", X10), ("x30", X30)):
+            if not os.path.exists(f"{d}/documents.parquet"):
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            times[label] = round(best, 3)
+        if "x10" in times:
+            times["ratio_x10"] = round(times["x10"] / times["sf0.1"], 2)
+        times["ratio_x30"] = round(times["x30"] / times["sf0.1"], 2)
+        result[name] = times
+        print(name, times, file=sys.stderr)
+    print(json.dumps({"probe": "x30_scaling", "queries": result}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
