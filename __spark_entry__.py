@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext33 import EXT33_QUERIES
     from streaming_data_spark.queries_ext34 import EXT34_QUERIES
     from streaming_data_spark.queries_ext35 import EXT35_QUERIES
+    from streaming_data_spark.queries_ext36 import EXT36_QUERIES
+    from streaming_data_spark.queries_ext37 import EXT37_QUERIES
+    from streaming_data_spark.queries_ext38 import EXT38_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-6 rotation: front the
@@ -83,6 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT33_QUERIES,
         **EXT34_QUERIES,
         **EXT35_QUERIES,
+        **EXT36_QUERIES,
+        **EXT37_QUERIES,
+        **EXT38_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -153,6 +159,9 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext33 import EXT33_ORACLES
     from streaming_data_spark.queries_ext34 import EXT34_ORACLES
     from streaming_data_spark.queries_ext35 import EXT35_ORACLES
+    from streaming_data_spark.queries_ext36 import EXT36_ORACLES
+    from streaming_data_spark.queries_ext37 import EXT37_ORACLES
+    from streaming_data_spark.queries_ext38 import EXT38_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -163,6 +172,9 @@ def oracle_sql() -> dict[str, str]:
         **EXT33_ORACLES,
         **EXT34_ORACLES,
         **EXT35_ORACLES,
+        **EXT36_ORACLES,
+        **EXT37_ORACLES,
+        **EXT38_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

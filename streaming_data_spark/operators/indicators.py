@@ -204,3 +204,185 @@ def max_drawdown(daily: DataFrame, key: str = "user_id") -> DataFrame:
         F.round(F.min("drawdown"), 6).alias("max_drawdown"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+def atr(
+    ohlcv_daily: DataFrame,
+    key: str = "user_id",
+    periods: int = 14,
+) -> DataFrame:
+    """Average True Range (SMA variant) over per-key daily OHLC rows:
+    TR = greatest(high-low, |high-prev_close|, |low-prev_close|)
+    (first day: high-low, no prev close), ATR = rolling mean of TR
+    over ``periods`` days, emitted only for fully-warmed windows.
+    Wilder's recursive smoothing variant is the ``rsi`` fold pattern;
+    the SMA form stays windows-only (one keyed exchange)."""
+    w_ord = Window.partitionBy(key).orderBy("day")
+    w_frame = w_ord.rowsBetween(-(periods - 1), 0)
+    prev_close = F.lag("close").over(w_ord)
+    tr = F.when(
+        prev_close.isNull(), F.col("high") - F.col("low")
+    ).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev_close),
+            F.abs(F.col("low") - prev_close),
+        )
+    )
+    out = (
+        ohlcv_daily.withColumn("tr", tr)
+        .withColumn("atr", F.round(F.avg("tr").over(w_frame), 6))
+        .withColumn("w_n", F.count("tr").over(w_frame))
+    )
+    return (
+        out.filter(F.col("w_n") == periods)
+        .select(key, "day", F.round("tr", 6).alias("tr"), "atr")
+    )
+
+
+def rsi(
+    daily: DataFrame,
+    key: str = "user_id",
+    periods: int = 14,
+    day_col: str = "day",
+    price_col: str = "close",
+) -> DataFrame:
+    """Wilder's RSI over per-key daily closes — the second inherently
+    sequential indicator recursion (after ewma): the seed average
+    gain/loss over the first ``periods`` deltas is followed by
+    avg = (avg·(periods-1) + x) / periods per day. Runs as the same
+    partition-level ``mapInPandas`` fold as ``ewma`` (key-sorted
+    partitions, state across Arrow batches); the DuckDB oracle is a
+    RECURSIVE CTE repeating the identical op order. Emits from day
+    ``periods``+1 (the first day with a full delta window).
+
+    avg_loss == 0 ⇒ RSI 100 (the charting convention — both engines
+    branch on exact 0, deterministic)."""
+    p = float(periods)
+    cols = [key, day_col, price_col]
+    out_schema = StructType(
+        [
+            daily.schema[key],
+            daily.schema[day_col],
+            daily.schema[price_col],
+            StructField("rsi", DoubleType()),
+        ]
+    )
+
+    def _fold_partition(pdfs):
+        # state per key: (n_deltas, seed_gain_sum, seed_loss_sum,
+        # avg_gain, avg_loss, prev_close) — carried across batches
+        cur = object()
+        n = 0
+        gsum = lsum = 0.0
+        ag = al = None
+        prev = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            keys_out, days_out, closes_out, rsis_out = [], [], [], []
+            for k_val, d_val, x in zip(pdf[key], pdf[day_col], pdf[price_col]):
+                x = float(x)
+                if k_val != cur:
+                    cur, n, gsum, lsum, ag, al, prev = k_val, 0, 0.0, 0.0, None, None, x
+                    continue
+                delta = x - prev
+                prev = x
+                gain = delta if delta > 0 else 0.0
+                loss = -delta if delta < 0 else 0.0
+                n += 1
+                if n < periods:
+                    gsum += gain
+                    lsum += loss
+                    continue
+                if n == periods:
+                    gsum += gain
+                    lsum += loss
+                    ag = gsum / p
+                    al = lsum / p
+                else:
+                    ag = (ag * (p - 1.0) + gain) / p
+                    al = (al * (p - 1.0) + loss) / p
+                r = 100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al)
+                keys_out.append(k_val)
+                days_out.append(d_val)
+                closes_out.append(x)
+                rsis_out.append(r)
+            if keys_out:
+                import pandas as pd
+
+                yield pd.DataFrame(
+                    {
+                        key: keys_out,
+                        day_col: days_out,
+                        price_col: closes_out,
+                        "rsi": rsis_out,
+                    }
+                )
+
+    return (
+        daily.select(*cols)
+        .repartition(key)
+        .sortWithinPartitions(key, day_col)
+        .mapInPandas(_fold_partition, schema=out_schema)
+        .withColumn("rsi", F.round("rsi", 6))
+    )
+
+
+def stochastic(
+    ohlcv_daily: DataFrame,
+    key: str = "user_id",
+    periods: int = 14,
+    smooth: int = 3,
+) -> DataFrame:
+    """Stochastic oscillator over per-key daily OHLC: %K = 100 ·
+    (close − min_low) / (max_high − min_low) over ``periods`` days
+    (NULL when the range is 0 — both engines branch identically),
+    %D = ``smooth``-day mean of %K over fully-warmed rows. Emits rows
+    where both windows are full."""
+    w_frame = Window.partitionBy(key).orderBy("day").rowsBetween(-(periods - 1), 0)
+    lo = F.min("low").over(w_frame)
+    hi = F.max("high").over(w_frame)
+    with_k = (
+        ohlcv_daily.withColumn("w_n", F.count("close").over(w_frame))
+        .withColumn(
+            "pct_k",
+            F.when(hi == lo, F.lit(None).cast("double")).otherwise(
+                F.round(100.0 * (F.col("close") - lo) / (hi - lo), 6)
+            ),
+        )
+        .filter(F.col("w_n") == periods)
+    )
+    w_full = Window.partitionBy(key).orderBy("day")
+    w_d = w_full.rowsBetween(-(smooth - 1), 0)
+    return (
+        with_k.withColumn("rn_full", F.row_number().over(w_full))
+        .withColumn("pct_d", F.round(F.avg("pct_k").over(w_d), 6))
+        .filter(F.col("rn_full") >= smooth)
+        .select(key, "day", "close", "pct_k", "pct_d")
+    )
+
+
+def obv(
+    ohlcv_daily: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """On-balance volume over per-key daily candles, with the day's
+    trade COUNT as the volume unit (integer-exact — no float
+    accumulation, so the cumulative sum needs no rounding contract):
+    +n on up days, −n on down days, 0 on flat/first days; OBV is the
+    running total."""
+    w_ord = Window.partitionBy(key).orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    prev_close = F.lag("close").over(w_ord)
+    signed = (
+        F.when(prev_close.isNull(), F.lit(0))
+        .when(F.col("close") > prev_close, F.col("n_trades"))
+        .when(F.col("close") < prev_close, -F.col("n_trades"))
+        .otherwise(F.lit(0))
+    )
+    return (
+        ohlcv_daily.withColumn("signed", signed)
+        .withColumn("obv", F.sum("signed").over(w_cum))
+        .select(key, "day", "close", "obv")
+    )

@@ -727,6 +727,32 @@ def test_wave29_33_exchange_budgets(spark, sf_small):
     assert got == budgets, got
 
 
+def test_wave36_37_exchange_budgets(spark, sf_small):
+    """Pin the shuffle counts of the round-6 waves. The indicator
+    quartet budgets TWO exchanges (the daily OHLCV groupBy's combined
+    partials + the user_id window re-exchange — wave 30's documented
+    trade); a34's second exchange is the fold's repartition(key).
+    x38 pays the bigram groupBy + two margin groupBys + the final
+    vocab joins' co-partitioning; x40 the tf/dfreq/stats/final chain
+    with the idf table broadcast (never the corpus)."""
+    import __spark_entry__ as entry
+
+    budgets = {
+        "a33_atr": 2,
+        "a34_rsi": 2,
+        "a35_stochastic": 2,
+        "a36_obv": 2,
+        "x38_pmi_collocations": 4,
+        "x39_char_entropy": 2,
+        "x40_bm25": 5,
+    }
+    qs = entry.queries()
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+
+
 def test_lm_score_and_heavy_hitters_no_python_rowpath(spark, sf_small):
     """x35's joins and x36's verify pass stay JVM-side; the only
     Python is the Arrow-batched MG mapInPandas (and a29's grouped
