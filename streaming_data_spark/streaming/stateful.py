@@ -744,3 +744,363 @@ def ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# cross-batch state for the Wilder RSI recursion: O(1) per key
+# (seed accumulators until `periods` deltas, then the running avgs).
+_RSI_STATE = StructType(
+    [
+        StructField("last_day_us", LongType()),
+        StructField("n_deltas", LongType()),
+        StructField("gsum", DoubleType()),
+        StructField("lsum", DoubleType()),
+        StructField("ag", DoubleType()),
+        StructField("al", DoubleType()),
+        StructField("prev_close", DoubleType()),
+    ]
+)
+
+
+def _advance_rsi(state, days_us, closes, periods):
+    """Fold one key's day-ordered batch through Wilder's recursion —
+    EXACTLY the batch fold's op order (indicators.rsi), so streamed
+    values equal the batch ones bit-for-bit before rounding. Late
+    days drop; state moves forward only."""
+    p = float(periods)
+    last_d, n, gsum, lsum, ag, al, prev = state or (
+        None, 0, 0.0, 0.0, None, None, None,
+    )
+    out = []
+    for d, c in zip(days_us, closes):
+        if last_d is not None and d <= last_d:
+            continue
+        x = float(c)
+        last_d = int(d)
+        if prev is None:
+            prev = x
+            continue
+        delta = x - prev
+        prev = x
+        gain = delta if delta > 0 else 0.0
+        loss = -delta if delta < 0 else 0.0
+        n += 1
+        if n < periods:
+            gsum += gain
+            lsum += loss
+            continue
+        if n == periods:
+            gsum += gain
+            lsum += loss
+            ag = gsum / p
+            al = lsum / p
+        else:
+            ag = (ag * (p - 1.0) + gain) / p
+            al = (al * (p - 1.0) + loss) / p
+        r = 100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al)
+        out.append((last_d, x, _round6_half_up(r)))
+    return out, (last_d, n, gsum, lsum, ag, al, prev)
+
+
+def rsi_stream(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    day_col: str = "day",
+    close_col: str = "close",
+    periods: int = 14,
+) -> DataFrame:
+    """Streaming Wilder RSI — twin of operators/indicators.rsi: same
+    seed + recursion through O(1) state per key."""
+    out_schema = StructType(
+        [
+            StructField(key_col, daily.schema[key_col].dataType),
+            StructField("day", TimestampType()),
+            StructField("close", DoubleType()),
+            StructField("rsi", DoubleType()),
+        ]
+    )
+
+    def _fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs)).sort_values(day_col)
+        prev = tuple(state.get) if state.exists else None
+        rows, new_state = _advance_rsi(
+            prev,
+            batch[day_col].astype("int64") // 1000,
+            batch[close_col].astype("float64"),
+            periods,
+        )
+        state.update(tuple(new_state))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(rows),
+                    "day": pd.to_datetime([r[0] for r in rows], unit="us"),
+                    "close": [r[1] for r in rows],
+                    "rsi": [r[2] for r in rows],
+                }
+            )
+
+    return daily.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_RSI_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# trailing (day, tr) window + prev close: O(periods) per key
+_ATR_STATE = StructType(
+    [
+        StructField("days_us", ArrayType(LongType())),
+        StructField("trs", ArrayType(DoubleType())),
+        StructField("prev_close", DoubleType()),
+    ]
+)
+
+
+def _advance_atr(state, days_us, highs, lows, closes, periods):
+    """True-range fold matching indicators.atr: TR from (high, low,
+    prev close) — first day high-low — and the SMA over the trailing
+    ``periods`` TRs summed in day order (Spark's window Average)."""
+    hist_d, hist_tr, prev = state or ([], [], None)
+    hist_d, hist_tr = list(hist_d), list(hist_tr)
+    out = []
+    for d, h, lo, c in zip(days_us, highs, lows, closes):
+        if hist_d and d <= hist_d[-1]:
+            continue
+        h, lo, c = float(h), float(lo), float(c)
+        if prev is None:
+            tr = h - lo
+        else:
+            tr = max(h - lo, abs(h - prev), abs(lo - prev))
+        prev = c
+        hist_d.append(int(d))
+        hist_tr.append(tr)
+        del hist_d[:-periods], hist_tr[:-periods]
+        if len(hist_tr) == periods:
+            atr = _round6_half_up(sum(hist_tr) / periods)
+            out.append((int(d), _round6_half_up(tr), atr))
+    return out, (hist_d, hist_tr, prev)
+
+
+def atr_stream(
+    ohlcv_daily: DataFrame,
+    key_col: str = "user_id",
+    periods: int = 14,
+) -> DataFrame:
+    """Streaming ATR — twin of operators/indicators.atr over a daily
+    OHLC stream; O(periods) state per key."""
+    out_schema = StructType(
+        [
+            StructField(key_col, ohlcv_daily.schema[key_col].dataType),
+            StructField("day", TimestampType()),
+            StructField("tr", DoubleType()),
+            StructField("atr", DoubleType()),
+        ]
+    )
+
+    def _fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs)).sort_values("day")
+        prev = tuple(state.get) if state.exists else None
+        rows, new_state = _advance_atr(
+            prev,
+            batch["day"].astype("int64") // 1000,
+            batch["high"].astype("float64"),
+            batch["low"].astype("float64"),
+            batch["close"].astype("float64"),
+            periods,
+        )
+        state.update(tuple(new_state))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(rows),
+                    "day": pd.to_datetime([r[0] for r in rows], unit="us"),
+                    "tr": [r[1] for r in rows],
+                    "atr": [r[2] for r in rows],
+                }
+            )
+
+    return ohlcv_daily.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_ATR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# trailing (high, low) window + %K history + warm counter
+_STOCH_STATE = StructType(
+    [
+        StructField("days_us", ArrayType(LongType())),
+        StructField("highs", ArrayType(DoubleType())),
+        StructField("lows", ArrayType(DoubleType())),
+        StructField("ks", ArrayType(DoubleType())),  # NULLs kept (zero-range)
+        StructField("n_full", LongType()),
+    ]
+)
+
+
+def _advance_stoch(state, days_us, highs, lows, closes, periods, smooth):
+    """Stochastic fold matching indicators.stochastic: %K over the
+    trailing (high, low) window (None on zero range), %D = mean of
+    the last ``smooth`` %Ks among fully-warmed rows (None skipped,
+    like both engines' avg)."""
+    hist_d, hist_h, hist_l, ks, n_full = state or ([], [], [], [], 0)
+    hist_d, hist_h, hist_l, ks = list(hist_d), list(hist_h), list(hist_l), list(ks)
+    out = []
+    for d, h, lo, c in zip(days_us, highs, lows, closes):
+        if hist_d and d <= hist_d[-1]:
+            continue
+        h, lo, c = float(h), float(lo), float(c)
+        hist_d.append(int(d))
+        hist_h.append(h)
+        hist_l.append(lo)
+        del hist_d[:-periods], hist_h[:-periods], hist_l[:-periods]
+        if len(hist_h) < periods:
+            continue
+        n_full += 1
+        hi, loo = max(hist_h), min(hist_l)
+        k = None if hi == loo else _round6_half_up(100.0 * (c - loo) / (hi - loo))
+        ks.append(k)
+        del ks[:-smooth]
+        if n_full >= smooth:
+            vals = [v for v in ks if v is not None]
+            d_val = _round6_half_up(sum(vals) / len(vals)) if vals else None
+            out.append((int(d), c, k, d_val))
+    return out, (hist_d, hist_h, hist_l, ks, n_full)
+
+
+def stochastic_stream(
+    ohlcv_daily: DataFrame,
+    key_col: str = "user_id",
+    periods: int = 14,
+    smooth: int = 3,
+) -> DataFrame:
+    """Streaming stochastic oscillator — twin of
+    operators/indicators.stochastic; O(periods) state per key."""
+    out_schema = StructType(
+        [
+            StructField(key_col, ohlcv_daily.schema[key_col].dataType),
+            StructField("day", TimestampType()),
+            StructField("close", DoubleType()),
+            StructField("pct_k", DoubleType()),
+            StructField("pct_d", DoubleType()),
+        ]
+    )
+
+    def _fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs)).sort_values("day")
+        prev = tuple(state.get) if state.exists else None
+        rows, new_state = _advance_stoch(
+            prev,
+            batch["day"].astype("int64") // 1000,
+            batch["high"].astype("float64"),
+            batch["low"].astype("float64"),
+            batch["close"].astype("float64"),
+            periods,
+            smooth,
+        )
+        state.update(tuple(new_state))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(rows),
+                    "day": pd.to_datetime([r[0] for r in rows], unit="us"),
+                    "close": [r[1] for r in rows],
+                    "pct_k": [r[2] for r in rows],
+                    "pct_d": [r[3] for r in rows],
+                }
+            )
+
+    return ohlcv_daily.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_STOCH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# O(1) per key: last day, previous close, running OBV total
+_OBV_STATE = StructType(
+    [
+        StructField("last_day_us", LongType()),
+        StructField("prev_close", DoubleType()),
+        StructField("total", LongType()),
+    ]
+)
+
+
+def _advance_obv(state, days_us, closes, volumes):
+    """On-balance-volume fold matching indicators.obv — integer-exact
+    running total, so stream == batch without a rounding contract."""
+    last_d, prev, total = state or (None, None, 0)
+    out = []
+    for d, c, v in zip(days_us, closes, volumes):
+        if last_d is not None and d <= last_d:
+            continue
+        c = float(c)
+        v = int(v)
+        if prev is None or c == prev:
+            pass
+        elif c > prev:
+            total += v
+        else:
+            total -= v
+        prev = c
+        last_d = int(d)
+        out.append((last_d, c, total))
+    return out, (last_d, prev, total)
+
+
+def obv_stream(
+    ohlcv_daily: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming OBV — twin of operators/indicators.obv; O(1) state."""
+    out_schema = StructType(
+        [
+            StructField(key_col, ohlcv_daily.schema[key_col].dataType),
+            StructField("day", TimestampType()),
+            StructField("close", DoubleType()),
+            StructField("obv", LongType()),
+        ]
+    )
+
+    def _fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs)).sort_values("day")
+        prev = tuple(state.get) if state.exists else None
+        rows, new_state = _advance_obv(
+            prev,
+            batch["day"].astype("int64") // 1000,
+            batch["close"].astype("float64"),
+            batch["n_trades"].astype("int64"),
+        )
+        state.update(tuple(new_state))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(rows),
+                    "day": pd.to_datetime([r[0] for r in rows], unit="us"),
+                    "close": [r[1] for r in rows],
+                    "obv": [r[2] for r in rows],
+                }
+            )
+
+    return ohlcv_daily.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_OBV_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

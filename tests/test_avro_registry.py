@@ -264,3 +264,50 @@ def test_jvm_spark_avro_contract_frozen(spark):
                     "(AVRO_NOT_LOADED) — contract frozen, probe verified")
     df = spark.createDataFrame([(bytes(5),)], "value binary")
     ar.jvm_from_avro_wire(df, SCHEMA_V1)  # must at least bind
+
+
+def test_avro_wire_streams_end_to_end(spark, sf_small, registry, tmp_path):
+    """The wire tier composes with Structured Streaming: a readStream
+    frame encodes to Confluent wire (mapInPandas is streaming-safe),
+    a second streaming pass decodes under the EVOLVED reader, and the
+    drained sink equals the batch rows + defaults — i.e. a reference
+    user can put this tier exactly where their Kafka producer and
+    ksqlDB consumer sit today."""
+    import os
+
+    from streaming_data_spark.schemas import load_table
+    from streaming_data_spark.streaming import pipeline as sp
+
+    events = (
+        load_table(spark, sf_small, "events")
+        .select("event_id", "user_id", "value")
+        .limit(30)
+    )
+    pdf = events.toPandas()
+    src = tmp_path / "avro_stream_src"
+    src.mkdir()
+    for i, chunk in enumerate((pdf.iloc[:15], pdf.iloc[15:])):
+        p = src / f"b{i}.json"
+        chunk.to_json(p, orient="records", lines=True)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = "event_id long, user_id long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    wire = ar.encode_avro_registry(stream, "events-value", SCHEMA_V1, _url(registry))
+    decoded = ar.decode_avro_registry(wire, SCHEMA_V2, _url(registry))
+    assert decoded.isStreaming
+    sp.run_to_completion(
+        decoded.writeStream.format("memory")
+        .queryName("avro_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_avro"))
+    )
+    got = {
+        (r.event_id, r.user_id, r.value, r.source, r.note)
+        for r in spark.sql("SELECT * FROM avro_stream").collect()
+    }
+    want = {(r.event_id, r.user_id, r.value, "api", None) for r in events.collect()}
+    assert got == want

@@ -1326,3 +1326,115 @@ def test_ewma_stream_matches_batch(spark, sf_small, tmp_path):
     }
     assert got == want
     assert len(got) == daily.count()
+
+
+def _ohlcv_stream(spark, sf_small, tmp_path, tag):
+    """Per-user daily OHLCV rows split into 3 micro-batch files."""
+    import os
+
+    from streaming_data_spark.operators import aggregates as agg
+
+    daily = (
+        agg.ohlcv(load_table(spark, sf_small, "events"),
+                  key="user_id", ts="ts", price="value")
+        .withColumnRenamed("bucket_ts", "day")
+        .select("user_id", "day", "high", "low", "close", "n_trades")
+        .filter(F.col("user_id") < 40)
+        .orderBy("day", "user_id")
+    )
+    pdf = daily.toPandas().sort_values(["day", "user_id"]).reset_index(drop=True)
+    n = len(pdf)
+    src = tmp_path / f"ohlcv_in_{tag}"
+    src.mkdir()
+    cuts = (pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :])
+    for i, chunk in enumerate(cuts):
+        p = src / f"part-{i}.json"
+        chunk.assign(day=chunk["day"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")).to_json(
+            p, orient="records", lines=True
+        )
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    schema = (
+        StructType()
+        .add("user_id", "long")
+        .add("day", "timestamp")
+        .add("high", "double")
+        .add("low", "double")
+        .add("close", "double")
+        .add("n_trades", "long")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    return stream, daily
+
+
+def _drain(spark, stream_df, name, tmp_path):
+    sp.run_to_completion(
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+    )
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_rsi_stream_matches_batch(spark, sf_small, tmp_path):
+    """T6 — streaming Wilder RSI: the seed/recursion state crosses
+    micro-batch cuts; streamed rows equal the batch fold exactly."""
+    from streaming_data_spark.operators import indicators as ind
+    from streaming_data_spark.streaming.stateful import rsi_stream
+
+    stream, _ = _daily_stream(spark, sf_small, tmp_path, "rsi")
+    got = {
+        tuple(r)
+        for r in _drain(spark, rsi_stream(stream, periods=5), "rsi_s", tmp_path).collect()
+    }
+    daily = (
+        ind.daily_closes(load_table(spark, sf_small, "events"))
+        .filter(F.col("user_id") < 40)
+    )
+    want = {tuple(r) for r in ind.rsi(daily, periods=5).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_atr_stream_matches_batch(spark, sf_small, tmp_path):
+    from streaming_data_spark.operators import indicators as ind
+    from streaming_data_spark.streaming.stateful import atr_stream
+
+    stream, daily = _ohlcv_stream(spark, sf_small, tmp_path, "atr")
+    got = {
+        tuple(r)
+        for r in _drain(spark, atr_stream(stream, periods=5), "atr_s", tmp_path).collect()
+    }
+    want = {tuple(r) for r in ind.atr(daily, periods=5).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stochastic_stream_matches_batch(spark, sf_small, tmp_path):
+    from streaming_data_spark.operators import indicators as ind
+    from streaming_data_spark.streaming.stateful import stochastic_stream
+
+    stream, daily = _ohlcv_stream(spark, sf_small, tmp_path, "stoch")
+    got = {
+        tuple(r)
+        for r in _drain(
+            spark, stochastic_stream(stream, periods=5, smooth=3), "stoch_s", tmp_path
+        ).collect()
+    }
+    want = {tuple(r) for r in ind.stochastic(daily, periods=5, smooth=3).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_obv_stream_matches_batch(spark, sf_small, tmp_path):
+    """Integer-exact: no rounding contract anywhere — the streamed
+    running totals must equal the batch cumulative sums exactly."""
+    from streaming_data_spark.operators import indicators as ind
+    from streaming_data_spark.streaming.stateful import obv_stream
+
+    stream, daily = _ohlcv_stream(spark, sf_small, tmp_path, "obv")
+    got = {
+        tuple(r) for r in _drain(spark, obv_stream(stream), "obv_s", tmp_path).collect()
+    }
+    want = {tuple(r) for r in ind.obv(daily).collect()}
+    assert got == want and len(got) > 0
