@@ -29,25 +29,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streaming_data_spark.operators import aggregates as agg
 from streaming_data_spark.operators import indicators as ind
 from streaming_data_spark.queries import _t
 from streaming_data_spark.queries_ext30 import _DAILY_SQL
 
+# close takes the (ts DESC, event_id DESC) head — the same total-order
+# tiebreak daily_closes hardened into the close path (two same-ts
+# events must resolve identically in both engines; DuckDB's arg_max
+# rejects struct keys, hence the row_number form — the a27 pattern).
 _OHLCV_DAILY_SQL = """
-  SELECT user_id, date_trunc('day', ts) AS day,
-         max(value) AS high, min(value) AS low,
-         arg_max(value, ts) AS close,
-         CAST(count(*) AS BIGINT) AS n_trades
-  FROM events GROUP BY user_id, date_trunc('day', ts)
+  SELECT a.user_id, a.day, a.high, a.low, c.close, a.n_trades
+  FROM (
+    SELECT user_id, date_trunc('day', ts) AS day,
+           max(value) AS high, min(value) AS low,
+           CAST(count(*) AS BIGINT) AS n_trades
+    FROM events GROUP BY user_id, date_trunc('day', ts)
+  ) a JOIN (
+    SELECT user_id, day, value AS close FROM (
+      SELECT user_id, date_trunc('day', ts) AS day, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+  ) c USING (user_id, day)
 """
 
 
 def _daily_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        agg.ohlcv(_t(spark, sf_dir, "events"), key="user_id", ts="ts", price="value")
-        .withColumnRenamed("bucket_ts", "day")
-        .select("user_id", "day", "high", "low", "close", "n_trades")
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
     )
 
 

@@ -103,7 +103,10 @@ def q_x39_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-distribution Shannon entropy (nats):
     H = ln(n) − Σ c·ln(c) / n over the character histogram."""
     docs = _t(spark, sf_dir, "documents")
-    chars = docs.select(
+    # empty/NULL docs are excluded in BOTH engines: entropy of an
+    # empty string is undefined, and the engines disagree on
+    # splitting '' (Spark → [], DuckDB regexp_split_to_array → [''])
+    chars = docs.filter(F.length("text") > 0).select(
         "doc_id", F.explode(F.split("text", "")).alias("ch")
     )
     hist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
@@ -125,7 +128,8 @@ def q_x39_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_X39 = """
 WITH chars AS (
-  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch FROM documents
+  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+  FROM documents WHERE length(text) > 0
 ),
 hist AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
 agg AS (

@@ -273,7 +273,14 @@ def encode_avro_registry(
     once) and encode each row's schema fields into the Confluent wire
     envelope — ``value: binary`` (+ optional passthrough ``key``).
     The output shape matches what ``kafka_keyed_sink`` ships raw JSON
-    into today; a real deployment writes it straight to the broker."""
+    into today; a real deployment writes it straight to the broker.
+
+    NaN caveat: Arrow hands the worker NULLs in numeric columns as
+    NaN, indistinguishable from a genuine NaN payload — both encode
+    as the union's null branch (and fail loudly on a non-nullable
+    field). Carry a genuine-NaN double through an Avro wire by
+    pre-encoding it (e.g. bit pattern in a long) if that distinction
+    matters."""
     schema_id = SchemaRegistryClient(registry_url).register(subject, schema)
     field_names = [f["name"] for f in schema["fields"]]
     header = WIRE_HEADER.pack(0, schema_id)
@@ -288,9 +295,16 @@ def encode_avro_registry(
         enc, _ = codec_factory()
         sch = json.loads(schema_json)
         for pdf in pdfs:
+            # Arrow->pandas surfaces NULL int/long/double as NaN in a
+            # float column; normalize to None BEFORE encoding so a
+            # nullable-union NULL encodes as the null branch (not a
+            # garbage NaN double / int(NaN) crash) and a NULL in a
+            # non-nullable field fails loudly in _enc_value.
+            frame = pdf[field_names].astype(object)
+            frame = frame.where(pd.notna(frame), None)
             values = [
                 header + enc(sch, rec)
-                for rec in pdf[field_names].to_dict("records")
+                for rec in frame.to_dict("records")
             ]
             out = {"value": values}
             if key_col is not None:
@@ -354,12 +368,23 @@ def decode_avro_registry(
 
         def writer_for(schema_id: int) -> dict:
             if schema_id not in cache:
-                with _rq.urlopen(
-                    f"{base_url}/schemas/ids/{schema_id}", timeout=10
-                ) as resp:
-                    cache[schema_id] = _json.loads(
-                        _json.loads(resp.read())["schema"]
-                    )
+                import urllib.error as _err
+
+                # same one-5xx-retry stance as SchemaRegistryClient:
+                # a registry hiccup must not kill the batch
+                for attempt in (0, 1):
+                    try:
+                        with _rq.urlopen(
+                            f"{base_url}/schemas/ids/{schema_id}", timeout=10
+                        ) as resp:
+                            cache[schema_id] = _json.loads(
+                                _json.loads(resp.read())["schema"]
+                            )
+                        break
+                    except _err.HTTPError as e:
+                        if e.code >= 500 and attempt == 0:
+                            continue
+                        raise
             return cache[schema_id]
 
         names = [f["name"] for f in reader["fields"]]

@@ -578,16 +578,23 @@ def _advance_bollinger(state, days_us, closes, periods, n_std):
         if len(hist_c) < periods:
             continue
         mean_raw = sum(hist_c) / periods
-        # Welford / CentralMomentAgg fold, frame order
+        # Spark CentralMomentAgg fold, frame order, EXACT op sequence:
+        # delta = x - mean; deltaN = delta/n; mean += deltaN;
+        # m2 += delta * (delta - deltaN). (delta - deltaN) is NOT the
+        # same rounding as (x - updated_mean) — using the latter can
+        # drift an ulp and flip a band at a 0.5e-6 boundary.
         n = 0
         mean = 0.0
         m2 = 0.0
         for x in hist_c:
             n += 1
             delta = x - mean
-            mean += delta / n
-            m2 += delta * (x - mean)
-        sd = (m2 / (n - 1)) ** 0.5
+            delta_n = delta / n
+            mean += delta_n
+            m2 += delta * (delta - delta_n)
+        import math
+
+        sd = math.sqrt(m2 / (n - 1))  # Math.sqrt is correctly rounded; x**0.5 may not be
         upper = _round6_half_up(mean_raw + n_std * sd)
         lower = _round6_half_up(mean_raw - n_std * sd)
         close = hist_c[-1]

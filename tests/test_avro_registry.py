@@ -311,3 +311,44 @@ def test_avro_wire_streams_end_to_end(spark, sf_small, registry, tmp_path):
     }
     want = {(r.event_id, r.user_id, r.value, "api", None) for r in events.collect()}
     assert got == want
+
+
+def test_nullable_numeric_union_roundtrip(spark, registry):
+    """NULLs in nullable LONG/DOUBLE fields must take the union's
+    null branch (Arrow hands them to the worker as NaN — the codec
+    normalizes before encoding; pre-fix this crashed on int(NaN) and
+    corrupted doubles into wire NaNs)."""
+    schema = {
+        "type": "record",
+        "name": "N",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "n_opt", "type": ["null", "long"], "default": None},
+            {"name": "d_opt", "type": ["null", "double"], "default": None},
+        ],
+    }
+    df = spark.createDataFrame(
+        [(1, 10, 1.5), (2, None, None), (3, 30, None)],
+        "id long, n_opt long, d_opt double",
+    )
+    wire = ar.encode_avro_registry(df, "n-value", schema, _url(registry))
+    got = {
+        (r.id, r.n_opt, r.d_opt)
+        for r in ar.decode_avro_registry(wire, schema, _url(registry)).collect()
+    }
+    assert got == {(1, 10, 1.5), (2, None, None), (3, 30, None)}
+
+
+def test_null_in_non_nullable_field_fails_loudly(spark, registry):
+    df = spark.createDataFrame([(1, None)], "id long, v double")
+    schema = {
+        "type": "record",
+        "name": "S",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": "double"},
+        ],
+    }
+    wire = ar.encode_avro_registry(df, "s-value", schema, _url(registry))
+    with pytest.raises(Exception, match="non-nullable"):
+        wire.collect()

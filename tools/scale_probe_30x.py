@@ -93,7 +93,9 @@ def main() -> None:
         fn = qs[name]
         times: dict[str, float] = {}
         for label, d in (("sf0.1", SRC), ("x10", X10), ("x30", X30)):
-            if not os.path.exists(f"{d}/documents.parquet"):
+            if not os.path.isdir(d):
+                print(f"{label} dir {d} missing — run the replicate "
+                      "stage first; skipping that scale", file=sys.stderr)
                 continue
             best = float("inf")
             for _ in range(2):
@@ -103,7 +105,8 @@ def main() -> None:
             times[label] = round(best, 3)
         if "x10" in times:
             times["ratio_x10"] = round(times["x10"] / times["sf0.1"], 2)
-        times["ratio_x30"] = round(times["x30"] / times["sf0.1"], 2)
+        if "x30" in times:
+            times["ratio_x30"] = round(times["x30"] / times["sf0.1"], 2)
         result[name] = times
         print(name, times, file=sys.stderr)
     print(json.dumps({"probe": "x30_scaling", "queries": result}))
