@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext36 import EXT36_QUERIES
     from streaming_data_spark.queries_ext37 import EXT37_QUERIES
     from streaming_data_spark.queries_ext38 import EXT38_QUERIES
+    from streaming_data_spark.queries_ext39 import EXT39_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-6 rotation: front the
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT36_QUERIES,
         **EXT37_QUERIES,
         **EXT38_QUERIES,
+        **EXT39_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -162,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext36 import EXT36_ORACLES
     from streaming_data_spark.queries_ext37 import EXT37_ORACLES
     from streaming_data_spark.queries_ext38 import EXT38_ORACLES
+    from streaming_data_spark.queries_ext39 import EXT39_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -175,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT36_ORACLES,
         **EXT37_ORACLES,
         **EXT38_ORACLES,
+        **EXT39_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -1,0 +1,70 @@
+"""[EXT] Iterative graph scoring over the duplicate graph.
+
+``connected_components`` (dedup.py) answers "which docs are the same
+document"; PageRank over the same near-dup edge set answers "which
+doc is the most CENTRAL copy" — a centrality-based canonicalization
+signal complementing x41's quality-based pick (a hub mirrored by many
+partial copies outranks a leaf copy even when their quality scores
+tie). Public algorithm (Brin & Page 1998); damping 0.85.
+
+Spark shape: the edge list is symmetrized once, degrees come from one
+groupBy, and each iteration is ONE keyed join + ONE aggregation —
+never a collect of the rank vector (ranks stay distributed; only the
+node COUNT is a driver scalar). ``localCheckpoint`` cuts the lineage
+each round, the same guard the star-contraction CC uses — without it
+iteration k replays all k-1 prior shuffles. Fixed iteration count
+keeps the computation deterministic and lets the DuckDB oracle
+UNROLL the same recurrence (aggregation inside a recursive CTE term
+is not portable SQL; unrolling is).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the UNDIRECTED graph given by ``edges`` (each
+    row one undirected edge; symmetrized internally). Returns
+    (id, pagerank) for every node incident to an edge.
+
+    rank_{k+1}(v) = (1-d)/N + d·Σ_{u→v} rank_k(u)/deg(u), starting
+    from 1/N. The symmetric graph has no dangling nodes, so total
+    mass is conserved without a redistribution term.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct().localCheckpoint()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("u").alias("id"), "deg").localCheckpoint()
+    n = float(nodes.count())  # bounded driver scalar (node count only)
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("pagerank"))
+    base = (1.0 - damping) / n
+
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            ranks.join(nodes, "id")
+            .join(sym, F.col("id") == F.col("u"))
+            .select(F.col("v").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.select("id")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + damping * F.coalesce("s", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("id", F.round("rank", 6).alias("pagerank"))

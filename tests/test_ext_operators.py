@@ -516,3 +516,29 @@ def test_max_drawdown_crafted_peak_trough(spark):
     assert dd.max_drawdown == -0.75 and dd.n_days == 5
     flat = ind.max_drawdown(_daily_frame(spark, [1, 2, 3])).collect()[0]
     assert flat.max_drawdown == 0.0
+
+
+def test_pagerank_mass_conservation_and_hub_ordering(spark):
+    """On a star (0-1,0-2,0-3) plus an isolated pair (4-5): total
+    mass stays 1 (symmetric graph, no dangling leak), the hub
+    outranks its leaves, structurally identical nodes tie exactly."""
+    from streaming_data_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {r.id: r.pagerank for r in pagerank(edges).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    assert got[0] > got[1]
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5]
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from streaming_data_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    out = pagerank(edges)
+    assert out.count() == 0
+    assert out.columns == ["id", "pagerank"]
