@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext37 import EXT37_QUERIES
     from streaming_data_spark.queries_ext38 import EXT38_QUERIES
     from streaming_data_spark.queries_ext39 import EXT39_QUERIES
+    from streaming_data_spark.queries_ext40 import EXT40_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-6 rotation: front the
@@ -91,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT37_QUERIES,
         **EXT38_QUERIES,
         **EXT39_QUERIES,
+        **EXT40_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -165,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext37 import EXT37_ORACLES
     from streaming_data_spark.queries_ext38 import EXT38_ORACLES
     from streaming_data_spark.queries_ext39 import EXT39_ORACLES
+    from streaming_data_spark.queries_ext40 import EXT40_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -179,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT37_ORACLES,
         **EXT38_ORACLES,
         **EXT39_ORACLES,
+        **EXT40_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -510,3 +510,65 @@ def quantize_int8(
         q.alias("qvec"),
         F.col("_sds_scale").alias("scale"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Contrastive hard-negative mining: per query vector, the top-k
+    most-similar corpus vectors carrying a DIFFERENT label — the pair
+    generator behind contrastive/triplet training (public practice:
+    in-batch hard negatives, e.g. SimCLR/SBERT-style mining). The
+    label filter runs BEFORE ranking, so rank is within the negative
+    set (a same-label near-duplicate never displaces a negative).
+
+    Same scale shape as ``cosine_topk``: the bounded query set
+    broadcasts, the corpus is scanned once with JVM higher-order
+    dot/norm folds, one per-query top-k window; at corpus-scale query
+    sets the IVF/LSH bucketing tiers apply unchanged (filter on
+    label inside the bucket probe).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(label_col).alias("q_label"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("n_label"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("n_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "n_label",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+            ).alias("cosine_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "n_label",
+            "rank",
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )
