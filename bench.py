@@ -49,6 +49,12 @@ EXT_HEADLINE = (
     "x35_lm_score",
     "x36_heavy_hitters",
     "a27_sma_crossover",
+    # round-6 representatives (Wilder fold, bounded-state index,
+    # retrieval ranking, per-stratum exact split)
+    "a34_rsi",
+    "x30_inverted_index_capped",
+    "x40_bm25",
+    "x43_stratified_split",
 )
 
 

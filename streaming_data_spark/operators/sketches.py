@@ -200,10 +200,15 @@ def mg_partials(df: DataFrame, col: str, k: int = 100) -> DataFrame:
             nonlocal n_rows
             for pdf in pdfs:
                 n_rows += len(pdf)
+                s = pdf[col]
                 # None for NULLs so the MG dict sees ONE hashable key
                 # (pandas would otherwise surface NaN, and distinct
-                # NaN objects void the counter bound)
-                yield from (None if pd.isna(v) else v for v in pdf[col])
+                # NaN objects void the counter bound). Vectorized
+                # null check — a per-element pd.isna here cost ~4x
+                # the whole sketch pass.
+                if s.isna().any():
+                    s = s.astype(object).where(s.notna(), None)
+                yield from s
 
         counters = mg_summary(_walk(), k)
         pid = TaskContext.get().partitionId()
