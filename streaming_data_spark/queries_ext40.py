@@ -108,17 +108,20 @@ SELECT vec_id, label FROM ranked, m WHERE rn <= m.m
 
 
 def q_x45_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 different-label cosine neighbors for the bounded query
-    set vec_id % 40 == 0."""
+    """Top-3 different-label cosine neighbors for the BOUNDED query
+    batch (vec_id % 40 == 0 AND vec_id < 4000 — an absolute cap, the
+    x5 convention: the brute-force tier's cost is |queries|·|corpus|,
+    so the probe batch must not grow with the corpus; corpus-scale
+    query sets take the IVF/LSH bucketed tiers)."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    queries = emb.filter((F.col("vec_id") % 40 == 0) & (F.col("vec_id") < 4000))
     return similarity.hard_negatives(emb, queries, k=3)
 
 
 SQL_X45 = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
-  FROM embeddings WHERE vec_id % 40 = 0
+  FROM embeddings WHERE vec_id % 40 = 0 AND vec_id < 4000
 ), scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS n_label,
     list_sum(list_transform(range(1, len(e.embedding) + 1),

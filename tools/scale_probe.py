@@ -133,6 +133,15 @@ HEAVY = [
     "a31_target_encode", "x37_feature_hash",
     # round-5 wave 34: one window pass + dimension-bounded groupBys
     "a32_event_transitions",
+    # round-6 waves 35-40: bounded-state index, indicator quartet,
+    # PMI margins, char histogram, BM25 chain, quality-canonical
+    # dedup (pair-gen + CC), PageRank iterations, sampling windows,
+    # label-filtered cosine top-k
+    "x30_inverted_index_capped",
+    "a33_atr", "a34_rsi", "a35_stochastic", "a36_obv",
+    "x38_pmi_collocations", "x39_char_entropy", "x40_bm25",
+    "x41_canonical_by_quality", "x42_pagerank",
+    "x43_stratified_split", "x44_class_balance", "x45_hard_negatives",
 ]
 
 
@@ -148,8 +157,9 @@ def main() -> None:
         print(f"replicated 10x in {time.time()-t0:.1f}s", file=sys.stderr)
 
     qs = entry.queries()
+    names = sys.argv[1:] or HEAVY  # optional subset for targeted runs
     result: dict[str, dict[str, float]] = {}
-    for name in HEAVY:
+    for name in names:
         fn = qs[name]
         times = {}
         for label, d in (("sf0.1", SRC), ("x10", DST)):
