@@ -36,6 +36,27 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _cosine(q_vec, c_vec):
+    """The one cosine expression every top-k variant scores with."""
+    return _dot(q_vec, c_vec) / (_norm(q_vec) * _norm(c_vec))
+
+
+def _topk_ranked(scored: DataFrame, k: int, extra_cols: tuple = ()) -> DataFrame:
+    """The one ranking contract every top-k variant shares: per-query
+    (cosine DESC, neighbor_id ASC) deterministic tiebreak, rank <= k,
+    cosine rounded to 6. A change to the tiebreak or rounding rule
+    lands HERE once, not in four copies (review-pass consolidation)."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", *extra_cols, "rank",
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -59,15 +80,9 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("q_vec"), F.col("c_vec"))
-         / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias("cosine_raw"),
+        _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_raw"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine_raw", 6).alias("cosine"))
-    )
+    return _topk_ranked(scored, k)
 
 
 # Frozen pseudo-random hyperplanes: component (plane, dim) is derived
@@ -313,16 +328,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("q_vec"), F.col("c_vec2"))
-             / (_norm(F.col("q_vec")) * _norm(F.col("c_vec2")))).alias("cosine_raw"),
+            _cosine(F.col("q_vec"), F.col("c_vec2")).alias("cosine_raw"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine_raw", 6).alias("cosine"))
-    )
+    return _topk_ranked(scored, k)
 
 
 def signlsh_topk(
@@ -373,15 +382,9 @@ def signlsh_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("q_vec"), F.col("c_vec"))
-         / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias("cosine_raw"),
+        _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_raw"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine_raw", 6).alias("cosine"))
-    )
+    return _topk_ranked(scored, k)
 
 
 def _assign_nearest(df: DataFrame, cents: list[list[float]]) -> DataFrame:
@@ -552,23 +555,7 @@ def hard_negatives(
             "query_id",
             "neighbor_id",
             "n_label",
-            (
-                _dot(F.col("q_vec"), F.col("c_vec"))
-                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
-            ).alias("cosine_raw"),
+            _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_raw"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_raw"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "n_label",
-            "rank",
-            F.round("cosine_raw", 6).alias("cosine"),
-        )
-    )
+    return _topk_ranked(scored, k, extra_cols=("n_label",))

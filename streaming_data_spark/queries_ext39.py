@@ -36,12 +36,18 @@ def q_x42_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_sql() -> str:
     d = PR_DAMPING
+    # The Spark side bakes base = (1.0 - damping)/n from PYTHON float
+    # arithmetic; writing `(1.0 - 0.85)` in SQL would evaluate in
+    # DuckDB DECIMAL (exact 0.15, one ulp BELOW Python's
+    # 0.15000000000000002) and drift the recurrence — interpolate the
+    # Python-computed constant so both engines divide the same double.
+    one_minus_d = repr(1.0 - d)
     steps = []
     prev = "r0"
     for k in range(1, PR_ITERS + 1):
         steps.append(f"""r{k} AS (
   SELECT n.id,
-         (1.0 - {d}) / nn.n + {d} * coalesce(c.s, 0.0) AS rank
+         {one_minus_d} / nn.n + {d} * coalesce(c.s, 0.0) AS rank
   FROM nodes n
   LEFT JOIN (
     SELECT e.v AS id, sum(p.rank / dg.deg) AS s

@@ -16,6 +16,7 @@ per row.
 
 from __future__ import annotations
 
+import math
 from typing import TYPE_CHECKING, Any, Iterator, Tuple
 
 from pyspark.sql import DataFrame
@@ -592,8 +593,6 @@ def _advance_bollinger(state, days_us, closes, periods, n_std):
             delta_n = delta / n
             mean += delta_n
             m2 += delta * (delta - delta_n)
-        import math
-
         sd = math.sqrt(m2 / (n - 1))  # Math.sqrt is correctly rounded; x**0.5 may not be
         upper = _round6_half_up(mean_raw + n_std * sd)
         lower = _round6_half_up(mean_raw - n_std * sd)

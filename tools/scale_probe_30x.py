@@ -103,9 +103,9 @@ def main() -> None:
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             times[label] = round(best, 3)
-        if "x10" in times:
+        if "x10" in times and "sf0.1" in times:
             times["ratio_x10"] = round(times["x10"] / times["sf0.1"], 2)
-        if "x30" in times:
+        if "x30" in times and "sf0.1" in times:
             times["ratio_x30"] = round(times["x30"] / times["sf0.1"], 2)
         result[name] = times
         print(name, times, file=sys.stderr)
