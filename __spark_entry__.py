@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext38 import EXT38_QUERIES
     from streaming_data_spark.queries_ext39 import EXT39_QUERIES
     from streaming_data_spark.queries_ext40 import EXT40_QUERIES
+    from streaming_data_spark.queries_ext41 import EXT41_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-6 rotation: front the
@@ -93,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT38_QUERIES,
         **EXT39_QUERIES,
         **EXT40_QUERIES,
+        **EXT41_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -168,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext38 import EXT38_ORACLES
     from streaming_data_spark.queries_ext39 import EXT39_ORACLES
     from streaming_data_spark.queries_ext40 import EXT40_ORACLES
+    from streaming_data_spark.queries_ext41 import EXT41_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -183,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT38_ORACLES,
         **EXT39_ORACLES,
         **EXT40_ORACLES,
+        **EXT41_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,
