@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext39 import EXT39_QUERIES
     from streaming_data_spark.queries_ext40 import EXT40_QUERIES
     from streaming_data_spark.queries_ext41 import EXT41_QUERIES
+    from streaming_data_spark.queries_ext42 import EXT42_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-6 rotation: front the
@@ -95,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT39_QUERIES,
         **EXT40_QUERIES,
         **EXT41_QUERIES,
+        **EXT42_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -171,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext39 import EXT39_ORACLES
     from streaming_data_spark.queries_ext40 import EXT40_ORACLES
     from streaming_data_spark.queries_ext41 import EXT41_ORACLES
+    from streaming_data_spark.queries_ext42 import EXT42_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -187,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT39_ORACLES,
         **EXT40_ORACLES,
         **EXT41_ORACLES,
+        **EXT42_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,
