@@ -231,6 +231,64 @@ def windowed_distinct_users(
     )
 
 
+def chi2_drift_stream(
+    stream: DataFrame,
+    ref_mix: Mapping[str, float],
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming categorical-drift monitor — the continuous twin of the
+    wave-41/42 batch drift family (operators/drift.py): per event-time
+    window, the chi-square GOODNESS-OF-FIT statistic of the window's
+    ``type_col`` mix against a fixed reference distribution
+    ``ref_mix`` (category → probability, e.g. profiled from last
+    month's batch table). Feed the result to the K9 alert listeners;
+    this replaces the reference's log-grep monitor loop
+    (airflow/dags/monitor_errors.py) with a statistic on the data.
+
+    Spark-first shape: chaining groupBy(window, type) → groupBy(window)
+    would be two streaming aggregations (unsupported), but the
+    reference categories are KNOWN up front, so the per-type counts
+    become conditional sums inside ONE windowed aggregation —
+    native, codegen'd, watermark-bounded state, no stateful-API
+    fallback. Categories outside ``ref_mix`` (expected 0 under the
+    reference) are reported in ``n_unexpected`` rather than folded
+    into chi2 (their expected count is 0 ⇒ the statistic is
+    undefined; any occurrence is its own alert).
+
+    Emits (period_start, period_end, n, n_unexpected, chi2) with
+    chi2 = Σ_t (c_t − n·p_t)²/(n·p_t) over the ref categories
+    (zero-count cells included — they contribute n·p_t), rounded to
+    6; dof = |ref|−1 is the caller's constant.
+    """
+    cats = sorted(ref_mix)
+    counts = [
+        F.sum(F.when(F.col(type_col) == c, 1).otherwise(0)).alias(f"_c{i}")
+        for i, c in enumerate(cats)
+    ]
+    n = F.col("n").cast("double")
+    chi2 = None
+    for i, c in enumerate(cats):
+        e = n * F.lit(float(ref_mix[c]))
+        term = (F.col(f"_c{i}") - e) * (F.col(f"_c{i}") - e) / e
+        chi2 = term if chi2 is None else chi2 + term
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .agg(F.count(F.lit(1)).alias("n"), *counts)
+        .select(
+            F.col("window.start").alias("period_start"),
+            F.col("window.end").alias("period_end"),
+            "n",
+            (F.col("n") - sum(F.col(f"_c{i}") for i in range(len(cats)))
+             ).alias("n_unexpected"),
+            F.round(chi2, 6).alias("chi2"),
+        )
+    )
+
+
 def streaming_windowed_median(
     stream: DataFrame,
     value_col: str = "value",

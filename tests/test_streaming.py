@@ -1438,3 +1438,74 @@ def test_obv_stream_matches_batch(spark, sf_small, tmp_path):
     }
     want = {tuple(r) for r in ind.obv(daily).collect()}
     assert got == want and len(got) > 0
+
+
+def test_chi2_drift_stream_matches_independent_batch(
+    spark, sf_small, event_stream_dir
+):
+    """The streaming GOF chi-square (one windowed aggregation with
+    conditional per-category sums) equals an INDEPENDENT batch
+    formulation (window x category cell grid + joins) on the same 100
+    events — different plan, different summation order, same numbers
+    after the shared round-6 contract. One category is held out of the
+    reference mix to exercise the n_unexpected channel."""
+    batch = load_table(spark, sf_small, "events").limit(100)
+    total = batch.count()
+    mix_rows = batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    ref = {r["event_type"]: r["c"] / total for r in mix_rows.collect()}
+    held_out = sorted(ref)[-1]
+    ref_mix = {k: v for k, v in ref.items() if k != held_out}
+
+    stream = sp.file_json_source(spark, event_stream_dir)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    drifted = sp.chi2_drift_stream(
+        normalized, ref_mix, window_duration="1 minute"
+    )
+    writer = (
+        drifted.writeStream.format("memory")
+        .queryName("chi2w")
+        .outputMode("complete")
+    )
+    sp.run_to_completion(writer)
+    got = spark.sql(
+        "SELECT period_start, period_end, n, n_unexpected, chi2 FROM chi2w"
+    )
+
+    # independent batch: explicit cell grid so zero-count cells still
+    # contribute their expected mass, F.sum over cells (different
+    # accumulation order than the stream's fixed category chain)
+    w = F.window("ts", "1 minute").alias("w")
+    cells = batch.groupBy(w, "event_type").agg(F.count(F.lit(1)).alias("c"))
+    nper = batch.groupBy(w).agg(F.count(F.lit(1)).alias("n"))
+    reftab = spark.createDataFrame(
+        [(k, float(v)) for k, v in ref_mix.items()],
+        "event_type string, p double",
+    )
+    grid = nper.select("w", "n").crossJoin(reftab)
+    joined = (
+        grid.join(cells, ["w", "event_type"], "left")
+        .fillna({"c": 0})
+        .withColumn("e", F.col("n").cast("double") * F.col("p"))
+        .withColumn(
+            "term",
+            (F.col("c") - F.col("e")) * (F.col("c") - F.col("e")) / F.col("e"),
+        )
+    )
+    want = (
+        joined.groupBy("w", "n")
+        .agg(
+            F.round(F.sum("term"), 6).alias("chi2"),
+            (F.first("n") - F.sum("c")).alias("n_unexpected"),
+        )
+        .select(
+            F.col("w.start").alias("period_start"),
+            F.col("w.end").alias("period_end"),
+            "n",
+            "n_unexpected",
+            "chi2",
+        )
+    )
+    assert got.count() == want.count() and got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # the held-out category must actually appear somewhere
+    assert got.agg(F.sum("n_unexpected")).collect()[0][0] > 0
