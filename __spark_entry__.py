@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext40 import EXT40_QUERIES
     from streaming_data_spark.queries_ext41 import EXT41_QUERIES
     from streaming_data_spark.queries_ext42 import EXT42_QUERIES
+    from streaming_data_spark.queries_ext43 import EXT43_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-6 rotation: front the
@@ -97,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT40_QUERIES,
         **EXT41_QUERIES,
         **EXT42_QUERIES,
+        **EXT43_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -174,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext40 import EXT40_ORACLES
     from streaming_data_spark.queries_ext41 import EXT41_ORACLES
     from streaming_data_spark.queries_ext42 import EXT42_ORACLES
+    from streaming_data_spark.queries_ext43 import EXT43_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -191,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT40_ORACLES,
         **EXT41_ORACLES,
         **EXT42_ORACLES,
+        **EXT43_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -336,3 +336,91 @@ def daily_indicator_report_job(
         }
 
     return run_job_with_alerts(_run, alert, name="daily_indicator_report_job")
+
+
+def drift_report_job(
+    spark: SparkSession,
+    events: DataFrame,
+    warehouse: str,
+    split_ts: str,
+    psi_threshold: float = 0.2,
+    js_threshold: float = 0.1,
+    cusum_h: float = 5.0,
+    alert: AlertFn = lambda payload: None,
+) -> dict:
+    """monitor_errors.py upgraded — the reference greps task logs for
+    failure strings on a schedule and mails the hits; this job instead
+    tests whether the CURRENT ingest period's data still looks like the
+    reference period's and alerts on the statistics (the wave-41/42
+    drift family composed as ONE engine job):
+
+      value-distribution PSI + hour-profile JS divergence per
+      event_type (one drift_report table), two-sided CUSUM over each
+      type's daily-mean series (one changepoint table), then a K10
+      gate: alert() fires once per drifting type with the offending
+      scores.
+
+    Scale shape: two map-side-combinable fact passes (binned cells +
+    hourly cells, both via operators/drift.py's broadcast-edge
+    pattern) plus the dimension-sized daily fold; the alert loop
+    collects only the DRIFTING types (≤ |types| rows — the bounded
+    driver-pull pattern). Returns stage counts for observability like
+    the other jobs.
+    """
+    from streaming_data_spark.operators import drift
+
+    def _run() -> dict:
+        ev = events.withColumn(
+            "is_a", (F.col("ts") < split_ts).cast("int")
+        )
+        psi_df = drift.psi(
+            ev, key="event_type", value_col="value", split_col="is_a"
+        )
+        js_df = drift.js_divergence(
+            ev.withColumn("hr", F.hour("ts")),
+            key="event_type", bucket_col="hr", split_col="is_a",
+        )
+        report = psi_df.join(
+            js_df.select("event_type", "js"), "event_type"
+        )
+        report.write.mode("overwrite").parquet(f"{warehouse}/drift_report")
+
+        daily = ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(F.round(F.avg("value"), 6).alias("x"))
+        cu = drift.cusum(daily, key="event_type", order_col="day", x_col="x")
+        cu.write.mode("overwrite").parquet(f"{warehouse}/drift_cusum")
+
+        stored = spark.read.parquet(f"{warehouse}/drift_report")
+        peaks = (
+            spark.read.parquet(f"{warehouse}/drift_cusum")
+            .groupBy("event_type")
+            .agg(F.max(F.greatest("s_pos", "s_neg")).alias("cusum_peak"))
+        )
+        # bounded driver pull: one row per DRIFTING type, |types| max
+        drifting = (
+            stored.join(peaks, "event_type", "left")
+            .filter(
+                (F.col("psi") > psi_threshold)
+                | (F.col("js") > js_threshold)
+                | (F.col("cusum_peak") > cusum_h)
+            )
+            .collect()
+        )
+        for row in drifting:
+            alert(
+                {
+                    "job": "drift_report_job",
+                    "event_type": row["event_type"],
+                    "psi": row["psi"],
+                    "js": row["js"],
+                    "cusum_peak": row["cusum_peak"],
+                }
+            )
+        return {
+            "types": stored.count(),
+            "cusum_rows": spark.read.parquet(f"{warehouse}/drift_cusum").count(),
+            "drifting": len(drifting),
+        }
+
+    return run_job_with_alerts(_run, alert, name="drift_report_job")

@@ -277,3 +277,53 @@ def test_corpus_curation_lm_band_drops_only_out_of_band_docs(spark, sf_small):
     base_ids = {r.doc_id for r in base["clean_docs"].select("doc_id").collect()}
     banded_ids = {r.doc_id for r in banded["clean_docs"].select("doc_id").collect()}
     assert banded_ids == base_ids - expected_drop
+
+
+def test_drift_report_job_end_to_end(spark, sf_small, tmp_path):
+    """The drift job materializes the per-type report (PSI + JS) and
+    the CUSUM table, alerts once per drifting type through the K10
+    gate, and reruns idempotently. Thresholds forced low/high to pin
+    both the all-drift and no-drift branches deterministically."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_spark.jobs import drift_report_job
+    from streaming_data_spark.schemas import load_table
+
+    events = load_table(spark, sf_small, "events")
+    n_types = events.select("event_type").distinct().count()
+    wh = str(tmp_path / "wh_drift")
+
+    # thresholds at -inf: every type drifts -> one alert per type
+    alerts = []
+    stats = drift_report_job(
+        spark, events, wh, split_ts="2024-01-15 00:00:00",
+        psi_threshold=-1.0, js_threshold=-1.0, cusum_h=-1.0,
+        alert=alerts.append,
+    )
+    assert stats["types"] == n_types
+    assert stats["cusum_rows"] > 0
+    assert stats["drifting"] == n_types
+    drift_alerts = [a for a in alerts if a.get("job") == "drift_report_job"
+                    and "event_type" in a]
+    assert len(drift_alerts) == n_types
+    assert all(a["psi"] is not None and a["js"] is not None
+               for a in drift_alerts)
+    assert alerts[-1]["event"] == "job_succeeded"
+
+    report = spark.read.parquet(f"{wh}/drift_report")
+    assert report.count() == n_types
+    # PSI and JS are nonnegative by construction
+    bad = report.filter((F.col("psi") < 0) | (F.col("js") < 0)).count()
+    assert bad == 0
+    cu = spark.read.parquet(f"{wh}/drift_cusum")
+    assert cu.filter((F.col("s_pos") < 0) | (F.col("s_neg") < 0)).count() == 0
+
+    # thresholds at +inf: nothing drifts, no drift alerts, idempotent
+    quiet = []
+    rerun = drift_report_job(
+        spark, events, wh, split_ts="2024-01-15 00:00:00",
+        psi_threshold=1e9, js_threshold=1e9, cusum_h=1e9,
+        alert=quiet.append,
+    )
+    assert rerun["types"] == n_types and rerun["drifting"] == 0
+    assert [a for a in quiet if "event_type" in a] == []
