@@ -55,6 +55,9 @@ EXT_HEADLINE = (
     "x30_inverted_index_capped",
     "x40_bm25",
     "x43_stratified_split",
+    # round-6 late-wave representatives (drift monitors, vocab stats)
+    "x48_psi_drift",
+    "x51_bpe_pairs",
 )
 
 

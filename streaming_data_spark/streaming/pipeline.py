@@ -289,6 +289,74 @@ def chi2_drift_stream(
     )
 
 
+def psi_drift_stream(
+    stream: DataFrame,
+    bin_edges: Sequence[float],
+    ref_props: Sequence[float],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    watermark: str = "1 day",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Streaming numeric-drift monitor — the continuous twin of
+    ``operators/drift.psi``: per event-time window, the Population
+    Stability Index of ``value_col`` against a reference histogram
+    profiled offline (``bin_edges`` = the n+1 ascending edges,
+    ``ref_props`` = the n reference bin proportions).
+
+    Same single-aggregation trick as ``chi2_drift_stream``: the bins
+    are fixed up front, so per-bin counts are conditional sums inside
+    ONE windowed aggregation — no second groupBy, no stateful API.
+    Values outside [edges[0], edges[-1]] clamp into the end bins
+    (the standard serving-time PSI convention — production data that
+    escapes the training range must still score, loudly).
+
+    Laplace smoothing with ``alpha`` on the window side
+    (p = (c + α)/(n + α·k)) keeps empty window bins finite; the
+    reference side must be strictly positive already (smooth the
+    profile offline — a reference bin at exactly 0 makes ln(p/q)
+    undefined and is a data-modeling error, not a runtime case).
+
+    Emits (period_start, period_end, n, psi) per window, rounded 6.
+    """
+    k = len(ref_props)
+    if len(bin_edges) != k + 1:
+        raise ValueError("need len(bin_edges) == len(ref_props) + 1")
+    if any(p <= 0 for p in ref_props):
+        raise ValueError("ref_props must be strictly positive "
+                         "(smooth the reference profile offline)")
+    a = float(alpha)
+    v = F.col(value_col)
+    counts = []
+    for i in range(k):
+        if i == 0:
+            cond = v < bin_edges[1]
+        elif i == k - 1:
+            cond = v >= bin_edges[k - 1]
+        else:
+            cond = (v >= bin_edges[i]) & (v < bin_edges[i + 1])
+        counts.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"_b{i}"))
+    n = F.col("n").cast("double")
+    psi = None
+    for i in range(k):
+        p = (F.col(f"_b{i}") + a) / (n + a * k)
+        q = F.lit(float(ref_props[i]))
+        term = (p - q) * F.log(p / q)
+        psi = term if psi is None else psi + term
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .agg(F.count(F.lit(1)).alias("n"), *counts)
+        .select(
+            F.col("window.start").alias("period_start"),
+            F.col("window.end").alias("period_end"),
+            "n",
+            F.round(psi, 6).alias("psi"),
+        )
+    )
+
+
 def streaming_windowed_median(
     stream: DataFrame,
     value_col: str = "value",

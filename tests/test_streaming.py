@@ -1509,3 +1509,79 @@ def test_chi2_drift_stream_matches_independent_batch(
     assert got.exceptAll(want).count() == 0
     # the held-out category must actually appear somewhere
     assert got.agg(F.sum("n_unexpected")).collect()[0][0] > 0
+
+
+def test_psi_drift_stream_matches_independent_batch(
+    spark, sf_small, event_stream_dir
+):
+    """The streaming windowed PSI (fixed reference bins as conditional
+    sums in one aggregation) equals an independent batch formulation
+    (explicit bin-cell grid + joins) on the same 100 events."""
+    batch = load_table(spark, sf_small, "events").limit(100)
+    # reference histogram profiled from the batch itself: 4 bins over
+    # the observed range, Laplace-smoothed so every prop is positive
+    lo, hi = batch.agg(F.min("value"), F.max("value")).collect()[0]
+    edges = [lo + (hi - lo) * i / 4.0 for i in range(5)]
+    total = batch.count()
+    raw = []
+    for i in range(4):
+        if i == 3:
+            c = batch.filter(F.col("value") >= edges[3]).count()
+        else:
+            c = batch.filter(
+                (F.col("value") >= edges[i]) & (F.col("value") < edges[i + 1])
+            ).count()
+        raw.append(c)
+    ref_props = [(c + 0.5) / (total + 2.0) for c in raw]
+
+    stream = sp.file_json_source(spark, event_stream_dir)
+    normalized = sp.normalize_stream(stream, PAYLOAD_SCHEMA)
+    scored = sp.psi_drift_stream(
+        normalized, edges, ref_props, window_duration="1 minute"
+    )
+    writer = (
+        scored.writeStream.format("memory")
+        .queryName("psiw")
+        .outputMode("complete")
+    )
+    sp.run_to_completion(writer)
+    got = spark.sql("SELECT period_start, period_end, n, psi FROM psiw")
+
+    # independent batch path: explicit window x bin cells
+    w = F.window("ts", "1 minute").alias("w")
+    bin_col = (
+        F.when(F.col("value") < edges[1], 0)
+        .when(F.col("value") < edges[2], 1)
+        .when(F.col("value") < edges[3], 2)
+        .otherwise(3)
+    )
+    cells = (
+        batch.withColumn("bin", bin_col)
+        .groupBy(w, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nper = batch.groupBy(w).agg(F.count(F.lit(1)).alias("n"))
+    reftab = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(ref_props)], "bin int, q double"
+    )
+    grid = nper.select("w", "n").crossJoin(reftab)
+    joined = (
+        grid.join(cells, ["w", "bin"], "left")
+        .fillna({"c": 0})
+        .withColumn(
+            "p", (F.col("c") + 0.5) / (F.col("n").cast("double") + 0.5 * 4)
+        )
+        .withColumn("term", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+    )
+    want = (
+        joined.groupBy("w", "n")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select(
+            F.col("w.start").alias("period_start"),
+            F.col("w.end").alias("period_end"),
+            "n",
+            "psi",
+        )
+    )
+    assert got.count() == want.count() and got.count() > 0
+    assert got.exceptAll(want).count() == 0
