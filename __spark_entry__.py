@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext41 import EXT41_QUERIES
     from streaming_data_spark.queries_ext42 import EXT42_QUERIES
     from streaming_data_spark.queries_ext43 import EXT43_QUERIES
+    from streaming_data_spark.queries_ext44 import EXT44_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-6 rotation: front the
@@ -99,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT41_QUERIES,
         **EXT42_QUERIES,
         **EXT43_QUERIES,
+        **EXT44_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -177,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext41 import EXT41_ORACLES
     from streaming_data_spark.queries_ext42 import EXT42_ORACLES
     from streaming_data_spark.queries_ext43 import EXT43_ORACLES
+    from streaming_data_spark.queries_ext44 import EXT44_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -195,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT41_ORACLES,
         **EXT42_ORACLES,
         **EXT43_ORACLES,
+        **EXT44_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

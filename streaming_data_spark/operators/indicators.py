@@ -386,3 +386,70 @@ def obv(
         .withColumn("obv", F.sum("signed").over(w_cum))
         .select(key, "day", "close", "obv")
     )
+
+
+def holt(
+    daily: DataFrame,
+    key: str = "user_id",
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    day_col: str = "day",
+    price_col: str = "close",
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per key — the
+    third inherently-sequential recursion (a DOUBLE-state fold:
+    level + trend), run exactly like ``ewma``/``rsi``:
+
+        l_1 = x_1,  b_1 = 0
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    and the one-step-ahead forecast ``fc_next = l_t + b_t`` (what the
+    model predicts for tomorrow, the number a trading dashboard
+    plots against the next candle). Daily closes are exact value
+    SELECTIONS (max_by), and (1−α)/(1−β) are precomputed once and
+    interpolated into the oracle with repr() — every fold step is
+    then the same IEEE op sequence in both engines, so outputs are
+    exact and unrounded.
+    """
+    a, bb = float(alpha), float(beta)
+    oma, omb = 1.0 - a, 1.0 - bb
+    cols = [key, day_col, price_col]
+    out_schema = StructType(
+        [daily.schema[c] for c in cols]
+        + [
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("fc_next", DoubleType()),
+        ]
+    )
+
+    def _fold_partition(pdfs):
+        cur = object()
+        lvl = trd = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            lvls, trds, fcs = [], [], []
+            for k_val, x in zip(pdf[key], pdf[price_col]):
+                x = float(x)
+                if k_val != cur:
+                    cur = k_val
+                    lvl, trd = x, 0.0
+                else:
+                    prev = lvl
+                    lvl = a * x + oma * (lvl + trd)
+                    trd = bb * (lvl - prev) + omb * trd
+                lvls.append(lvl)
+                trds.append(trd)
+                fcs.append(lvl + trd)
+            pdf = pdf.copy()
+            pdf["level"], pdf["trend"], pdf["fc_next"] = lvls, trds, fcs
+            yield pdf[cols + ["level", "trend", "fc_next"]]
+
+    return (
+        daily.select(*cols)
+        .repartition(key)
+        .sortWithinPartitions(key, day_col)
+        .mapInPandas(_fold_partition, schema=out_schema)
+    )

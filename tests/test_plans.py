@@ -826,3 +826,65 @@ def test_x36_sketch_pass_plan(spark, sf_small):
     assert text.count("documents.parquet") == 1, text
     assert plans.shuffle_count(df) == 0, text
     assert plans.global_window_count(df) == 0, text
+
+
+def test_wave41_43_exchange_budgets(spark, sf_small):
+    """Pin the shuffle counts of the drift/vocab waves. In every one
+    of them exactly ONE exchange is fact-sized (the first map-side-
+    combinable groupBy); everything after moves dimension-bounded
+    data (per-value counts, |types|x2 cells, |types| x bins cells,
+    types x days daily rows, the vocabulary). x47's seemingly large
+    budget is five tiny post-cell shuffles (row/column margins, the
+    one-row total, the final one-row agg) — each over at most
+    |types|x2 rows. x50's four are: daily groupBy, stats groupBy
+    (feeding the broadcast), and the fold's repartition(key) pair.
+    x48/x50 move their small aggregates via broadcast joins —
+    asserted — so the fact/daily side is never re-shuffled to meet
+    them."""
+    import __spark_entry__ as entry
+
+    budgets = {
+        "x46_ks_drift": 2,
+        "x47_chi2_drift": 7,
+        "x48_psi_drift": 3,
+        "x49_js_hourly": 2,
+        "x50_cusum": 4,
+        "x51_bpe_pairs": 2,
+        "x52_zipf_slope": 2,
+    }
+    qs = entry.queries()
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+
+    # the small sides ride broadcast exchanges, never shuffle joins
+    for name in ("x48_psi_drift", "x50_cusum"):
+        text = plans.explain_str(qs[name](spark, sf_small))
+        assert "BroadcastHashJoin" in text, text
+        assert "SortMergeJoin" not in text, text
+    # x47's one-row corpus total is the sanctioned scalar
+    # BroadcastNestedLoopJoin (same pattern as the decontamination
+    # scalar); the cell-level joins stay hash joins
+    text = plans.explain_str(qs["x47_chi2_drift"](spark, sf_small))
+    assert "CartesianProduct" not in text, text
+
+
+def test_wave44_exchange_budgets(spark, sf_small):
+    """a37's two exchanges are the daily-close groupBy + the fold's
+    repartition(key) — the established recursion price (a29/a34).
+    x53's eight are dominated by cell-table traffic: after the one
+    fact-sized cells groupBy, the two margin windows, the scalar
+    total, and the final one-row agg all move a |types|x10 table;
+    the min/max edges ride the sanctioned one-row broadcast NLJ."""
+    import __spark_entry__ as entry
+
+    budgets = {"a37_holt_forecast": 2, "x53_mutual_info": 8}
+    qs = entry.queries()
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    text = plans.explain_str(qs["x53_mutual_info"](spark, sf_small))
+    assert "CartesianProduct" not in text, text
+    assert "SortMergeJoin" not in text, text
