@@ -1110,3 +1110,98 @@ def obv_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# cross-batch state for Holt's linear-trend recursion: O(1) per key.
+_HOLT_STATE = StructType(
+    [
+        StructField("last_day_us", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+    ]
+)
+
+
+def _advance_holt(state, days_us, closes, alpha, beta):
+    """Fold one key's day-ordered batch through Holt's double-state
+    recursion — EXACTLY the batch fold's op order (indicators.holt,
+    including the precomputed (1−α)/(1−β)), so streamed values are
+    bit-identical to the batch ones. Late days drop; state moves
+    forward only."""
+    a, bb = float(alpha), float(beta)
+    oma, omb = 1.0 - a, 1.0 - bb
+    last_d, lvl, trd = state or (None, None, None)
+    out = []
+    for d, c in zip(days_us, closes):
+        if last_d is not None and d <= last_d:
+            continue
+        x = float(c)
+        if lvl is None:
+            lvl, trd = x, 0.0
+        else:
+            prev = lvl
+            lvl = a * x + oma * (lvl + trd)
+            trd = bb * (lvl - prev) + omb * trd
+        last_d = int(d)
+        out.append((last_d, x, lvl, trd, lvl + trd))
+    return out, (last_d, lvl, trd)
+
+
+def holt_stream(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    day_col: str = "day",
+    close_col: str = "close",
+    alpha: float = 0.2,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Streaming Holt linear-trend smoothing + one-step-ahead forecast
+    — the streaming twin of operators/indicators.holt; level/trend
+    carry across micro-batches through O(1) state per key."""
+    out_schema = StructType(
+        [
+            StructField(key_col, daily.schema[key_col].dataType),
+            StructField("day", TimestampType()),
+            StructField("close", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("fc_next", DoubleType()),
+        ]
+    )
+
+    def _fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs)).sort_values(day_col)
+        prev = tuple(state.get) if state.exists else None
+        rows, new_state = _advance_holt(
+            prev,
+            batch[day_col].astype("int64") // 1000,
+            batch[close_col].astype("float64"),
+            alpha,
+            beta,
+        )
+        state.update(tuple(new_state))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(rows),
+                    "day": pd.to_datetime([r[0] for r in rows], unit="us"),
+                    "close": [r[1] for r in rows],
+                    "level": [r[2] for r in rows],
+                    "trend": [r[3] for r in rows],
+                    "fc_next": [r[4] for r in rows],
+                }
+            )
+
+    return daily.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_HOLT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

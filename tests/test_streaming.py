@@ -1585,3 +1585,30 @@ def test_psi_drift_stream_matches_independent_batch(
     )
     assert got.count() == want.count() and got.count() > 0
     assert got.exceptAll(want).count() == 0
+
+
+def test_holt_stream_matches_batch(spark, sf_small, tmp_path):
+    """T6 — streaming Holt: the double-state (level, trend) recursion
+    carries across micro-batches and the streamed values are
+    BIT-identical to the batch mapInPandas fold (same IEEE op order,
+    no rounding anywhere)."""
+    from streaming_data_spark.operators import indicators as ind
+    from streaming_data_spark.streaming.stateful import holt_stream
+
+    stream, daily = _daily_stream(spark, sf_small, tmp_path, "holt")
+    smoothed = holt_stream(stream, alpha=0.2, beta=0.1)
+    sp.run_to_completion(
+        smoothed.writeStream.format("memory")
+        .queryName("holt_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_holt"))
+    )
+    got = {
+        (r.user_id, r.day, r.close, r.level, r.trend, r.fc_next)
+        for r in spark.sql("SELECT * FROM holt_stream").collect()
+    }
+    want = {
+        (r.user_id, r.day, r.close, r.level, r.trend, r.fc_next)
+        for r in ind.holt(daily, alpha=0.2, beta=0.1).collect()
+    }
+    assert got == want
+    assert len(got) == daily.count()
