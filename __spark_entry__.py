@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext42 import EXT42_QUERIES
     from streaming_data_spark.queries_ext43 import EXT43_QUERIES
     from streaming_data_spark.queries_ext44 import EXT44_QUERIES
+    from streaming_data_spark.queries_ext45 import EXT45_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-6 rotation: front the
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT42_QUERIES,
         **EXT43_QUERIES,
         **EXT44_QUERIES,
+        **EXT45_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -180,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext42 import EXT42_ORACLES
     from streaming_data_spark.queries_ext43 import EXT43_ORACLES
     from streaming_data_spark.queries_ext44 import EXT44_ORACLES
+    from streaming_data_spark.queries_ext45 import EXT45_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -199,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT42_ORACLES,
         **EXT43_ORACLES,
         **EXT44_ORACLES,
+        **EXT45_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

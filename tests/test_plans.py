@@ -100,6 +100,8 @@ _SANCTIONED_GLOBAL_WINDOWS = {
     "a20_rolling_corr",  # one row per calendar day (queries_ext21)
     "a23_topn_others",  # ~25 nation aggregates (queries_ext26)
     "a18_equidepth_hist",  # global ntile over doc lengths (queries_ext19)
+    "a38_rfm_segments",  # 3 ntiles over the customer-grain aggregate (queries_ext45)
+    "x54_auc",  # cumulative over the distinct-score histogram (queries_ext45)
 }
 
 
@@ -888,3 +890,26 @@ def test_wave44_exchange_budgets(spark, sf_small):
     text = plans.explain_str(qs["x53_mutual_info"](spark, sf_small))
     assert "CartesianProduct" not in text, text
     assert "SortMergeJoin" not in text, text
+
+
+def test_wave45_exchange_budgets(spark, sf_small):
+    """a38: the customer groupBy + the (AQE-coalesced) single-task
+    ntile exchanges over the customer aggregate — 3 total; the ref
+    date is the sanctioned one-row broadcast NLJ. x54: score groupBy
+    + the distinct-score cumulative — 2. x55: the two keyed
+    row_number windows share ONE hash exchange on event_type; the
+    bounds and clip joins ride broadcasts (|types| rows), leaving the
+    two aggregation exchanges — 3 total, and never a sort-merge
+    join."""
+    import __spark_entry__ as entry
+
+    budgets = {"a38_rfm_segments": 3, "x54_auc": 2, "x55_winsorize": 3}
+    qs = entry.queries()
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    for name in ("x55_winsorize",):
+        text = plans.explain_str(qs[name](spark, sf_small))
+        assert "SortMergeJoin" not in text, text
+        assert "BroadcastHashJoin" in text, text
