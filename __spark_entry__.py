@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext43 import EXT43_QUERIES
     from streaming_data_spark.queries_ext44 import EXT44_QUERIES
     from streaming_data_spark.queries_ext45 import EXT45_QUERIES
+    from streaming_data_spark.queries_ext46 import EXT46_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-6 rotation: front the
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT43_QUERIES,
         **EXT44_QUERIES,
         **EXT45_QUERIES,
+        **EXT46_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -183,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext43 import EXT43_ORACLES
     from streaming_data_spark.queries_ext44 import EXT44_ORACLES
     from streaming_data_spark.queries_ext45 import EXT45_ORACLES
+    from streaming_data_spark.queries_ext46 import EXT46_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -203,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT43_ORACLES,
         **EXT44_ORACLES,
         **EXT45_ORACLES,
+        **EXT46_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -68,3 +68,35 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
+
+
+def triangles(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Enumerate triangles (id_a < id_b < id_c) in an id-canonical
+    edge list (every edge stored with src < dst).
+
+    Two self-equi-joins: wedges a-b-c from e1.dst = e2.src, closed by
+    probing (a, c) against the edge set. The id-orientation means each
+    triangle is emitted exactly once and a node's join fan-out is its
+    FORWARD degree, not its total degree; at 100 TB the standard
+    hardening is to re-orient edges by (degree, id) instead of raw id
+    — same algorithm, provably O(m^1.5) wedge volume (node-iterator
+    with degree orientation, cf. Suri & Vassilvitskii's MapReduce
+    triangle counting, WWW'11). The near-dup graphs this runs on are
+    band-blocked pair sets, so edge volume is already output-bounded.
+    """
+    # The edge frame feeds three join branches; without materializing
+    # it once, the whole upstream pair computation (shingle explode +
+    # similarity join on near-dup inputs) replays 3x.
+    edges = edges.localCheckpoint(eager=True)
+    e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
+    e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select(
+            F.col("a").alias("id_a"),
+            F.col("b").alias("id_b"),
+            F.col("c").alias("id_c"),
+        )
+    )

@@ -913,3 +913,25 @@ def test_wave45_exchange_budgets(spark, sf_small):
         text = plans.explain_str(qs[name](spark, sf_small))
         assert "SortMergeJoin" not in text, text
         assert "BroadcastHashJoin" in text, text
+
+
+def test_wave46_exchange_budgets(spark, sf_small):
+    """x56: the one materialized basket-distinct, the orderkey
+    self-join pair (2), the pair groupBy, the item-count groupBy and
+    the scalar total — 6; the metric joins ride broadcasts. x57: the
+    checkpointed edge set self-joins as sort-merge (the correct
+    big-big strategy for an edge table that is fact-derived at scale)
+    — 4 exchanges, and the expensive near-dup pair computation runs
+    exactly ONCE (localCheckpoint in graph.triangles). a39: fact
+    groupBy + the |types|x7 margin window — 2."""
+    import __spark_entry__ as entry
+
+    budgets = {"x56_assoc_rules": 6, "x57_triangles": 4, "a39_seasonal_dow": 2}
+    qs = entry.queries()
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    text = plans.explain_str(qs["x56_assoc_rules"](spark, sf_small))
+    assert "SortMergeJoin" not in text, text
+    assert "BroadcastHashJoin" in text, text
