@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext44 import EXT44_QUERIES
     from streaming_data_spark.queries_ext45 import EXT45_QUERIES
     from streaming_data_spark.queries_ext46 import EXT46_QUERIES
+    from streaming_data_spark.queries_ext47 import EXT47_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-6 rotation: front the
@@ -105,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT44_QUERIES,
         **EXT45_QUERIES,
         **EXT46_QUERIES,
+        **EXT47_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -186,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext44 import EXT44_ORACLES
     from streaming_data_spark.queries_ext45 import EXT45_ORACLES
     from streaming_data_spark.queries_ext46 import EXT46_ORACLES
+    from streaming_data_spark.queries_ext47 import EXT47_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -207,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT44_ORACLES,
         **EXT45_ORACLES,
         **EXT46_ORACLES,
+        **EXT47_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -1,0 +1,267 @@
+"""Forty-seventh query wave — label-aware ANN + robust event anomalies:
+
+- x58_knn_classify: k-nearest-neighbor classification over the
+  embeddings table — exact cosine top-5 per probe vector
+  (similarity.cosine_topk, the x5 kernel), majority vote over
+  neighbor labels with a (votes DESC, label ASC) deterministic
+  tie-break. The eval-style companion of x33's nearest-centroid
+  classifier: same data, instance-based instead of prototype-based.
+- x59_semdedup: SemDeDup-style semantic deduplication (Abbas et al.
+  2023, arXiv:2303.09540): cluster every embedding to its nearest
+  label-centroid (the x33 assignment), then WITHIN each cluster drop
+  any vector whose cosine to a smaller-id cluster-mate exceeds the
+  near-dup threshold — pairwise work is confined to cluster blocks,
+  never the full corpus (the paper's core scale trick). Emits the
+  full keep/drop decision per vector.
+- a40_anomaly_mad: per-user robust anomaly flags — each event scored
+  against its user's exact median and MAD (same engine/oracle median
+  parity as a15, which grades per event type; this grades per USER
+  and emits the offending EVENTS, the monitor_errors-style alert feed
+  at row grain). Score = adev/mad rounded 6; mad=0 degenerate users
+  are excluded identically on both sides.
+
+Scale shapes: x58 broadcasts only the probe set and the queries×k
+result (corpus stays distributed); x59's pair join keys on
+(cluster, dim-block) — block sizes are centroid-count-bounded, the
+SemDeDup recipe for 100 TB; a40 is two keyed median passes + a
+user-grain broadcast back, like a15.
+
+[EXT]-classic per SURVEY.md §2.11 scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streaming_data_spark.operators import similarity
+from streaming_data_spark.queries import _t
+
+KNN_K = 5
+SEM_THRESHOLD = 0.45  # near-orthogonal testdata; see x7
+
+
+def q_x58_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, true_label, pred_label, votes): 5-NN majority-vote
+    classification of every 25th vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    nn = similarity.cosine_topk(emb, queries, k=KNN_K)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    # queries×k rows broadcast into the corpus-sized label lookup —
+    # the big side never moves.
+    votes = (
+        labels.join(F.broadcast(nn), "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("n_label")
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"), "votes")
+    )
+    true_l = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return true_l.join(F.broadcast(pred), "query_id").select(
+        F.col("query_id").alias("vec_id"), "true_label", "pred_label", "votes"
+    )
+
+
+SQL_X58 = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS true_label, embedding AS q_vec
+  FROM embeddings WHERE vec_id % 25 = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS n_label,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+        i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE)))
+     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS cosine_raw
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, n_label,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, n_label, count(*) AS votes
+  FROM ranked WHERE rank <= {KNN_K}
+  GROUP BY query_id, n_label
+), pred AS (
+  SELECT query_id, n_label AS pred_label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, n_label ASC) AS rk
+  FROM votes
+)
+SELECT q.query_id AS vec_id, q.true_label,
+       p.pred_label, CAST(p.votes AS BIGINT) AS votes
+FROM q JOIN pred p USING (query_id)
+WHERE p.rk = 1
+"""
+
+
+def q_x59_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, dropped): nearest-centroid cluster per vector
+    and whether a smaller-id cluster-mate within cosine >= 0.45 marks
+    it a semantic duplicate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    cent = pos.join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.avg("x").alias("c")
+    )
+    dist = (
+        pos.join(cent, "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
+    )
+    # assignment feeds both pair-join sides AND the final flag join —
+    # materialize once (id→cluster rows) or the posexplode/centroid
+    # pipeline replays three times.
+    assigned = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d2"), F.col("clabel"))).alias("best"))
+        .select("vec_id", F.col("best.clabel").alias("cluster"))
+        .localCheckpoint(eager=True)
+    )
+    vecs = emb.join(assigned, "vec_id").select(
+        "vec_id", "cluster", "embedding"
+    ).localCheckpoint(eager=True)
+    a = vecs.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = vecs.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    dup_pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", similarity._cosine(F.col("va"), F.col("vb"))
+        )
+        .filter(F.col("cos") >= SEM_THRESHOLD)
+    )
+    dropped = dup_pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return assigned.join(
+        F.broadcast(dropped.withColumn("_d", F.lit(True))), "vec_id", "left"
+    ).select(
+        "vec_id", "cluster", F.coalesce(F.col("_d"), F.lit(False)).alias("dropped")
+    )
+
+
+SQL_X59 = f"""
+WITH pos AS (
+  SELECT vec_id, label, i AS pos, embedding[i] AS x
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent AS (
+  SELECT label AS clabel, pos, avg(x) AS c
+  FROM pos GROUP BY label, pos
+),
+dist AS (
+  SELECT p.vec_id, c.clabel, sum((p.x - c.c) * (p.x - c.c)) AS d2
+  FROM pos p JOIN cent c USING (pos)
+  GROUP BY p.vec_id, c.clabel
+),
+assigned AS (
+  SELECT vec_id, clabel AS cluster
+  FROM (
+    SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, clabel ASC) AS rk
+    FROM dist
+  ) WHERE rk = 1
+),
+vecs AS (
+  SELECT e.vec_id, a.cluster, e.embedding
+  FROM embeddings e JOIN assigned a USING (vec_id)
+),
+dup_pairs AS (
+  SELECT b.vec_id AS dropped_id
+  FROM vecs a JOIN vecs b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+    >= {SEM_THRESHOLD}
+)
+SELECT a.vec_id, a.cluster,
+       (a.vec_id IN (SELECT dropped_id FROM dup_pairs)) AS dropped
+FROM assigned a
+"""
+
+
+def q_a40_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_id, value, med, mad, score): events whose
+    absolute deviation from the user's median exceeds 3 MAD."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "user_id")
+        .filter((F.col("mad") > 0) & (F.col("adev") > 3 * F.col("mad")))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(F.col("adev") / F.col("mad"), 6).alias("score"),
+        )
+    )
+
+
+SQL_A40 = """
+WITH med AS (
+  SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+),
+dev AS (
+  SELECT e.user_id, e.event_id, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (user_id)
+),
+mad AS (
+  SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id
+)
+SELECT d.user_id, d.event_id, d.value,
+       round(d.med, 6) AS med,
+       round(m.mad, 6) AS mad,
+       round(d.adev / m.mad, 6) AS score
+FROM dev d JOIN mad m USING (user_id)
+WHERE m.mad > 0 AND d.adev > 3 * m.mad
+"""
+
+
+EXT47_QUERIES = {
+    "x58_knn_classify": q_x58_knn_classify,
+    "x59_semdedup": q_x59_semdedup,
+    "a40_anomaly_mad": q_a40_anomaly_mad,
+}
+
+EXT47_ORACLES = {
+    "x58_knn_classify": SQL_X58,
+    "x59_semdedup": SQL_X59,
+    "a40_anomaly_mad": SQL_A40,
+}

@@ -935,3 +935,26 @@ def test_wave46_exchange_budgets(spark, sf_small):
     text = plans.explain_str(qs["x56_assoc_rules"](spark, sf_small))
     assert "SortMergeJoin" not in text, text
     assert "BroadcastHashJoin" in text, text
+
+
+def test_wave47_exchange_budgets(spark, sf_small):
+    """x58: probe set and queries×k results ride broadcasts (the
+    cross join against the broadcast probe set is the sanctioned ANN
+    NLJ from x5) — the 3 exchanges are the vote/rank keyed hops.
+    x59: assignment and cluster-keyed vectors are each materialized
+    once (localCheckpoint); the remaining 3 exchanges are the
+    centroid/distance groupBys; the cluster-block pair join may
+    legitimately sort-merge (cluster blocks are fact-derived at
+    scale). a40: two keyed median passes + the user-grain broadcasts
+    back — 3, no sort-merge anywhere."""
+    import __spark_entry__ as entry
+
+    budgets = {"x58_knn_classify": 3, "x59_semdedup": 3, "a40_anomaly_mad": 3}
+    qs = entry.queries()
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    text = plans.explain_str(qs["a40_anomaly_mad"](spark, sf_small))
+    assert "SortMergeJoin" not in text, text
+    assert "BroadcastHashJoin" in text, text
