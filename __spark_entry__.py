@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext45 import EXT45_QUERIES
     from streaming_data_spark.queries_ext46 import EXT46_QUERIES
     from streaming_data_spark.queries_ext47 import EXT47_QUERIES
+    from streaming_data_spark.queries_ext48 import EXT48_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-6 rotation: front the
@@ -107,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT45_QUERIES,
         **EXT46_QUERIES,
         **EXT47_QUERIES,
+        **EXT48_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -189,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext45 import EXT45_ORACLES
     from streaming_data_spark.queries_ext46 import EXT46_ORACLES
     from streaming_data_spark.queries_ext47 import EXT47_ORACLES
+    from streaming_data_spark.queries_ext48 import EXT48_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -211,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT45_ORACLES,
         **EXT46_ORACLES,
         **EXT47_ORACLES,
+        **EXT48_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

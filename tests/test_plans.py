@@ -102,6 +102,7 @@ _SANCTIONED_GLOBAL_WINDOWS = {
     "a18_equidepth_hist",  # global ntile over doc lengths (queries_ext19)
     "a38_rfm_segments",  # 3 ntiles over the customer-grain aggregate (queries_ext45)
     "x54_auc",  # cumulative over the distinct-score histogram (queries_ext45)
+    "x61_key_concentration",  # 2 rankings over the supplier-grain counts (queries_ext48)
 }
 
 
@@ -958,3 +959,23 @@ def test_wave47_exchange_budgets(spark, sf_small):
     text = plans.explain_str(qs["a40_anomaly_mad"](spark, sf_small))
     assert "SortMergeJoin" not in text, text
     assert "BroadcastHashJoin" in text, text
+
+
+def test_wave48_exchange_budgets(spark, sf_small):
+    """a41: one |types| stat groupBy + the final 5x5 broadcast pair
+    join's single exchange — 2. x60: ONE fact-sized digit groupBy;
+    the <=9-row cell table is materialized so the scalar-total, chi2
+    and output branches never re-scan orders. x61: the key-count
+    groupBy + the sanctioned single-task ranking over it — 2."""
+    import __spark_entry__ as entry
+
+    budgets = {"a41_ab_welch": 2, "x60_benford": 1, "x61_key_concentration": 2}
+    qs = entry.queries()
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    for name in budgets:
+        text = plans.explain_str(qs[name](spark, sf_small))
+        assert "SortMergeJoin" not in text, text
+        assert "CartesianProduct" not in text, text

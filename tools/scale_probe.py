@@ -142,6 +142,13 @@ HEAVY = [
     "x38_pmi_collocations", "x39_char_entropy", "x40_bm25",
     "x41_canonical_by_quality", "x42_pagerank",
     "x43_stratified_split", "x44_class_balance", "x45_hard_negatives",
+    # round-6 waves 45-47: customer-grain ntiles, distinct-score
+    # cumulative, keyed order-statistic clip, basket self-join rules,
+    # wedge-join triangles, dow cells, probe-broadcast kNN,
+    # cluster-blocked semantic dedup, double keyed-median anomalies
+    "a38_rfm_segments", "x54_auc", "x55_winsorize",
+    "x56_assoc_rules", "x57_triangles", "a39_seasonal_dow",
+    "x58_knn_classify", "x59_semdedup", "a40_anomaly_mad",
 ]
 
 
