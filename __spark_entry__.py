@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext46 import EXT46_QUERIES
     from streaming_data_spark.queries_ext47 import EXT47_QUERIES
     from streaming_data_spark.queries_ext48 import EXT48_QUERIES
+    from streaming_data_spark.queries_ext49 import EXT49_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-6 rotation: front the
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT46_QUERIES,
         **EXT47_QUERIES,
         **EXT48_QUERIES,
+        **EXT49_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -192,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext46 import EXT46_ORACLES
     from streaming_data_spark.queries_ext47 import EXT47_ORACLES
     from streaming_data_spark.queries_ext48 import EXT48_ORACLES
+    from streaming_data_spark.queries_ext49 import EXT49_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -215,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT46_ORACLES,
         **EXT47_ORACLES,
         **EXT48_ORACLES,
+        **EXT49_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

