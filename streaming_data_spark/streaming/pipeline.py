@@ -357,6 +357,68 @@ def psi_drift_stream(
     )
 
 
+def topk_trending_stream(
+    stream: DataFrame,
+    categories: Sequence[str],
+    k: int = 3,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming per-window top-k trending categories — the "what is
+    spiking right now" monitor next to the drift family.
+
+    Spark-first shape (the chi2/psi known-categories trick, third
+    use): top-k-per-group normally needs an aggregation FOLLOWED by a
+    ranking window — two streaming aggregations, unsupported. With
+    the category vocabulary known up front, per-category counts are
+    conditional sums inside ONE windowed aggregation, and the ranking
+    collapses to a pure per-row expression: sort the (−count,
+    category) struct array (count desc, category asc — total order),
+    slice k. Native, codegen'd, watermark-bounded state; categories
+    outside the vocabulary land in ``n_other`` (their own alert, as
+    in chi2_drift_stream).
+
+    Emits (period_start, period_end, n, n_other, top) with ``top`` an
+    array of (category, cnt) structs, rank order = array order.
+    """
+    cats = sorted(categories)
+    counts = [
+        F.sum(F.when(F.col(type_col) == c, 1).otherwise(0)).alias(f"_c{i}")
+        for i, c in enumerate(cats)
+    ]
+    entries = F.array(
+        *[
+            F.struct(
+                (-F.col(f"_c{i}")).alias("neg"), F.lit(c).alias("category")
+            )
+            for i, c in enumerate(cats)
+        ]
+    )
+    top = F.transform(
+        F.slice(F.sort_array(entries), 1, k),
+        lambda s: F.struct(
+            s["category"].alias("category"), (-s["neg"]).alias("cnt")
+        ),
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .agg(F.count(F.lit(1)).alias("n"), *counts)
+        .select(
+            F.col("window.start").alias("period_start"),
+            F.col("window.end").alias("period_end"),
+            "n",
+            (
+                F.col("n")
+                - sum(F.col(f"_c{i}") for i in range(len(cats)))
+            ).alias("n_other"),
+            top.alias("top"),
+        )
+    )
+
+
 def streaming_windowed_median(
     stream: DataFrame,
     value_col: str = "value",
