@@ -10,6 +10,7 @@ of surfacing as a 100 TB incident.
 """
 
 from streaming_data_spark.plans.checks import (
+    broadcast_hint_count,
     explain_str,
     global_window_count,
     has_broadcast_join,
@@ -23,6 +24,7 @@ __all__ = [
     "explain_str",
     "pushed_filters",
     "read_schema_columns",
+    "broadcast_hint_count",
     "has_broadcast_join",
     "has_whole_stage_codegen",
     "shuffle_count",

@@ -40,6 +40,16 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS (F.broadcast / /*+ BROADCAST */)
+    in the analyzed logical plan. Distinct from has_broadcast_join: a
+    hint-free plan may still broadcast adaptively when the runtime size
+    fits — that's healthy; a hint FORCES the broadcast regardless of
+    size, which on a corpus-proportional side is an OOM cliff at 100x."""
+    text = explain_str(df, mode="extended")
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast", text))
+
+
 def has_whole_stage_codegen(df: DataFrame) -> bool:
     """Whether the FINAL plan runs inside whole-stage codegen.
 

@@ -33,6 +33,8 @@ two keyed median passes + a user-grain broadcast back, like a15.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -42,6 +44,27 @@ from streaming_data_spark.queries import _t
 KNN_K = 5
 SEM_THRESHOLD = 0.45  # near-orthogonal testdata; see x7
 SEM_PLANES = 4  # LSH sub-blocking inside clusters; see x7_near_dup_lsh
+# Corpus-scaled plane count (r6 verdict item 1): FIXED 4-plane
+# blocking saturates — cluster count and bucket count are both
+# constants, so block occupancy (and within-block pair work) grows
+# quadratically once the corpus outgrows clusters x 2^4 (the 8.1x
+# x10 ratio). One extra plane per corpus doubling keeps occupancy
+# ~constant: planes = 4 + ceil(log2(n / SEM_N0)), capped. Recall is
+# traded explicitly (more planes = finer blocks = fewer cross-bucket
+# pairs surveyed); the oracle reproduces the exact same plane count
+# from count(*) with the identical formula, so the gate stays exact
+# at every scale. SEM_N0 = 2048 keeps planes = 4 at all test SFs
+# (max 2000 embeddings), i.e. behavior at driver scales is unchanged.
+SEM_N0 = 2048
+SEM_PLANES_MAX = 12
+
+
+def _sem_planes(n: int) -> int:
+    """LSH plane count for an n-vector corpus — mirrored exactly by
+    the params CTE in SQL_X59 (same double-precision log2/ceil)."""
+    if n <= SEM_N0:
+        return SEM_PLANES
+    return min(SEM_PLANES_MAX, SEM_PLANES + math.ceil(math.log2(n / float(SEM_N0))))
 
 
 def q_x58_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,21 +168,26 @@ def q_x59_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-bit multiprobe — the x7 recipe. A cluster-only join is
     # quadratic in cluster size once the corpus outgrows the fixed
     # centroid count (the 47x cliff the x10 probe caught); the LSH
-    # sub-block keys the join on bucket occupancy instead. Emitted
-    # pairs are exactly those with hamming(home_a, home_b) <= 1, so
-    # the oracle reproduces the blocking bit-for-bit (frozen
-    # md5-derived hyperplanes).
+    # sub-block keys the join on bucket occupancy instead, and the
+    # plane count SCALES with the corpus (_sem_planes) so occupancy
+    # stays bounded as the corpus outgrows cluster x bucket count.
+    # Emitted pairs are exactly those with hamming(home_a, home_b)
+    # <= 1 over the corpus-derived plane count, so the oracle
+    # reproduces the blocking bit-for-bit (frozen md5-derived
+    # hyperplanes + the identical count(*)-driven plane formula).
+    # The count() is one bounded driver scalar on a columnar scan.
+    planes = _sem_planes(emb.count())
     vecs = emb.join(assigned, "vec_id").select(
         "vec_id",
         "cluster",
         "embedding",
-        similarity.sign_bucket(F.col("embedding"), SEM_PLANES).alias("home"),
+        similarity.sign_bucket(F.col("embedding"), planes).alias("home"),
     ).localCheckpoint(eager=True)
     probes = F.array(
         F.col("home"),
         *[
             F.col("home").bitwiseXOR(F.lit(2 ** p))
-            for p in range(SEM_PLANES)
+            for p in range(planes)
         ],
     )
     a = vecs.select(
@@ -183,8 +211,13 @@ def q_x59_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= SEM_THRESHOLD)
     )
     dropped = dup_pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    # NO broadcast hint here (r6 verdict item 1): SemDeDup at
+    # production thresholds drops 20-50% of the corpus, so `dropped`
+    # is O(corpus) — a forced broadcast is an OOM cliff at 100x. A
+    # plain keyed left join lets AQE pick broadcast only when the
+    # runtime size actually fits (plan-gated in tests/test_plans.py).
     return assigned.join(
-        F.broadcast(dropped.withColumn("_d", F.lit(True))), "vec_id", "left"
+        dropped.withColumn("_d", F.lit(True)), "vec_id", "left"
     ).select(
         "vec_id", "cluster", F.coalesce(F.col("_d"), F.lit(False)).alias("dropped")
     )
@@ -192,10 +225,22 @@ def q_x59_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from streaming_data_spark.queries_ext import sign_bucket_sql as _sign_bucket_sql
 
-_SEM_BUCKET = _sign_bucket_sql("e.embedding", SEM_PLANES)
+# Bucket bits are per-plane constants (plane p's hyperplane depends
+# only on p, not the total plane count), so the P-plane bucket equals
+# the SEM_PLANES_MAX-plane bucket masked to its low P bits. The
+# oracle therefore computes home at SEM_PLANES_MAX once and masks
+# with the count(*)-derived plane count from the params CTE — the
+# exact formula _sem_planes uses (same IEEE log2/ceil).
+_SEM_BUCKET = _sign_bucket_sql("e.embedding", SEM_PLANES_MAX)
 
 SQL_X59 = f"""
-WITH pos AS (
+WITH params AS (
+  SELECT CASE WHEN count(*) <= {SEM_N0} THEN {SEM_PLANES}
+              ELSE least({SEM_PLANES_MAX},
+                         {SEM_PLANES} + CAST(ceil(log2(count(*) / {SEM_N0}.0)) AS INT))
+         END AS np
+  FROM embeddings
+), pos AS (
   SELECT vec_id, label, i AS pos, embedding[i] AS x
   FROM embeddings,
        unnest(generate_series(1, len(embedding))) AS g(i)
@@ -220,8 +265,8 @@ assigned AS (
 ),
 vecs AS (
   SELECT e.vec_id, a.cluster, e.embedding,
-         {_SEM_BUCKET} AS home
-  FROM embeddings e JOIN assigned a USING (vec_id)
+         (({_SEM_BUCKET}) & (((1 << p.np) - 1))) AS home
+  FROM embeddings e JOIN assigned a USING (vec_id) CROSS JOIN params p
 ),
 dup_pairs AS (
   SELECT b.vec_id AS dropped_id

@@ -542,3 +542,62 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank(edges)
     assert out.count() == 0
     assert out.columns == ["id", "pagerank"]
+
+
+# ---------------------------------------------------------------------------
+# x59 corpus-scaled LSH planes (r7): the plane-count formula and the
+# bucket mask property that make the dynamic blocking oracle-exact.
+# ---------------------------------------------------------------------------
+
+def test_sem_planes_formula_matches_duckdb():
+    """_sem_planes (Python math.log2/ceil) and the SQL_X59 params CTE
+    (DuckDB log2/ceil) must agree for every corpus size — including
+    the exact power-of-two boundaries where an FP divergence would
+    desynchronize engine and oracle blocking."""
+    import duckdb
+
+    from streaming_data_spark.queries_ext47 import (
+        SEM_N0, SEM_PLANES, SEM_PLANES_MAX, _sem_planes,
+    )
+
+    sizes = [1, 500, 2000, SEM_N0, SEM_N0 + 1, 2 * SEM_N0, 2 * SEM_N0 + 1,
+             4 * SEM_N0, 8 * SEM_N0 - 1, 8 * SEM_N0, 20_000, 131_072,
+             1_000_000, 10**9]
+    case = (
+        f"CASE WHEN {{n}} <= {SEM_N0} THEN {SEM_PLANES} "
+        f"ELSE least({SEM_PLANES_MAX}, "
+        f"{SEM_PLANES} + CAST(ceil(log2({{n}} / {SEM_N0}.0)) AS INT)) END"
+    )
+    for n in sizes:
+        got_sql = duckdb.sql(f"SELECT {case.format(n=n)}").fetchone()[0]
+        assert _sem_planes(n) == got_sql, (n, _sem_planes(n), got_sql)
+    # monotone non-decreasing, capped
+    vals = [_sem_planes(n) for n in sorted(sizes)]
+    assert vals == sorted(vals) and vals[-1] <= SEM_PLANES_MAX
+
+
+def test_sign_bucket_mask_property(spark):
+    """sign_bucket(v, P) == sign_bucket(v, P_MAX) & (2^P - 1): plane
+    p's hyperplane depends only on p, so low bits are stable under a
+    larger plane count. SQL_X59 relies on exactly this to compute the
+    bucket once at SEM_PLANES_MAX and mask to the dynamic count."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_spark.operators import similarity
+    from streaming_data_spark.queries_ext47 import SEM_PLANES_MAX
+
+    df = spark.range(32).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda d: F.sin(d * 7 + F.col("id") * 13).cast("float"),
+        ).alias("v"),
+    )
+    for p in (4, 6, 8):
+        mismatches = df.select(
+            similarity.sign_bucket(F.col("v"), p).alias("lo"),
+            similarity.sign_bucket(F.col("v"), SEM_PLANES_MAX)
+            .bitwiseAND(F.lit(2**p - 1))
+            .alias("masked"),
+        ).filter(F.col("lo") != F.col("masked")).count()
+        assert mismatches == 0, f"planes={p}"

@@ -943,14 +943,16 @@ def test_wave47_exchange_budgets(spark, sf_small):
     cross join against the broadcast probe set is the sanctioned ANN
     NLJ from x5) — the 3 exchanges are the vote/rank keyed hops.
     x59: assignment and cluster-keyed vectors are each materialized
-    once (localCheckpoint); the remaining 3 exchanges are the
-    centroid/distance groupBys; the cluster-block pair join may
-    legitimately sort-merge (cluster blocks are fact-derived at
-    scale). a40: two keyed median passes + the user-grain broadcasts
-    back — 3, no sort-merge anywhere."""
+    once (localCheckpoint); 3 exchanges are the centroid/distance
+    groupBys and the 4th is the hint-free dropped-flag join (r7:
+    the forced broadcast of the O(corpus) dropped set was removed —
+    AQE localizes it at runtime when it actually fits); the
+    cluster-block pair join may legitimately sort-merge (cluster
+    blocks are fact-derived at scale). a40: two keyed median passes
+    + the user-grain broadcasts back — 3, no sort-merge anywhere."""
     import __spark_entry__ as entry
 
-    budgets = {"x58_knn_classify": 3, "x59_semdedup": 3, "a40_anomaly_mad": 3}
+    budgets = {"x58_knn_classify": 3, "x59_semdedup": 4, "a40_anomaly_mad": 3}
     qs = entry.queries()
     got = {
         name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
@@ -958,7 +960,18 @@ def test_wave47_exchange_budgets(spark, sf_small):
     assert got == budgets, got
     text = plans.explain_str(qs["a40_anomaly_mad"](spark, sf_small))
     assert "SortMergeJoin" not in text, text
-    assert "BroadcastHashJoin" in text, text
+
+
+def test_x59_semdedup_no_forced_broadcast(spark, sf_small):
+    """r6 verdict item 1: x59's dropped set is corpus-proportional
+    (SemDeDup drops 20-50% at production thresholds), so NO join in
+    the query may carry an explicit broadcast hint — adaptive
+    broadcast when the runtime size fits is fine, a forced one is an
+    OOM cliff at 100x. This pins the hint out of the plan for good."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["x59_semdedup"](spark, sf_small)
+    assert plans.broadcast_hint_count(df) == 0, plans.explain_str(df, "extended")
 
 
 def test_wave48_exchange_budgets(spark, sf_small):
