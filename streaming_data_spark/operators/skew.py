@@ -63,6 +63,7 @@ def skew_split_inner_join(
     on: Sequence[str],
     is_hot: str,
     salt: int = 16,
+    validate: bool = False,
 ) -> DataFrame:
     """Inner equi-join robust to power-law keys, in ONE pass over the
     (large) left side.
@@ -84,6 +85,18 @@ def skew_split_inner_join(
     4. coalesces the hot/cold payloads and keeps inner semantics
        (rows matched on neither side drop).
 
+    CALLER CONTRACT: ``is_hot`` must be CONSISTENT per key — every
+    right-side row of a given key carries the same flag (it marks the
+    KEY as hot, not the row). A mixed-flag key silently returns wrong
+    results: its hot-tagged left rows get a random salt, so they
+    nondeterministically miss the key's cold-slice rows (which sit at
+    salt 0). Flags derived from a per-key aggregate (share, count —
+    every call site in this repo) satisfy this by construction; pass
+    ``validate=True`` to assert it with one bounded job over the
+    right side's DISTINCT mixed keys (cheap relative to the join, but
+    still a driver-blocking action — leave it off in production
+    pipelines and on in tests).
+
     Identical results to ``left.join(right.drop(is_hot), on)`` for any
     right-side multiplicity — hot/cold key sets are disjoint, so each
     output row's payload comes from exactly one side. Unlike
@@ -93,6 +106,20 @@ def skew_split_inner_join(
     (e.g. an n-gram probability table).
     """
     on = list(on)
+    if validate:
+        mixed = (
+            right.groupBy(*on)
+            .agg(F.count_distinct(F.col(is_hot)).alias("_nf"))
+            .filter(F.col("_nf") > 1)
+            .limit(5)
+            .collect()
+        )
+        if mixed:
+            raise ValueError(
+                f"skew_split_inner_join: {is_hot!r} is not per-key "
+                f"consistent — mixed-flag keys (first 5): "
+                f"{[tuple(r[c] for c in on) for r in mixed]}"
+            )
     payload = [c for c in right.columns if c not in on and c != is_hot]
     hot = right.filter(F.col(is_hot)).select(
         *on,

@@ -318,15 +318,27 @@ def psi_drift_stream(
     profile offline — a reference bin at exactly 0 makes ln(p/q)
     undefined and is a data-modeling error, not a runtime case).
 
-    Emits (period_start, period_end, n, psi) per window, rounded 6.
+    At least TWO reference bins are required: with one bin the clamp
+    convention degenerates (p = q = 1, PSI identically 0 — and the
+    first-bin/last-bin clamp branches would contradict each other).
+    NULL values are dropped before the aggregation — a NULL matches
+    no bin condition, so counting it into n would silently deflate
+    every smoothed proportion.
+
+    Emits (period_start, period_end, n, psi) per window, rounded 6;
+    n counts the non-NULL values scored.
     """
     k = len(ref_props)
+    if k < 2:
+        raise ValueError("PSI needs at least 2 reference bins "
+                         "(a single bin scores p = q = 1 identically)")
     if len(bin_edges) != k + 1:
         raise ValueError("need len(bin_edges) == len(ref_props) + 1")
     if any(p <= 0 for p in ref_props):
         raise ValueError("ref_props must be strictly positive "
                          "(smooth the reference profile offline)")
     a = float(alpha)
+    stream = stream.filter(F.col(value_col).isNotNull())
     v = F.col(value_col)
     counts = []
     for i in range(k):

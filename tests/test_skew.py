@@ -113,3 +113,26 @@ def test_salted_agg_equals_plain_groupby(spark, sf_oracle):
     )
     diff = salted.exceptAll(plain.select(*salted.columns)).count()
     assert diff == 0 and salted.count() == plain.count()
+
+
+def test_skew_split_validate_rejects_mixed_flag_key(spark):
+    """ADVICE r6: is_hot marks a KEY, not a row — a key carrying both
+    flag values would make hot-tagged left rows (random salt) miss the
+    key's cold-slice rows (salt 0) nondeterministically. validate=True
+    asserts the contract up front and names the offenders."""
+    import pytest
+
+    left = spark.createDataFrame([(1, "l1"), (2, "l2")], "k int, lv string")
+    ok = spark.createDataFrame(
+        [(1, True, "a"), (1, True, "b"), (2, False, "c")],
+        "k int, hot boolean, rv string",
+    )
+    out = skew.skew_split_inner_join(left, ok, ["k"], "hot", validate=True)
+    assert out.count() == 3  # k=1 matches twice, k=2 once
+
+    mixed = spark.createDataFrame(
+        [(1, True, "a"), (1, False, "b"), (2, False, "c")],
+        "k int, hot boolean, rv string",
+    )
+    with pytest.raises(ValueError, match="not per-key consistent"):
+        skew.skew_split_inner_join(left, mixed, ["k"], "hot", validate=True)
