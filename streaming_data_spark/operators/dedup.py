@@ -360,7 +360,13 @@ def connected_components_star(
     the per-round cost FALLS as contraction proceeds — the right
     trade for duplicate graphs whose shape you don't control.
     """
-    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    # Materialize the input edge list ONCE: both all_nodes and the
+    # canonical edge set derive from it, and edge inputs are routinely
+    # expensive plans (a prefix-filtered pair join) — without this the
+    # full pair plan would execute twice before the first round.
+    raw = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).localCheckpoint(eager=True)
     # every endpoint, INCLUDING nodes whose only edges are self-loops —
     # label propagation keeps them (as singleton clusters), so this
     # algorithm must too or switching algorithms loses rows
