@@ -149,20 +149,32 @@ def main() -> None:
     # regression guard: compare per-query against the earliest recorded
     # round bench (same sf) and flag anything >1.3x slower — surfaces
     # shuffle-path regressions before they compound across rounds.
+    # r7 extension (r6 verdict item 5): the headline-vs-r01 compare had
+    # a blind spot — queries_ext (every [EXT] hot spot) was unguarded,
+    # so x35's 1.49x round-over-round regression shipped silently. Now
+    # BOTH sections are also compared against the PREVIOUS round's
+    # file, same >1.3x threshold, reported under regressions_vs_prev.
     here = os.path.dirname(os.path.abspath(__file__))
     prior = sorted(
         f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
+
+    def _flag(base_section: dict, now: dict) -> dict:
+        # 1.3x relative AND >=0.25s absolute: sub-second queries swing
+        # +-0.15s run-to-run on a shared box; a pure ratio threshold
+        # buries real regressions (x35's 0.887->1.322) under noise.
+        return {
+            q: {"base": b, "now": now[q]}
+            for q, b in base_section.items()
+            if q in now and b > 0 and now[q] > 1.3 * b and now[q] - b >= 0.25
+        }
+
     if prior:
         try:
             with open(os.path.join(here, prior[0])) as fh:
                 base = json.load(fh).get("parsed", {})
             if base.get("sf") == sf:
-                regressions = {
-                    q: {"base": b, "now": timings[q]}
-                    for q, b in base.get("queries", {}).items()
-                    if q in timings and b > 0 and timings[q] > 1.3 * b
-                }
+                regressions = _flag(base.get("queries", {}), timings)
                 payload["baseline_round"] = prior[0]
                 payload["regressions"] = regressions
                 if "x2_minhash_lsh" in regressions:
@@ -179,6 +191,16 @@ def main() -> None:
                             "steady state is 1.3-1.5s"
                         )
                     }
+        except (OSError, ValueError):
+            pass
+        try:
+            with open(os.path.join(here, prior[-1])) as fh:
+                prev = json.load(fh).get("parsed", {})
+            if prev.get("sf") == sf:
+                vs_prev = _flag(prev.get("queries", {}), timings)
+                vs_prev.update(_flag(prev.get("queries_ext", {}), ext_timings))
+                payload["prev_round"] = prior[-1]
+                payload["regressions_vs_prev"] = vs_prev
         except (OSError, ValueError):
             pass
 
