@@ -78,18 +78,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext49 import EXT49_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
-    # FIRST 50 entries in insertion order. Round-6 rotation: front the
-    # 10 r5 queries that have never been inside a driver window —
-    # waves 29-34 (a26_window_median, a27_sma_crossover, a28_bollinger,
-    # a29_ewma, a30_max_drawdown, x35_lm_score, x36_heavy_hitters,
-    # a31_target_encode, x37_feature_hash, a32_event_transitions) —
-    # plus any NEW r6 waves (EXT35+), so CORRECTNESS_r06 closes the
-    # cumulative driver-green gap to the full registry. Remaining
-    # window slots are filled by CORE/EXT queries (r1-r5 driver-green,
-    # cheap re-verification). Everything else sits below the window.
-    # Dicts preserve first-insert order, so the later full merges
-    # de-duplicate without moving the early positions.
-    return {
+    # FIRST 50 entries in insertion order. Round-7 rotation (r6
+    # verdict item 6): front the 50 LEAST-recently-driver-checked
+    # queries — computed as min(last window round) over
+    # CORRECTNESS_r01..r06, which lands on the r3/r4 blocks (CORE
+    # TPC-H rows, the x11-x20 training-data tier, scalar-function
+    # suites) — so the whole registry stays on a <=3-round
+    # re-verification cadence. The merge below keeps the historical
+    # wave order; _R7_FRONT reorders the final dict.
+    merged = {
         **EXT29_QUERIES,
         **EXT30_QUERIES,
         **EXT31_QUERIES,
@@ -141,6 +138,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT27_QUERIES,
         **EXT28_QUERIES,
     }
+    front = [n for n in _R7_FRONT if n in merged]
+    return {**{n: merged[n] for n in front}, **merged}
+
+
+# The 50 least-recently-driver-checked registry queries as of the r6
+# close (last seen in CORRECTNESS_r03/r04) — this round's window.
+_R7_FRONT = [
+    "a10_percentiles", "a11_cube_counts", "j5_interval_join",
+    "q10_returned_items", "q14_promo_revenue", "q16_supplier_cnt",
+    "q18_large_orders", "q19_disjunctive_revenue", "q22_idle_customers",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "x11_train_test_split", "x13_dup_clusters", "x14_chunk_documents",
+    "x15_pack_sequences", "x16_decontaminate", "x17_tfidf_terms",
+    "x18_vocab_top_tokens", "x19_stratified_sample", "x1_exact_dedup",
+    "x20_source_quota", "x2_minhash_lsh", "x2_ngram_jaccard",
+    "x2_ngram_jaccard_capped", "x4_simhash", "x5_signlsh_topk",
+    "a12_profile_customer", "a4_rolling_24h", "a5_change_codes",
+    "a6_rolling_extremes", "a9_count_distinct", "a_salted_agg",
+    "asof_join", "f17_backoff", "f_dates_json", "f_strings",
+    "j_salted_join", "p10_flatten_cast", "p4_filter_project",
+    "p6_p12_normalize", "p7_dropna", "pivot_counts",
+    "q17_below_avg_revenue", "q4_exists_priority", "q5_regional_revenue",
+    "rollup_totals", "sessionization", "set_except", "set_intersect",
+]
 
 
 def oracle_sql() -> dict[str, str]:
