@@ -40,6 +40,9 @@ from streaming_data_spark.queries import _t
 from streaming_data_spark.queries_ext9 import _EDGE_SQL
 
 MIN_PAIR_ORDERS = 2
+# ~2M parts x ~16B/row of (key, count) ~= 32 MB broadcast — the safe
+# ceiling for forcing the item-count side map-side in x56.
+PART_BROADCAST_CAP = 2_000_000
 
 
 def q_x56_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,15 +77,25 @@ def q_x56_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item_cnt = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # The item-count side is bounded by the part CATALOG, not the fact
+    # table — dim-sized at TPC-H shapes but it grows with the catalog
+    # at 100x. Gate the broadcast hint behind a cardinality check
+    # (bounded metadata-cheap count on the dimension): under the cap
+    # the hint saves two shuffles; over it, hint-free lets AQE decide
+    # from the runtime size instead of forcing an OOM-risk broadcast.
+    small_catalog = (
+        _t(spark, sf_dir, "part").count() <= PART_BROADCAST_CAP
+    )
+    _hint = F.broadcast if small_catalog else (lambda df: df)
     return (
         directed.join(
-            F.broadcast(item_cnt.select(
+            _hint(item_cnt.select(
                 F.col("l_partkey").alias("ant"), F.col("cnt").alias("cnt_ant")
             )),
             "ant",
         )
         .join(
-            F.broadcast(item_cnt.select(
+            _hint(item_cnt.select(
                 F.col("l_partkey").alias("cons"), F.col("cnt").alias("cnt_cons")
             )),
             "cons",
