@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext47 import EXT47_QUERIES
     from streaming_data_spark.queries_ext48 import EXT48_QUERIES
     from streaming_data_spark.queries_ext49 import EXT49_QUERIES
+    from streaming_data_spark.queries_ext50 import EXT50_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -108,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT47_QUERIES,
         **EXT48_QUERIES,
         **EXT49_QUERIES,
+        **EXT50_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -138,12 +140,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT27_QUERIES,
         **EXT28_QUERIES,
     }
-    front = [n for n in _R7_FRONT if n in merged]
+    front = [n for n in _R7_NEW + _R7_FRONT if n in merged]
     return {**{n: merged[n] for n in front}, **merged}
 
 
+# Queries ADDED in round 7 — never driver-checked, so they take
+# window slots ahead of the stale-recheck block below.
+_R7_NEW = [
+    "a42_time_to_convert", "a44_order_total_audit",
+    "x63_boilerplate_ngrams", "a46_interevent_gaps",
+    "x64_embedding_outliers",
+]
+
 # The 50 least-recently-driver-checked registry queries as of the r6
-# close (last seen in CORRECTNESS_r03/r04) — this round's window.
+# close (last seen in CORRECTNESS_r03/r04) — fill the remaining
+# window slots oldest-first.
 _R7_FRONT = [
     "a10_percentiles", "a11_cube_counts", "j5_interval_join",
     "q10_returned_items", "q14_promo_revenue", "q16_supplier_cnt",
@@ -216,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext47 import EXT47_ORACLES
     from streaming_data_spark.queries_ext48 import EXT48_ORACLES
     from streaming_data_spark.queries_ext49 import EXT49_ORACLES
+    from streaming_data_spark.queries_ext50 import EXT50_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -240,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT47_ORACLES,
         **EXT48_ORACLES,
         **EXT49_ORACLES,
+        **EXT50_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -1010,3 +1010,33 @@ def test_wave49_exchange_budgets(spark, sf_small):
     text = plans.explain_str(df)
     assert "SortMergeJoin" not in text, text
     assert "CartesianProduct" not in text, text
+
+
+def test_wave50_exchange_budgets(spark, sf_small):
+    """a42: two pushed-filter fact groupBys; the conversion join rides
+    AQE. a44: ONE lineitem groupBy; the order join broadcasts at test
+    scale and becomes a keyed SMJ past the 10MB crossover (the
+    measured 3.6x probe ratio is exactly that plan transition, linear
+    on both sides of it). x63: shingle df groupBy + boiler-marker join
+    + doc re-agg; the 1-row corpus count rides a broadcast NLJ
+    (sanctioned single-row shape, same as x56's n_orders). a46: one
+    keyed window pass + the |types| stats groupBy. x64: the centroid/
+    distance groupBys (x59's assignment shape) + the |labels|-row
+    stats broadcast back."""
+    import __spark_entry__ as entry
+
+    budgets = {
+        "a42_time_to_convert": 2,
+        "a44_order_total_audit": 1,
+        "x63_boilerplate_ngrams": 3,
+        "a46_interevent_gaps": 2,
+        "x64_embedding_outliers": 5,
+    }
+    qs = entry.queries()
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    for name in budgets:
+        text = plans.explain_str(qs[name](spark, sf_small))
+        assert "CartesianProduct" not in text, (name, text)
