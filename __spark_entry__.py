@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext48 import EXT48_QUERIES
     from streaming_data_spark.queries_ext49 import EXT49_QUERIES
     from streaming_data_spark.queries_ext50 import EXT50_QUERIES
+    from streaming_data_spark.queries_ext51 import EXT51_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT48_QUERIES,
         **EXT49_QUERIES,
         **EXT50_QUERIES,
+        **EXT51_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -150,6 +152,8 @@ _R7_NEW = [
     "a42_time_to_convert", "a44_order_total_audit",
     "x63_boilerplate_ngrams", "a46_interevent_gaps",
     "x64_embedding_outliers",
+    "a47_entry_bounce", "x66_ngram_novelty", "x67_lexical_richness",
+    "a49_event_trigrams", "x69_dedup_impact",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -228,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext48 import EXT48_ORACLES
     from streaming_data_spark.queries_ext49 import EXT49_ORACLES
     from streaming_data_spark.queries_ext50 import EXT50_ORACLES
+    from streaming_data_spark.queries_ext51 import EXT51_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -253,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT48_ORACLES,
         **EXT49_ORACLES,
         **EXT50_ORACLES,
+        **EXT51_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -1040,3 +1040,32 @@ def test_wave50_exchange_budgets(spark, sf_small):
     for name in budgets:
         text = plans.explain_str(qs[name](spark, sf_small))
         assert "CartesianProduct" not in text, (name, text)
+
+
+def test_wave51_exchange_budgets(spark, sf_small):
+    """a47: one keyed window partition + the session/entry groupBys
+    collapse onto the same user-keyed exchange; |types|-bounded final
+    agg. x66: shingle-keyed min + doc re-agg (the x63 shape). x67:
+    token-cell groupBy + doc re-agg. a49: one keyed window pass + the
+    |types|^3-bounded count, and the top-20 MUST compile to
+    TakeOrderedAndProject (never a global sort). x69: digest groupBy
+    + keyed join back + |sources|-bounded report."""
+    import __spark_entry__ as entry
+
+    budgets = {
+        "a47_entry_bounce": 2,
+        "x66_ngram_novelty": 2,
+        "x67_lexical_richness": 2,
+        "a49_event_trigrams": 2,
+        "x69_dedup_impact": 2,
+    }
+    qs = entry.queries()
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    text = plans.explain_str(qs["a49_event_trigrams"](spark, sf_small), "simple")
+    assert "TakeOrderedAndProject" in text, text
+    for name in budgets:
+        t = plans.explain_str(qs[name](spark, sf_small))
+        assert "CartesianProduct" not in t, (name, t)
