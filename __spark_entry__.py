@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext49 import EXT49_QUERIES
     from streaming_data_spark.queries_ext50 import EXT50_QUERIES
     from streaming_data_spark.queries_ext51 import EXT51_QUERIES
+    from streaming_data_spark.queries_ext52 import EXT52_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -112,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT49_QUERIES,
         **EXT50_QUERIES,
         **EXT51_QUERIES,
+        **EXT52_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -154,6 +156,8 @@ _R7_NEW = [
     "x64_embedding_outliers",
     "a47_entry_bounce", "x66_ngram_novelty", "x67_lexical_richness",
     "a49_event_trigrams", "x69_dedup_impact",
+    "x70_kcore", "x71_lsh_recall_eval", "a52_supplier_lead_time",
+    "x73_lang_confusion", "a53_dau_mau",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -233,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext49 import EXT49_ORACLES
     from streaming_data_spark.queries_ext50 import EXT50_ORACLES
     from streaming_data_spark.queries_ext51 import EXT51_ORACLES
+    from streaming_data_spark.queries_ext52 import EXT52_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -259,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT49_ORACLES,
         **EXT50_ORACLES,
         **EXT51_ORACLES,
+        **EXT52_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

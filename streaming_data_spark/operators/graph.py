@@ -100,3 +100,53 @@ def triangles(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFra
             F.col("c").alias("id_c"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """k-core peeling over an undirected pair graph: ``rounds``
+    iterations of "drop every node with degree < k, keep edges whose
+    endpoints both survive", then emit (id, degree) of the survivors
+    with their degree in the final peeled graph.
+
+    Completes the graph family (PageRank = centrality, triangles =
+    local clustering, CC = identity): coreness separates a densely
+    mirrored template cluster (high core) from chains of partial
+    copies (peeled away at k=2). Full k-core = peel to fixpoint; the
+    FIXED round count keeps the computation deterministic and lets
+    the DuckDB oracle unroll the identical rounds (the same contract
+    as pagerank's fixed iterations — a fixpoint loop is not portable
+    SQL). On the near-dup graphs this targets, 4 rounds reach the
+    2-core fixpoint in practice; callers needing certainty raise
+    ``rounds`` (each is one degree groupBy + two semi-joins on a
+    graph that only SHRINKS, localCheckpoint-truncated per round).
+    """
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        sym = e.select(F.col("a").alias("id")).union(
+            e.select(F.col("b").alias("id"))
+        )
+        deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+        survivors = deg.filter(F.col("deg") >= k).select("id")
+        e = (
+            e.join(survivors.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(survivors.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    sym = e.select(F.col("a").alias("id")).union(
+        e.select(F.col("b").alias("id"))
+    )
+    return sym.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))

@@ -1069,3 +1069,41 @@ def test_wave51_exchange_budgets(spark, sf_small):
     for name in budgets:
         t = plans.explain_str(qs[name](spark, sf_small))
         assert "CartesianProduct" not in t, (name, t)
+
+
+def test_wave52_exchange_budgets(spark, sf_small):
+    """x70: the peel rounds execute eagerly (localCheckpoint per
+    round); the final plan is one degree groupBy over the checkpointed
+    edge set. x71: the exact all-pairs side is the sanctioned bounded-
+    sample NLJ baseline; the full-outer pair merge sort-merges. a52:
+    fact-fact keyed join collapses onto the supplier agg's exchange.
+    x73: row-local scoring, one |langs|^2-bounded groupBy. a53: day
+    and month distinct-agg cascades."""
+    import __spark_entry__ as entry
+
+    budgets = {
+        "x70_kcore": 1,
+        "x71_lsh_recall_eval": 4,
+        "a52_supplier_lead_time": 1,
+        "x73_lang_confusion": 1,
+        "a53_dau_mau": 5,
+    }
+    qs = entry.queries()
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    for name in budgets:
+        t = plans.explain_str(qs[name](spark, sf_small))
+        assert "CartesianProduct" not in t, (name, t)
+
+
+def test_x71_sample_swap_invariant():
+    """The recall-eval oracle bounds the x7 bodies by swapping their
+    single FROM site onto the sampled CTE — if an x7 oracle edit adds
+    a second scan of embeddings, the swap silently diverges; pin the
+    invariant here."""
+    from streaming_data_spark.queries_ext4 import SQL_X7, SQL_X7_LSH
+
+    assert SQL_X7.count("FROM embeddings") == 1
+    assert SQL_X7_LSH.count("FROM embeddings") == 1
