@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext50 import EXT50_QUERIES
     from streaming_data_spark.queries_ext51 import EXT51_QUERIES
     from streaming_data_spark.queries_ext52 import EXT52_QUERIES
+    from streaming_data_spark.queries_ext53 import EXT53_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT50_QUERIES,
         **EXT51_QUERIES,
         **EXT52_QUERIES,
+        **EXT53_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -158,6 +160,8 @@ _R7_NEW = [
     "a49_event_trigrams", "x69_dedup_impact",
     "x70_kcore", "x71_lsh_recall_eval", "a52_supplier_lead_time",
     "x73_lang_confusion", "a53_dau_mau",
+    "x75_tfidf_topk_pairs", "x79_source_overlap", "a54_priority_sla",
+    "a58_daily_peak_hour",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -238,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext50 import EXT50_ORACLES
     from streaming_data_spark.queries_ext51 import EXT51_ORACLES
     from streaming_data_spark.queries_ext52 import EXT52_ORACLES
+    from streaming_data_spark.queries_ext53 import EXT53_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -265,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT50_ORACLES,
         **EXT51_ORACLES,
         **EXT52_ORACLES,
+        **EXT53_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

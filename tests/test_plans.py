@@ -1107,3 +1107,30 @@ def test_x71_sample_swap_invariant():
 
     assert SQL_X7.count("FROM embeddings") == 1
     assert SQL_X7_LSH.count("FROM embeddings") == 1
+
+
+def test_wave53_exchange_budgets(spark, sf_small):
+    """x75: the tf-idf weight table is materialized ONCE (it feeds
+    norms and both pair-join sides; unmaterialized the tf/df chains
+    replayed per consumer — 20 exchanges); the remaining 4 are the
+    dot groupBy, norm joins and the doc-keyed top-k window. x79: the
+    (source, shingle) distinct set likewise materialized once; 5 =
+    counts + pair join + count joins. a54: fact-fact join folded into
+    one |priorities|-bounded agg. a58: (day,hour) cells + day-keyed
+    ranking + totals join."""
+    import __spark_entry__ as entry
+
+    budgets = {
+        "x75_tfidf_topk_pairs": 4,
+        "x79_source_overlap": 5,
+        "a54_priority_sla": 1,
+        "a58_daily_peak_hour": 4,
+    }
+    qs = entry.queries()
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    for name in budgets:
+        t = plans.explain_str(qs[name](spark, sf_small))
+        assert "CartesianProduct" not in t, (name, t)
