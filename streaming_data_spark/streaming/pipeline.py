@@ -581,6 +581,79 @@ def streaming_session_rollup(
     )
 
 
+def dau_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Streaming daily-active-users — the continuous twin of a53's DAU
+    leg: per event-time window, the approximate distinct count of
+    ``user_col`` (exact distinct aggregation is unsupported in one
+    streaming pass; HLL++ keeps O(1/rsd^2) state per window and is
+    DETERMINISTIC for a given input set — register maxima are
+    order-independent, so the stream equals the batch
+    ``approx_count_distinct`` on the same rows, which the parity test
+    asserts). Emits (period_start, period_end, n_events, dau_est)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct(user_col, rsd).alias("dau_est"),
+        )
+        .select(
+            F.col("window.start").alias("period_start"),
+            F.col("window.end").alias("period_end"),
+            "n_events",
+            "dau_est",
+        )
+    )
+
+
+def entry_bounce_stream(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming per-session entry/bounce classification — the
+    continuous twin of a47_entry_bounce's session layer: native
+    ``session_window`` sessions carrying the session's ENTRY event
+    type (deterministic ``min_by`` over the (ts, seq) order — the
+    same tiebreak contract as the batch query) and a bounce flag
+    (single-event session). Feed a windowed rollup or the K9 alert
+    listeners downstream; the per-entry-type rate aggregation is a
+    second (batch or foreachBatch) step because chained streaming
+    aggregations over session windows are unsupported.
+
+    Scale: one shuffle on the session key; JVM-side state merged by
+    Spark's session-window machinery, watermark-bounded."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), key)
+        .agg(
+            F.min_by(
+                F.col(type_col), F.struct(F.col(ts_col), F.col(seq_col))
+            ).alias("entry_type"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key,
+            "entry_type",
+            "n_events",
+            (F.col("n_events") == 1).alias("bounce"),
+        )
+    )
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,

@@ -1753,3 +1753,99 @@ def test_holt_stream_matches_batch(spark, sf_small, tmp_path):
     }
     assert got == want
     assert len(got) == daily.count()
+
+
+def test_dau_stream_matches_batch_approx_distinct(
+    spark, sf_small, event_stream_dir
+):
+    """The streaming windowed DAU equals the batch
+    approx_count_distinct on the same 100 events — HLL++ register
+    maxima are insertion-order-independent, so the sketch estimate is
+    deterministic for a given input set regardless of micro-batch or
+    partition layout."""
+    stream = sp.normalize_stream(
+        sp.file_json_source(spark, event_stream_dir), PAYLOAD_SCHEMA
+    )
+    dau = sp.dau_stream(stream, window_duration="1 minute")
+    sp.run_to_completion(
+        dau.writeStream.format("memory").queryName("dauw")
+        .outputMode("complete")
+    )
+    got = spark.sql(
+        "SELECT period_start, period_end, n_events, dau_est FROM dauw"
+    )
+    batch = load_table(spark, sf_small, "events").limit(100)
+    want = (
+        batch.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", 0.02).alias("dau_est"),
+        )
+        .select(
+            F.col("w.start").alias("period_start"),
+            F.col("w.end").alias("period_end"),
+            "n_events",
+            "dau_est",
+        )
+    )
+    assert got.count() == want.count() and got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # and the estimate is sane vs the exact batch distinct
+    exact = dict(
+        batch.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count_distinct("user_id").alias("d"))
+        .select(F.col("w.start").alias("s"), "d").collect()
+    )
+    for r in got.collect():
+        assert abs(r["dau_est"] - exact[r["period_start"]]) <= max(
+            2, 0.1 * exact[r["period_start"]]
+        )
+
+
+def test_entry_bounce_stream_matches_batch_session_window(
+    spark, sf_small, event_stream_dir
+):
+    """The streaming session entry/bounce rows equal the identical
+    session_window + min_by aggregation on the static frame —
+    including the deterministic (ts, event_id) entry tiebreak and the
+    single-event bounce flag."""
+    stream = sp.normalize_stream(
+        sp.file_json_source(spark, event_stream_dir), PAYLOAD_SCHEMA
+    )
+    sessions = sp.entry_bounce_stream(stream, gap="2 hours")
+    sp.run_to_completion(
+        sessions.writeStream.format("memory").queryName("bouncew")
+        .outputMode("complete")
+    )
+    got = spark.sql(
+        "SELECT session_start, session_end, user_id, entry_type,"
+        " n_events, bounce FROM bouncew"
+    )
+    # batch side consumes the SAME JSON round-trip (the envelope
+    # serializes timestamps at millisecond precision, so comparing
+    # against the raw parquet micros would differ in the sub-ms tail)
+    batch = sp.normalize_stream(
+        spark.read.json(event_stream_dir), PAYLOAD_SCHEMA
+    )
+    want = (
+        batch.groupBy(F.session_window("ts", "2 hours"), "user_id")
+        .agg(
+            F.min_by("event_type", F.struct("ts", "event_id")).alias(
+                "entry_type"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "entry_type",
+            "n_events",
+            (F.col("n_events") == 1).alias("bounce"),
+        )
+    )
+    assert got.count() == want.count() and got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert got.filter(F.col("bounce")).count() == got.filter(
+        F.col("n_events") == 1
+    ).count()
