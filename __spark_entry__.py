@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext51 import EXT51_QUERIES
     from streaming_data_spark.queries_ext52 import EXT52_QUERIES
     from streaming_data_spark.queries_ext53 import EXT53_QUERIES
+    from streaming_data_spark.queries_ext54 import EXT54_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT51_QUERIES,
         **EXT52_QUERIES,
         **EXT53_QUERIES,
+        **EXT54_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -162,6 +164,8 @@ _R7_NEW = [
     "x73_lang_confusion", "a53_dau_mau",
     "x75_tfidf_topk_pairs", "x79_source_overlap", "a54_priority_sla",
     "a58_daily_peak_hour",
+    "j8_asof_forward", "x80_minhash_recall_eval", "a59_discount_waterfall",
+    "a60_return_cohort",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -243,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext51 import EXT51_ORACLES
     from streaming_data_spark.queries_ext52 import EXT52_ORACLES
     from streaming_data_spark.queries_ext53 import EXT53_ORACLES
+    from streaming_data_spark.queries_ext54 import EXT54_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -271,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT51_ORACLES,
         **EXT52_ORACLES,
         **EXT53_ORACLES,
+        **EXT54_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

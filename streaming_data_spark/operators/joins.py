@@ -114,6 +114,65 @@ def asof_join(
     return filled.filter(F.col("_side") == 1).drop("_side")
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: Sequence[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """[EXT] FORWARD as-of join: for each left row, attach the NEXT
+    right row (per ``key``) with ``right.ts >= left.ts`` — the
+    look-ahead mirror of :func:`asof_join` (pd.merge_asof
+    direction='forward'). Same union + window strategy, with
+    ``first(value, ignorenulls=True)`` over the FOLLOWING frame: one
+    shuffle on ``key``, no range probe, state bounded by the frame.
+
+    At equal timestamps the right row matches (>= is inclusive):
+    left rows order before right rows at the same ts so the current-
+    row-to-following frame sees them. ``tolerance_seconds`` drops
+    matches further ahead than the tolerance.
+    """
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}; rename first")
+    left_tagged = left
+    for c in value_cols:
+        left_tagged = left_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    left_tagged = left_tagged.withColumn("_side", F.lit(1))
+    right_tagged = right.select(key, ts, *value_cols)
+    for c in left.columns:
+        if c not in right_tagged.columns:
+            right_tagged = right_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    right_tagged = right_tagged.withColumn("_side", F.lit(0))
+    unioned = left_tagged.unionByName(right_tagged.select(*left_tagged.columns))
+
+    # left rows (side 1) sort BEFORE right rows (side 0) at the same
+    # timestamp via _side DESC, so the inclusive >= match is in-frame
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = unioned
+    for c in value_cols:
+        filled = filled.withColumn(c, F.first(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        right_ts = F.first(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True).over(w)
+        filled = filled.withColumn("_right_ts", right_ts)
+        for c in value_cols:
+            filled = filled.withColumn(
+                c,
+                F.when(
+                    F.col("_right_ts") <= F.col(ts) + F.expr(f"INTERVAL {tolerance_seconds} SECONDS"),
+                    F.col(c),
+                ),
+            )
+        filled = filled.drop("_right_ts")
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
 def interval_join(
     facts: DataFrame,
     intervals: DataFrame,

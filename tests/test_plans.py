@@ -1134,3 +1134,30 @@ def test_wave53_exchange_budgets(spark, sf_small):
     for name in budgets:
         t = plans.explain_str(qs[name](spark, sf_small))
         assert "CartesianProduct" not in t, (name, t)
+
+
+def test_wave54_exchange_budgets(spark, sf_small):
+    """j8: ONE keyed exchange (union + following-frame window, no
+    range probe). x80: two bounded pair tiers full-outer joined into
+    a 1-row agg (the exact side is the sanctioned ground-truth
+    baseline, bounded by the doc_id sample cap). a59/a60: one
+    fact-fact join folded into a years-/months-bounded agg."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    assert plans.shuffle_count(qs["j8_asof_forward"](spark, sf_small)) == 1
+    for name in ("a59_discount_waterfall", "a60_return_cohort"):
+        assert plans.shuffle_count(qs[name](spark, sf_small)) == 1, name
+    for name in ("j8_asof_forward", "x80_minhash_recall_eval",
+                 "a59_discount_waterfall", "a60_return_cohort"):
+        t = plans.explain_str(qs[name](spark, sf_small))
+        assert "CartesianProduct" not in t, (name, t)
+
+
+def test_x80_sample_swap_invariant():
+    """x80's oracle bounds both sub-oracles by swapping their single
+    FROM-documents site onto the sampled CTE — pin the single-site
+    invariant (same contract as x71's)."""
+    from streaming_data_spark.queries_ext import SQL_X2_MINHASH
+
+    assert SQL_X2_MINHASH.count("FROM documents") == 1

@@ -136,3 +136,28 @@ def test_skew_split_validate_rejects_mixed_flag_key(spark):
     )
     with pytest.raises(ValueError, match="not per-key consistent"):
         skew.skew_split_inner_join(left, mixed, ["k"], "hot", validate=True)
+
+
+def test_asof_forward_crafted_edges(spark):
+    """Forward as-of: equal-ts right rows MATCH (>= inclusive), the
+    nearest following row wins, and tolerance drops matches further
+    ahead — pinned on crafted rows where each case is unambiguous."""
+    from streaming_data_spark.operators.joins import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 00:00:10"), (2, "u", "2024-01-01 00:05:00"),
+         (3, "u", "2024-01-01 06:00:00")],
+        "id int, k string, ts_s string",
+    ).select("id", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:10", 1.0),   # equal-ts: matches id=1
+         ("u", "2024-01-01 00:30:00", 2.0),   # next for id=2
+         ("u", "2024-01-01 00:00:00", 9.0)],  # BEFORE id=1 - never forward
+        "k string, ts_s string, rv double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "rv")
+    out = asof_join_forward(
+        left, right, key="k", ts="ts", value_cols=["rv"],
+        tolerance_seconds=3600,
+    )
+    got = {r["id"]: r["rv"] for r in out.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: None}  # id=3: nothing within 1h ahead
