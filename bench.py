@@ -58,6 +58,15 @@ EXT_HEADLINE = (
     # round-6 late-wave representatives (drift monitors, vocab stats)
     "x48_psi_drift",
     "x51_bpe_pairs",
+    # round-7 representatives (quality-canonical dedup post-swap,
+    # semantic dedup post-fix, boilerplate shingles, sparse tf-idf
+    # pairs, k-core peeling, order-total audit)
+    "x41_canonical_by_quality",
+    "x59_semdedup",
+    "x63_boilerplate_ngrams",
+    "x75_tfidf_topk_pairs",
+    "x70_kcore",
+    "a44_order_total_audit",
 )
 
 
