@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext52 import EXT52_QUERIES
     from streaming_data_spark.queries_ext53 import EXT53_QUERIES
     from streaming_data_spark.queries_ext54 import EXT54_QUERIES
+    from streaming_data_spark.queries_ext55 import EXT55_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -118,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT52_QUERIES,
         **EXT53_QUERIES,
         **EXT54_QUERIES,
+        **EXT55_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -166,6 +168,8 @@ _R7_NEW = [
     "a58_daily_peak_hour",
     "j8_asof_forward", "x80_minhash_recall_eval", "a59_discount_waterfall",
     "a60_return_cohort",
+    "x81_chunk_dedup", "a61_revenue_gini", "x82_vocab_coverage",
+    "a64_burst_ratio",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -248,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext52 import EXT52_ORACLES
     from streaming_data_spark.queries_ext53 import EXT53_ORACLES
     from streaming_data_spark.queries_ext54 import EXT54_ORACLES
+    from streaming_data_spark.queries_ext55 import EXT55_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -277,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT52_ORACLES,
         **EXT53_ORACLES,
         **EXT54_ORACLES,
+        **EXT55_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -103,6 +103,8 @@ _SANCTIONED_GLOBAL_WINDOWS = {
     "a38_rfm_segments",  # 3 ntiles over the customer-grain aggregate (queries_ext45)
     "x54_auc",  # cumulative over the distinct-score histogram (queries_ext45)
     "x61_key_concentration",  # 2 rankings over the supplier-grain counts (queries_ext48)
+    "a61_revenue_gini",  # rank over the customer-grain revenue aggregate (queries_ext55)
+    "x82_vocab_coverage",  # rank over the bounded top-1000 vocab slice (queries_ext55)
 }
 
 
@@ -1161,3 +1163,27 @@ def test_x80_sample_swap_invariant():
     from streaming_data_spark.queries_ext import SQL_X2_MINHASH
 
     assert SQL_X2_MINHASH.count("FROM documents") == 1
+
+
+def test_wave55_exchange_budgets(spark, sf_small):
+    """x81: chunk explode + digest-keyed min + doc re-agg (the x66
+    shape at chunk grain). a61: customer-grain agg + the sanctioned
+    rank + 1-row final agg. x82: vocab groupBy compiles the top-1000
+    to TakeOrderedAndProject; the rank window touches only that
+    bounded slice. a64: (user, minute) cells folded into the
+    user-grain agg on one exchange chain."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        "x81_chunk_dedup": 2,
+        "a61_revenue_gini": 2,
+        "x82_vocab_coverage": 3,
+        "a64_burst_ratio": 2,
+    }
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    text = plans.explain_str(qs["x82_vocab_coverage"](spark, sf_small), "simple")
+    assert "TakeOrderedAndProject" in text, text
