@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext53 import EXT53_QUERIES
     from streaming_data_spark.queries_ext54 import EXT54_QUERIES
     from streaming_data_spark.queries_ext55 import EXT55_QUERIES
+    from streaming_data_spark.queries_ext56 import EXT56_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -120,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT53_QUERIES,
         **EXT54_QUERIES,
         **EXT55_QUERIES,
+        **EXT56_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -170,6 +172,8 @@ _R7_NEW = [
     "a60_return_cohort",
     "x81_chunk_dedup", "a61_revenue_gini", "x82_vocab_coverage",
     "a64_burst_ratio",
+    "a65_fulfillment_span", "a66_new_vs_returning", "a67_transition_latency",
+    "x86_dup_family_hist", "x87_embedding_norms",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -253,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext53 import EXT53_ORACLES
     from streaming_data_spark.queries_ext54 import EXT54_ORACLES
     from streaming_data_spark.queries_ext55 import EXT55_ORACLES
+    from streaming_data_spark.queries_ext56 import EXT56_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -283,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT53_ORACLES,
         **EXT54_ORACLES,
         **EXT55_ORACLES,
+        **EXT56_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -1187,3 +1187,30 @@ def test_wave55_exchange_budgets(spark, sf_small):
     assert got == budgets, got
     text = plans.explain_str(qs["x82_vocab_coverage"](spark, sf_small), "simple")
     assert "TakeOrderedAndProject" in text, text
+
+
+def test_wave56_exchange_budgets(spark, sf_small):
+    """a65: order-grain span groupBy + keyed orders join folded into
+    the priorities-bounded percentile agg (its x10 ratio 2.66 is the
+    a44-family broadcast->SMJ crossover on the orders side). a66:
+    day/user distinct + first-day groupBy + day re-agg. a67: one
+    user-keyed lead window + |types|^2 agg. x86: digest groupBy +
+    bounded histogram. x87: row-local norm fold into ONE
+    labels-bounded agg."""
+    import __spark_entry__ as entry
+
+    budgets = {
+        "a65_fulfillment_span": 2,
+        "a66_new_vs_returning": 3,
+        "a67_transition_latency": 2,
+        "x86_dup_family_hist": 2,
+        "x87_embedding_norms": 1,
+    }
+    qs = entry.queries()
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    for name in budgets:
+        t = plans.explain_str(qs[name](spark, sf_small))
+        assert "CartesianProduct" not in t, (name, t)
