@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext54 import EXT54_QUERIES
     from streaming_data_spark.queries_ext55 import EXT55_QUERIES
     from streaming_data_spark.queries_ext56 import EXT56_QUERIES
+    from streaming_data_spark.queries_ext57 import EXT57_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -122,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT54_QUERIES,
         **EXT55_QUERIES,
         **EXT56_QUERIES,
+        **EXT57_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -174,6 +176,7 @@ _R7_NEW = [
     "a64_burst_ratio",
     "a65_fulfillment_span", "a66_new_vs_returning", "a67_transition_latency",
     "x86_dup_family_hist", "x87_embedding_norms",
+    "a68_hourly_regression", "x88_ols_normal_eq", "x89_split_leakage",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -258,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext54 import EXT54_ORACLES
     from streaming_data_spark.queries_ext55 import EXT55_ORACLES
     from streaming_data_spark.queries_ext56 import EXT56_ORACLES
+    from streaming_data_spark.queries_ext57 import EXT57_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -289,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT54_ORACLES,
         **EXT55_ORACLES,
         **EXT56_ORACLES,
+        **EXT57_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -1214,3 +1214,23 @@ def test_wave56_exchange_budgets(spark, sf_small):
     for name in budgets:
         t = plans.explain_str(qs[name](spark, sf_small))
         assert "CartesianProduct" not in t, (name, t)
+
+
+def test_wave57_exchange_budgets(spark, sf_small):
+    """a68/x88: ONE map-side-combinable aggregation each — the whole
+    regression is a single fact pass (normal equations + Cramer as
+    column expressions, no iteration, no driver algebra). x89: the
+    prefix pair tier (pair-gen-dominated at x10, the x41/x13 family)
+    + two doc-keyed split joins + the 1-row stats aggs."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        "a68_hourly_regression": 1,
+        "x88_ols_normal_eq": 1,
+        "x89_split_leakage": 3,
+    }
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
