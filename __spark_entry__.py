@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext55 import EXT55_QUERIES
     from streaming_data_spark.queries_ext56 import EXT56_QUERIES
     from streaming_data_spark.queries_ext57 import EXT57_QUERIES
+    from streaming_data_spark.queries_ext58 import EXT58_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -124,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT55_QUERIES,
         **EXT56_QUERIES,
         **EXT57_QUERIES,
+        **EXT58_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -177,6 +179,8 @@ _R7_NEW = [
     "a65_fulfillment_span", "a66_new_vs_returning", "a67_transition_latency",
     "x86_dup_family_hist", "x87_embedding_norms",
     "a68_hourly_regression", "x88_ols_normal_eq", "x89_split_leakage",
+    "x90_ivf_recall_eval", "a69_seasonality_strength",
+    "a70_ltv_cohort_triangle", "x91_threshold_sweep",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -262,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext55 import EXT55_ORACLES
     from streaming_data_spark.queries_ext56 import EXT56_ORACLES
     from streaming_data_spark.queries_ext57 import EXT57_ORACLES
+    from streaming_data_spark.queries_ext58 import EXT58_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -294,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT55_ORACLES,
         **EXT56_ORACLES,
         **EXT57_ORACLES,
+        **EXT58_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -1234,3 +1234,27 @@ def test_wave57_exchange_budgets(spark, sf_small):
         name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
     }
     assert got == budgets, got
+
+
+def test_wave58_exchange_budgets(spark, sf_small):
+    """x90: exact and IVF top-k plans (both bounded-probe broadcasts)
+    joined on (query, neighbor) + the recall aggs. a69: (type, hour)
+    cells folded into the types-bounded rollup. a70: customer-grain
+    first-order groupBy + keyed join + months^2 matrix. x91: one
+    prefix pair pass on the bounded tuning sample + the 3-row sweep."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        "x90_ivf_recall_eval": 6,
+        "a69_seasonality_strength": 2,
+        "a70_ltv_cohort_triangle": 3,
+        "x91_threshold_sweep": 9,
+    }
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    for name in budgets:
+        t = plans.explain_str(qs[name](spark, sf_small))
+        assert "CartesianProduct" not in t, (name, t)
