@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext56 import EXT56_QUERIES
     from streaming_data_spark.queries_ext57 import EXT57_QUERIES
     from streaming_data_spark.queries_ext58 import EXT58_QUERIES
+    from streaming_data_spark.queries_ext59 import EXT59_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -126,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT56_QUERIES,
         **EXT57_QUERIES,
         **EXT58_QUERIES,
+        **EXT59_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -181,6 +183,8 @@ _R7_NEW = [
     "a68_hourly_regression", "x88_ols_normal_eq", "x89_split_leakage",
     "x90_ivf_recall_eval", "a69_seasonality_strength",
     "a70_ltv_cohort_triangle", "x91_threshold_sweep",
+    "x92_dup_clustering_coeff", "a71_revenue_pareto",
+    "a74_repeat_purchase_gap",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -267,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext56 import EXT56_ORACLES
     from streaming_data_spark.queries_ext57 import EXT57_ORACLES
     from streaming_data_spark.queries_ext58 import EXT58_ORACLES
+    from streaming_data_spark.queries_ext59 import EXT59_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -300,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT56_ORACLES,
         **EXT57_ORACLES,
         **EXT58_ORACLES,
+        **EXT59_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

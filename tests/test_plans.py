@@ -105,6 +105,7 @@ _SANCTIONED_GLOBAL_WINDOWS = {
     "x61_key_concentration",  # 2 rankings over the supplier-grain counts (queries_ext48)
     "a61_revenue_gini",  # rank over the customer-grain revenue aggregate (queries_ext55)
     "x82_vocab_coverage",  # rank over the bounded top-1000 vocab slice (queries_ext55)
+    "a71_revenue_pareto",  # cumulative over the customer-grain revenue aggregate (queries_ext59)
 }
 
 
@@ -1258,3 +1259,23 @@ def test_wave58_exchange_budgets(spark, sf_small):
     for name in budgets:
         t = plans.explain_str(qs[name](spark, sf_small))
         assert "CartesianProduct" not in t, (name, t)
+
+
+def test_wave59_exchange_budgets(spark, sf_small):
+    """x92: one prefix pair pass materialized once + degree groupBy +
+    the x57 wedge joins + 1-row rollup (pair-gen/wedge-dominated at
+    x10, the x57/x41 family). a71: customer-grain agg + the
+    sanctioned cumulative + 3-row marks. a74: customer-keyed lag
+    window folded into the 1-row percentile agg."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        "x92_dup_clustering_coeff": 8,
+        "a71_revenue_pareto": 4,
+        "a74_repeat_purchase_gap": 2,
+    }
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
