@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext57 import EXT57_QUERIES
     from streaming_data_spark.queries_ext58 import EXT58_QUERIES
     from streaming_data_spark.queries_ext59 import EXT59_QUERIES
+    from streaming_data_spark.queries_ext60 import EXT60_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -128,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT57_QUERIES,
         **EXT58_QUERIES,
         **EXT59_QUERIES,
+        **EXT60_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -185,6 +187,8 @@ _R7_NEW = [
     "a70_ltv_cohort_triangle", "x91_threshold_sweep",
     "x92_dup_clustering_coeff", "a71_revenue_pareto",
     "a74_repeat_purchase_gap",
+    "a75_markov_accuracy", "a76_capped_balance", "x93_readability",
+    "x94_spearman_supplier", "x95_cramers_v",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -272,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext57 import EXT57_ORACLES
     from streaming_data_spark.queries_ext58 import EXT58_ORACLES
     from streaming_data_spark.queries_ext59 import EXT59_ORACLES
+    from streaming_data_spark.queries_ext60 import EXT60_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -306,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT57_ORACLES,
         **EXT58_ORACLES,
         **EXT59_ORACLES,
+        **EXT60_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -24,7 +24,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 
 def daily_closes(
@@ -451,5 +456,71 @@ def holt(
         daily.select(*cols)
         .repartition(key)
         .sortWithinPartitions(key, day_col)
+        .mapInPandas(_fold_partition, schema=out_schema)
+    )
+
+
+def clamped_balance(
+    deltas: DataFrame,
+    key: str = "l_suppkey",
+    seq_col: str = "month",
+    delta_col: str = "delta",
+    start: float = 250.0,
+    cap: float = 500.0,
+) -> DataFrame:
+    """Capped running-balance ledger per key: fold
+    ``bal_t = min(cap, max(0, bal_{t-1} + delta_t))`` over the key's
+    seq order, with ``bal_0`` seeded from ``start + delta_1``. Emits
+    every input row plus ``balance`` and a ``clamp`` flag (-1 the step
+    hit the floor, +1 the ceiling, 0 in range) — the inventory /
+    wallet / quota simulation a prefix-sum window cannot express
+    because clamping destroys the prefix structure.
+
+    Same execution shape as ``ewma``: ONE Arrow transfer per
+    key-sorted partition (``mapInPandas`` with fold state carried
+    across record batches), never per-key ``applyInPandas``. When the
+    deltas sit on an integer grid (whole-unit quantities), every
+    add/clamp is IEEE-exact, so a recursive-CTE oracle repeating the
+    identical op order reproduces the fold bit-for-bit.
+
+    Reference parity: the reference keeps running stock levels in
+    Postgres application code (upserts per event); this is the
+    engine-side, partition-parallel form.
+    """
+    cap_f, start_f = float(cap), float(start)
+    cols = [f.name for f in deltas.schema.fields]
+    out_schema = StructType(
+        list(deltas.schema.fields)
+        + [StructField("balance", DoubleType()),
+           StructField("clamp", IntegerType())]
+    )
+
+    def _fold_partition(pdfs):
+        cur = object()
+        bal = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            bals, clamps = [], []
+            for k_val, d in zip(pdf[key], pdf[delta_col]):
+                prev = start_f if k_val != cur else bal
+                cur = k_val
+                raw = prev + float(d)
+                if raw < 0.0:
+                    bal, flag = 0.0, -1
+                elif raw > cap_f:
+                    bal, flag = cap_f, 1
+                else:
+                    bal, flag = raw, 0
+                bals.append(bal)
+                clamps.append(flag)
+            pdf = pdf.copy()
+            pdf["balance"], pdf["clamp"] = bals, clamps
+            yield pdf[cols + ["balance", "clamp"]]
+
+    return (
+        deltas.select(*cols)
+        .repartition(key)
+        .sortWithinPartitions(key, seq_col)
         .mapInPandas(_fold_partition, schema=out_schema)
     )

@@ -1279,3 +1279,36 @@ def test_wave59_exchange_budgets(spark, sf_small):
         name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
     }
     assert got == budgets, got
+
+
+def test_wave60_exchange_budgets(spark, sf_small):
+    """a75: exactly TWO fact-scale exchanges (the per-user lead
+    window + the (is_train,cur,nxt) groupBy); every other exchange
+    sits on event-vocabulary-bounded tables (model/score/cutoff
+    branches). a76: fact-scale monthly groupBy + the fold's keyed
+    repartition + supplier-grain agg. x93: ONE map-side pass — array
+    higher-order funcs keep it explode-free. x94: supplier-grain agg
+    + the two sanctioned global row_numbers. x95: cells groupBy, then
+    dimension-bounded margins/joins only."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        "a75_markov_accuracy": 12,
+        "a76_capped_balance": 3,
+        "x93_readability": 1,
+        "x94_spearman_supplier": 2,
+        "x95_cramers_v": 9,
+    }
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    for name in ("x93_readability", "a76_capped_balance"):
+        t = plans.explain_str(qs[name](spark, sf_small))
+        assert "CartesianProduct" not in t, (name, t)
+        assert "BroadcastNestedLoopJoin" not in t, (name, t)
+    # x93 must stay explode-free: the readability counters ride array
+    # expressions inside the scan project, not a generator
+    t93 = plans.explain_str(qs["x93_readability"](spark, sf_small))
+    assert "Generate" not in t93, t93
