@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext58 import EXT58_QUERIES
     from streaming_data_spark.queries_ext59 import EXT59_QUERIES
     from streaming_data_spark.queries_ext60 import EXT60_QUERIES
+    from streaming_data_spark.queries_ext61 import EXT61_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -130,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT58_QUERIES,
         **EXT59_QUERIES,
         **EXT60_QUERIES,
+        **EXT61_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -189,6 +191,7 @@ _R7_NEW = [
     "a74_repeat_purchase_gap",
     "a75_markov_accuracy", "a76_capped_balance", "x93_readability",
     "x94_spearman_supplier", "x95_cramers_v",
+    "x96_adamic_adar", "x97_degree_assortativity", "a78_kaplan_meier",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -277,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext58 import EXT58_ORACLES
     from streaming_data_spark.queries_ext59 import EXT59_ORACLES
     from streaming_data_spark.queries_ext60 import EXT60_ORACLES
+    from streaming_data_spark.queries_ext61 import EXT61_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -312,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT58_ORACLES,
         **EXT59_ORACLES,
         **EXT60_ORACLES,
+        **EXT61_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -106,6 +106,8 @@ _SANCTIONED_GLOBAL_WINDOWS = {
     "a61_revenue_gini",  # rank over the customer-grain revenue aggregate (queries_ext55)
     "x82_vocab_coverage",  # rank over the bounded top-1000 vocab slice (queries_ext55)
     "a71_revenue_pareto",  # cumulative over the customer-grain revenue aggregate (queries_ext59)
+    "a78_kaplan_meier",  # cumulative over the lifetime-grain (≤ calendar-days) KM table (queries_ext61)
+    "x94_spearman_supplier",  # 2 rankings over the supplier-grain aggregate (queries_ext60)
 }
 
 
@@ -1312,3 +1314,29 @@ def test_wave60_exchange_budgets(spark, sf_small):
     # expressions inside the scan project, not a generator
     t93 = plans.explain_str(qs["x93_readability"](spark, sf_small))
     assert "Generate" not in t93, t93
+
+
+def test_wave61_exchange_budgets(spark, sf_small):
+    """x96: prefix pair-gen materialized once + degree groupBy + ONE
+    wedge self-join grouped to candidate pairs + anti-join + global
+    top-k as TakeOrderedAndProject (never a global sort). x97: same
+    pair-gen + degree groupBy + two keyed endpoint joins folded into
+    a 1-row integer agg. a78: customer-grain agg + lifetime-grain
+    counts + the sanctioned cumulative over that bounded table."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        "x96_adamic_adar": 6,
+        "x97_degree_assortativity": 5,
+        "a78_kaplan_meier": 8,
+    }
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    t96 = plans.explain_str(qs["x96_adamic_adar"](spark, sf_small))
+    assert "TakeOrderedAndProject" in t96, t96
+    for name in budgets:
+        t = plans.explain_str(qs[name](spark, sf_small))
+        assert "CartesianProduct" not in t, (name, t)
