@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext59 import EXT59_QUERIES
     from streaming_data_spark.queries_ext60 import EXT60_QUERIES
     from streaming_data_spark.queries_ext61 import EXT61_QUERIES
+    from streaming_data_spark.queries_ext62 import EXT62_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT59_QUERIES,
         **EXT60_QUERIES,
         **EXT61_QUERIES,
+        **EXT62_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -192,6 +194,7 @@ _R7_NEW = [
     "a75_markov_accuracy", "a76_capped_balance", "x93_readability",
     "x94_spearman_supplier", "x95_cramers_v",
     "x96_adamic_adar", "x97_degree_assortativity", "a78_kaplan_meier",
+    "x98_containment_pairs", "x99_rrf_fusion", "a77_open_order_backlog",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -281,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext59 import EXT59_ORACLES
     from streaming_data_spark.queries_ext60 import EXT60_ORACLES
     from streaming_data_spark.queries_ext61 import EXT61_ORACLES
+    from streaming_data_spark.queries_ext62 import EXT62_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -317,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT59_ORACLES,
         **EXT60_ORACLES,
         **EXT61_ORACLES,
+        **EXT62_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

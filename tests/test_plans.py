@@ -107,6 +107,7 @@ _SANCTIONED_GLOBAL_WINDOWS = {
     "x82_vocab_coverage",  # rank over the bounded top-1000 vocab slice (queries_ext55)
     "a71_revenue_pareto",  # cumulative over the customer-grain revenue aggregate (queries_ext59)
     "a78_kaplan_meier",  # cumulative over the lifetime-grain (≤ calendar-days) KM table (queries_ext61)
+    "a77_open_order_backlog",  # cumulative over the day-grain (≤ calendar-days) delta table (queries_ext62)
     "x94_spearman_supplier",  # 2 rankings over the supplier-grain aggregate (queries_ext60)
 }
 
@@ -1340,3 +1341,31 @@ def test_wave61_exchange_budgets(spark, sf_small):
     for name in budgets:
         t = plans.explain_str(qs[name](spark, sf_small))
         assert "CartesianProduct" not in t, (name, t)
+
+
+def test_wave62_exchange_budgets(spark, sf_small):
+    """x98: one-sided prefix candidate join + exact-verify joins ride
+    the x2-prefix family exchange shape. x99: both query sides are
+    3-row broadcasts (token overlap join + cosine
+    BroadcastNestedLoop), per-query top-k windows, k-bounded RRF
+    full-outer. a77: one fact-fact keyed join + day-grain delta agg +
+    the sanctioned cumulative."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        "x98_containment_pairs": 5,
+        "x99_rrf_fusion": 8,
+        "a77_open_order_backlog": 4,
+    }
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    for name in budgets:
+        t = plans.explain_str(qs[name](spark, sf_small))
+        assert "CartesianProduct" not in t, (name, t)
+    # the dense side of the fusion must be the 3-query broadcast loop,
+    # never a shuffled join
+    t99 = plans.explain_str(qs["x99_rrf_fusion"](spark, sf_small))
+    assert "BroadcastNestedLoop" in t99, t99
