@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext60 import EXT60_QUERIES
     from streaming_data_spark.queries_ext61 import EXT61_QUERIES
     from streaming_data_spark.queries_ext62 import EXT62_QUERIES
+    from streaming_data_spark.queries_ext63 import EXT63_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT60_QUERIES,
         **EXT61_QUERIES,
         **EXT62_QUERIES,
+        **EXT63_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -195,6 +197,7 @@ _R7_NEW = [
     "x94_spearman_supplier", "x95_cramers_v",
     "x96_adamic_adar", "x97_degree_assortativity", "a78_kaplan_meier",
     "x98_containment_pairs", "x99_rrf_fusion", "a77_open_order_backlog",
+    "x100_kmv_distinct", "x101_bloom_filter_eval", "a80_holt_winters",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -285,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext60 import EXT60_ORACLES
     from streaming_data_spark.queries_ext61 import EXT61_ORACLES
     from streaming_data_spark.queries_ext62 import EXT62_ORACLES
+    from streaming_data_spark.queries_ext63 import EXT63_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -322,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT60_ORACLES,
         **EXT61_ORACLES,
         **EXT62_ORACLES,
+        **EXT63_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -1369,3 +1369,30 @@ def test_wave62_exchange_budgets(spark, sf_small):
     # never a shuffled join
     t99 = plans.explain_str(qs["x99_rrf_fusion"](spark, sf_small))
     assert "BroadcastNestedLoop" in t99, t99
+
+
+def test_wave63_exchange_budgets(spark, sf_small):
+    """x100: ONE scan cascade — distinct pairs, (type,salt) prune
+    window, type re-rank window, types-bounded agg; h_k is the max
+    over the global top-K (join-free). x101: the bit table is
+    ≤m-rows broadcast by construction; probes ride one distinct +
+    posexplode + broadcast join + keyed agg. a80: fact rows collapse
+    to the day-grain series before the single-partition fold (the
+    a37/a76 sanctioned fold shape, not a Window)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        "x100_kmv_distinct": 3,
+        "x101_bloom_filter_eval": 5,
+        "a80_holt_winters": 2,
+    }
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    for name in budgets:
+        t = plans.explain_str(qs[name](spark, sf_small))
+        assert "CartesianProduct" not in t, (name, t)
+    t101 = plans.explain_str(qs["x101_bloom_filter_eval"](spark, sf_small))
+    assert "BroadcastHashJoin" in t101, t101
