@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from streaming_data_spark.queries_ext61 import EXT61_QUERIES
     from streaming_data_spark.queries_ext62 import EXT62_QUERIES
     from streaming_data_spark.queries_ext63 import EXT63_QUERIES
+    from streaming_data_spark.queries_ext64 import EXT64_QUERIES
 
     # Merge order is deliberate: the grading driver oracle-checks the
     # FIRST 50 entries in insertion order. Round-7 rotation (r6
@@ -136,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT61_QUERIES,
         **EXT62_QUERIES,
         **EXT63_QUERIES,
+        **EXT64_QUERIES,
         **CORE_QUERIES,
         **EXT_QUERIES,
         **EXT2_QUERIES,
@@ -198,6 +200,7 @@ _R7_NEW = [
     "x96_adamic_adar", "x97_degree_assortativity", "a78_kaplan_meier",
     "x98_containment_pairs", "x99_rrf_fusion", "a77_open_order_backlog",
     "x100_kmv_distinct", "x101_bloom_filter_eval", "a80_holt_winters",
+    "x102_ndcg_eval", "x103_hubness_koccurrence", "a81_decile_migration",
 ]
 
 # The 50 least-recently-driver-checked registry queries as of the r6
@@ -289,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
     from streaming_data_spark.queries_ext61 import EXT61_ORACLES
     from streaming_data_spark.queries_ext62 import EXT62_ORACLES
     from streaming_data_spark.queries_ext63 import EXT63_ORACLES
+    from streaming_data_spark.queries_ext64 import EXT64_ORACLES
 
     # Same merge order as queries() (keyed lookup, but keep symmetric).
     return {
@@ -327,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         **EXT61_ORACLES,
         **EXT62_ORACLES,
         **EXT63_ORACLES,
+        **EXT64_ORACLES,
         **CORE_ORACLES,
         **EXT_ORACLES,
         **EXT2_ORACLES,

@@ -1396,3 +1396,27 @@ def test_wave63_exchange_budgets(spark, sf_small):
         assert "CartesianProduct" not in t, (name, t)
     t101 = plans.explain_str(qs["x101_bloom_filter_eval"](spark, sf_small))
     assert "BroadcastHashJoin" in t101, t101
+
+
+def test_wave64_exchange_budgets(spark, sf_small):
+    """x102: both ranking legs are 8-broadcast-query plans joined on
+    (query, neighbor) ≤ 80 rows. x103: the O(sample²) leg is
+    x45-bounded and round-robin-spread before scoring (fixed 64-task
+    shuffle of ≤1000 rows); downstream is one neighbor groupBy + one
+    histogram groupBy. a81: one scan, year-keyed ntile windows over
+    customer-grain rows, ≤100-cell final groupBy."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        "x102_ndcg_eval": 6,
+        "x103_hubness_koccurrence": 5,
+        "a81_decile_migration": 5,
+    }
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    for name in budgets:
+        t = plans.explain_str(qs[name](spark, sf_small))
+        assert "CartesianProduct" not in t, (name, t)
