@@ -168,45 +168,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT27_QUERIES,
         **EXT28_QUERIES,
     }
-    front = [n for n in _R7_NEW + _R7_FRONT if n in merged]
+    front = [n for n in _R8_WINDOW + _R8_TAIL if n in merged]
     return {**{n: merged[n] for n in front}, **merged}
 
 
-# Queries ADDED in round 7 — never driver-checked, so they take
-# window slots ahead of the stale-recheck block below.
-_R7_NEW = [
-    "a42_time_to_convert", "a44_order_total_audit",
-    "x63_boilerplate_ngrams", "a46_interevent_gaps",
-    "x64_embedding_outliers",
-    "a47_entry_bounce", "x66_ngram_novelty", "x67_lexical_richness",
-    "a49_event_trigrams", "x69_dedup_impact",
-    "x70_kcore", "x71_lsh_recall_eval", "a52_supplier_lead_time",
-    "x73_lang_confusion", "a53_dau_mau",
-    "x75_tfidf_topk_pairs", "x79_source_overlap", "a54_priority_sla",
-    "a58_daily_peak_hour",
-    "j8_asof_forward", "x80_minhash_recall_eval", "a59_discount_waterfall",
-    "a60_return_cohort",
-    "x81_chunk_dedup", "a61_revenue_gini", "x82_vocab_coverage",
-    "a64_burst_ratio",
-    "a65_fulfillment_span", "a66_new_vs_returning", "a67_transition_latency",
-    "x86_dup_family_hist", "x87_embedding_norms",
-    "a68_hourly_regression", "x88_ols_normal_eq", "x89_split_leakage",
-    "x90_ivf_recall_eval", "a69_seasonality_strength",
-    "a70_ltv_cohort_triangle", "x91_threshold_sweep",
-    "x92_dup_clustering_coeff", "a71_revenue_pareto",
-    "a74_repeat_purchase_gap",
-    "a75_markov_accuracy", "a76_capped_balance", "x93_readability",
-    "x94_spearman_supplier", "x95_cramers_v",
-    "x96_adamic_adar", "x97_degree_assortativity", "a78_kaplan_meier",
+# Round-8 driver window (the grading driver oracle-checks the FIRST 50
+# entries in insertion order). Per the r7 verdict, the whole window is
+# spent on the verification backlog, not on new queries:
+#   (a) the 13 r7 driver-red queries — all one defect, un-CAST integer
+#       sum() in the DuckDB oracle binding to HUGEINT (values were
+#       exact); the oracles now CAST and must show green driver rows;
+#   (b) the 9 wave-62..64 queries that landed after the r7 window
+#       froze and have never been driver-checked;
+#   (c) 28 slots from the stale block (last driver-checked r3/r4),
+#       oldest-first.
+_R8_WINDOW = [
+    # (a) the 13 HUGEINT-oracle fixes
+    "a47_entry_bounce", "x67_lexical_richness", "x69_dedup_impact",
+    "x71_lsh_recall_eval", "a54_priority_sla", "a58_daily_peak_hour",
+    "x80_minhash_recall_eval", "a60_return_cohort", "x82_vocab_coverage",
+    "a66_new_vs_returning", "x86_dup_family_hist", "x89_split_leakage",
+    "x91_threshold_sweep",
+    # (b) never driver-checked (waves 62-64)
     "x98_containment_pairs", "x99_rrf_fusion", "a77_open_order_backlog",
     "x100_kmv_distinct", "x101_bloom_filter_eval", "a80_holt_winters",
     "x102_ndcg_eval", "x103_hubness_koccurrence", "a81_decile_migration",
-]
-
-# The 50 least-recently-driver-checked registry queries as of the r6
-# close (last seen in CORRECTNESS_r03/r04) — fill the remaining
-# window slots oldest-first.
-_R7_FRONT = [
+    # (c) stale r3/r4 block, oldest-first (first 28 of the 50)
     "a10_percentiles", "a11_cube_counts", "j5_interval_join",
     "q10_returned_items", "q14_promo_revenue", "q16_supplier_cnt",
     "q18_large_orders", "q19_disjunctive_revenue", "q22_idle_customers",
@@ -216,7 +203,13 @@ _R7_FRONT = [
     "x18_vocab_top_tokens", "x19_stratified_sample", "x1_exact_dedup",
     "x20_source_quota", "x2_minhash_lsh", "x2_ngram_jaccard",
     "x2_ngram_jaccard_capped", "x4_simhash", "x5_signlsh_topk",
-    "a12_profile_customer", "a4_rolling_24h", "a5_change_codes",
+    "a12_profile_customer",
+]
+
+# The rest of the stale r3/r4 block — queued directly behind the
+# window so the r9 rotation starts here (oldest-first invariant).
+_R8_TAIL = [
+    "a4_rolling_24h", "a5_change_codes",
     "a6_rolling_extremes", "a9_count_distinct", "a_salted_agg",
     "asof_join", "f17_backoff", "f_dates_json", "f_strings",
     "j_salted_join", "p10_flatten_cast", "p4_filter_project",

@@ -168,6 +168,15 @@ def main() -> None:
         f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
 
+    # Per-query baseline re-pins (r7 verdict item 5). x2's r01 number
+    # (0.926s) timed a run against signatures leaked into the
+    # block-manager cache (persist bug fixed in r2) — an unreachable
+    # target that made the guard emit a permanent JIT-noise note
+    # instead of catching real regressions. Re-pinned to the measured
+    # in-session steady state (1.3-1.5s across r2-r7; min-of-5 above
+    # already absorbs the ~6s first-run codegen/JIT outlier).
+    BASE_OVERRIDES = {"x2_minhash_lsh": 1.5}
+
     def _flag(base_section: dict, now: dict) -> dict:
         # 1.3x relative AND >=0.25s absolute: sub-second queries swing
         # +-0.15s run-to-run on a shared box; a pure ratio threshold
@@ -183,23 +192,11 @@ def main() -> None:
             with open(os.path.join(here, prior[0])) as fh:
                 base = json.load(fh).get("parsed", {})
             if base.get("sf") == sf:
-                regressions = _flag(base.get("queries", {}), timings)
+                base_q = {**base.get("queries", {}), **BASE_OVERRIDES}
+                regressions = _flag(base_q, timings)
                 payload["baseline_round"] = prior[0]
+                payload["baseline_overrides"] = BASE_OVERRIDES
                 payload["regressions"] = regressions
-                if "x2_minhash_lsh" in regressions:
-                    # r01's 0.926s timed a SECOND run against signatures
-                    # leaked into the block-manager cache (the persist
-                    # bug fixed in r2); today's number is honest-cold.
-                    # Cold r01 measured ~10s; r2 runs ~1.8s cold.
-                    payload["notes"] = {
-                        "x2_minhash_lsh": (
-                            "r01 baseline was cache-leak-warmed; cold r01 ~10s, r2 cold ~1.8s. "
-                            "High run variance: first execution in a fresh JVM pays ~6s of "
-                            "codegen/JIT for the 16-agg + band-join plan (measured "
-                            "[7.5, 1.7, 1.4, 1.5, 1.4, 1.3]s across 6 in-session runs); "
-                            "steady state is 1.3-1.5s"
-                        )
-                    }
         except (OSError, ValueError):
             pass
         try:

@@ -114,7 +114,8 @@ WITH flagged AS (
 )
 SELECT entry_type,
        count(*) AS n_sessions,
-       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
        round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
              / count(*), 6) AS bounce_rate
 FROM per_session
@@ -208,7 +209,7 @@ WITH tok AS (
   SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
 )
 SELECT doc_id,
-       sum(c) AS n_tokens,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
        count(*) AS n_distinct,
        round(count(*) * 1.0 / sum(c), 6) AS ttr,
        round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / sum(c), 6)
@@ -295,7 +296,7 @@ WITH tagged AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dups,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
        round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
          AS dup_frac,
        round(avg(CASE WHEN NOT is_dup THEN n_chars END), 6) AS avg_chars_kept,

@@ -51,8 +51,8 @@ def q_x70_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, degree): nodes surviving 4 rounds of 2-core peeling on the
     document near-dup graph, with their final peeled degree."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs_prefix(
-        docs, "doc_id", "text", n=3, threshold=0.8
+    pairs = dedup.ngram_jaccard_pairs_prefix_shared(
+        docs, "doc_id", "text", n=3, threshold=0.8, cache_token=sf_dir
     )
     return graph.kcore_peel(pairs, k=KCORE_K, rounds=KCORE_ROUNDS)
 
@@ -149,9 +149,10 @@ j AS (
          (ls.id_a IS NOT NULL) AS in_ls
   FROM ex FULL OUTER JOIN ls USING (id_a, id_b)
 )
-SELECT sum(CASE WHEN in_ex THEN 1 ELSE 0 END) AS n_exact,
-       sum(CASE WHEN in_ls THEN 1 ELSE 0 END) AS n_lsh,
-       sum(CASE WHEN in_ex AND in_ls THEN 1 ELSE 0 END) AS n_common,
+SELECT CAST(sum(CASE WHEN in_ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN in_ls THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+       CAST(sum(CASE WHEN in_ex AND in_ls THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common,
        sum(CASE WHEN in_ex AND in_ls THEN 1 ELSE 0 END) * 1.0
          / sum(CASE WHEN in_ex THEN 1 ELSE 0 END) AS recall,
        sum(CASE WHEN in_ex AND in_ls THEN 1 ELSE 0 END) * 1.0

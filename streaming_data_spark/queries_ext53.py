@@ -259,7 +259,8 @@ WITH lead AS (
 )
 SELECT o_orderpriority,
        count(*) AS n_lines,
-       sum(CASE WHEN lead <= {SLA_DAYS} THEN 1 ELSE 0 END) AS n_within,
+       CAST(sum(CASE WHEN lead <= {SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within,
        round(sum(CASE WHEN lead <= {SLA_DAYS} THEN 1 ELSE 0 END) * 1.0
              / count(*), 6) AS sla_rate
 FROM lead
@@ -301,7 +302,7 @@ WITH cells AS (
                                ORDER BY cnt DESC, hour ASC) AS rk
   FROM cells
 ), totals AS (
-  SELECT day, sum(cnt) AS n_day FROM cells GROUP BY day
+  SELECT day, CAST(sum(cnt) AS BIGINT) AS n_day FROM cells GROUP BY day
 )
 SELECT r.day, t.n_day, CAST(r.hour AS INT) AS peak_hour,
        r.cnt AS n_peak,

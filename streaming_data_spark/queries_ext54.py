@@ -148,9 +148,10 @@ j AS (
   SELECT (t.id_a IS NOT NULL) AS in_t, (p.id_a IS NOT NULL) AS in_p
   FROM t FULL OUTER JOIN p USING (id_a, id_b)
 )
-SELECT sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS n_true,
-       sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS n_pred,
-       sum(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) AS n_hit,
+SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+       CAST(sum(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
        sum(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) * 1.0
          / sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS precision,
        sum(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) * 1.0
@@ -231,7 +232,8 @@ def q_a60_return_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_A60 = """
 SELECT date_trunc('month', o.o_orderdate) AS cohort_month,
        count(*) AS n_lines,
-       sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+       CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
        round(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0
              / count(*), 6) AS return_rate
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -196,14 +196,15 @@ WITH tok AS (
   FROM documents
 ), vocab AS (
   SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
-), total AS (SELECT sum(cnt) AS total_tokens FROM vocab),
+), total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM vocab),
 ranked AS (
   SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk
   FROM vocab
   ORDER BY cnt DESC, tok ASC LIMIT {max(VOCAB_KS)}
 ), ks AS (SELECT unnest([{", ".join(str(k) for k in VOCAB_KS)}]) AS k)
 SELECT ks.k,
-       (SELECT sum(CASE WHEN r.rk <= ks.k THEN r.cnt ELSE 0 END)
+       (SELECT CAST(sum(CASE WHEN r.rk <= ks.k THEN r.cnt ELSE 0 END)
+                    AS BIGINT)
         FROM ranked r) AS covered,
        t.total_tokens,
        round((SELECT sum(CASE WHEN r.rk <= ks.k THEN r.cnt ELSE 0 END)

@@ -107,8 +107,10 @@ WITH days AS (
 )
 SELECT d.day,
        count(*) AS n_active,
-       sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS n_new,
-       sum(CASE WHEN d.day <> f.first_day THEN 1 ELSE 0 END) AS n_returning
+       CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN d.day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning
 FROM days d JOIN first f USING (user_id)
 GROUP BY d.day
 """
@@ -174,7 +176,8 @@ WITH fams AS (
   SELECT sha256(text) AS digest, count(*) AS family_size
   FROM documents GROUP BY sha256(text)
 )
-SELECT family_size, count(*) AS n_families, sum(family_size) AS n_docs
+SELECT family_size, count(*) AS n_families,
+       CAST(sum(family_size) AS BIGINT) AS n_docs
 FROM fams
 GROUP BY family_size
 """

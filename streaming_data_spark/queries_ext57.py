@@ -176,8 +176,8 @@ def q_x89_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(n_pairs, n_cross, leak_rate, n_test_contaminated): near-dup
     pairs crossing the x11 md5 train/test split."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs_prefix(
-        docs, "doc_id", "text", n=3, threshold=0.8
+    pairs = dedup.ngram_jaccard_pairs_prefix_shared(
+        docs, "doc_id", "text", n=3, threshold=0.8, cache_token=sf_dir
     )
     split = docs.select(
         "doc_id", split_column("doc_id").alias("split")
@@ -242,7 +242,8 @@ split AS (
   FROM tagged WHERE crossed
 )
 SELECT (SELECT count(*) FROM tagged) AS n_pairs,
-       (SELECT sum(CASE WHEN crossed THEN 1 ELSE 0 END) FROM tagged) AS n_cross,
+       (SELECT CAST(sum(CASE WHEN crossed THEN 1 ELSE 0 END) AS BIGINT)
+        FROM tagged) AS n_cross,
        (SELECT round(sum(CASE WHEN crossed THEN 1 ELSE 0 END) * 1.0
                / count(*), 6) FROM tagged) AS leak_rate,
        c.n_test_contaminated

@@ -277,7 +277,8 @@ WITH doc_sample AS (
     AS threshold
 )
 SELECT ks.threshold,
-       (SELECT sum(CASE WHEN j.j >= ks.threshold THEN 1 ELSE 0 END)
+       (SELECT CAST(sum(CASE WHEN j.j >= ks.threshold THEN 1 ELSE 0 END)
+                    AS BIGINT)
         FROM jac j) AS n_pairs
 FROM ks
 """

@@ -38,9 +38,10 @@ def q_x92_dup_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(n_edges, n_wedges, n_triangles, gcc): global clustering
     coefficient of the Jaccard>=0.8 near-dup graph."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs_prefix(
-        docs, "doc_id", "text", n=3, threshold=0.8
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    # shared tier already localCheckpoints the pair set — no second cut
+    pairs = dedup.ngram_jaccard_pairs_prefix_shared(
+        docs, "doc_id", "text", n=3, threshold=0.8, cache_token=sf_dir
+    ).select("id_a", "id_b")
     deg = (
         pairs.select(F.col("id_a").alias("id"))
         .union(pairs.select(F.col("id_b").alias("id")))

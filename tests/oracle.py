@@ -14,6 +14,37 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# DuckDB types the driver's hash can produce for an oracle column but
+# Spark never produces — e.g. integer sum() returns HUGEINT (int128).
+# fetchdf() silently coerces these to int64/float64, so a value-exact
+# pandas compare passes while the driver's engine-type-level hash fails
+# (the r7 lesson: 13 driver-red queries, all this one artifact).
+# PIN: always CAST(sum(<int>) AS BIGINT) in oracle SQL.
+FORBIDDEN_DUCK_TYPES = frozenset(
+    {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
+)
+
+
+def check_oracle_types(rel, name: str = "") -> None:
+    """Fail if a DuckDB relation exposes a type Spark cannot emit."""
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) in FORBIDDEN_DUCK_TYPES
+    ]
+    assert not bad, (
+        f"{name}: oracle produces non-Spark-comparable DuckDB types {bad} — "
+        f"wrap the expression, e.g. CAST(sum(...) AS BIGINT); the driver "
+        f"hashes at the engine-type level and HUGEINT != BIGINT there"
+    )
+
+
+def run_oracle(con: duckdb.DuckDBPyConnection, sql: str, name: str = "") -> pd.DataFrame:
+    """Run oracle SQL with the dtype gate applied BEFORE pandas coercion."""
+    rel = con.sql(sql)
+    check_oracle_types(rel, name)
+    return rel.df()
+
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()

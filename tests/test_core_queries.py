@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.oracle import compare, duckdb_conn
+from tests.oracle import compare, duckdb_conn, run_oracle
 
 
 def _registry():
@@ -31,8 +31,20 @@ def test_query_matches_oracle(name, spark, sf_oracle, oracle_con):
         assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
         return
     spark_df = QUERIES[name](spark, sf_oracle)
-    want = oracle_con.execute(ORACLES[name]).df()
+    want = run_oracle(oracle_con, ORACLES[name], name=name)
     compare(spark_df, want, name=name)
+
+
+def test_no_oracle_emits_forbidden_duckdb_types(oracle_con):
+    """Registry-wide dtype gate (the r7 lesson): DuckDB's integer sum()
+    returns HUGEINT; fetchdf() coerces it to int64 so a pandas value
+    compare passes while the driver's engine-type-level hash fails.
+    Every oracle must bind to Spark-comparable types — catches an
+    un-CAST sum() the moment the wave lands, not 4 rounds later."""
+    from tests.oracle import check_oracle_types
+
+    for name in sorted(ORACLES):
+        check_oracle_types(oracle_con.sql(ORACLES[name]), name=name)
 
 
 def test_entry_smoke(spark, sf_small):

@@ -601,3 +601,42 @@ def test_sign_bucket_mask_property(spark):
             .alias("masked"),
         ).filter(F.col("lo") != F.col("masked")).count()
         assert mismatches == 0, f"planes={p}"
+
+
+def test_prefix_pairs_shared_memo_equals_uncached_and_keys_correctly(spark, sf_small):
+    """The r8 shared pair tier: memoized materialization must be (a)
+    value-identical to the uncached prefix tier, (b) reused for an
+    identical (token, params) request, (c) NOT reused across tokens or
+    parameter changes — a threshold=0.7 caller must never receive the
+    0.8 pair set."""
+    from streaming_data_spark.operators import dedup
+    from streaming_data_spark.schemas import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    dedup._PREFIX_PAIR_CACHE.clear()
+    plain = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs_prefix(
+            docs, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    shared1 = dedup.ngram_jaccard_pairs_prefix_shared(
+        docs, "doc_id", "text", n=3, threshold=0.8, cache_token=sf_small
+    )
+    assert {tuple(r) for r in shared1.collect()} == plain
+    shared2 = dedup.ngram_jaccard_pairs_prefix_shared(
+        docs, "doc_id", "text", n=3, threshold=0.8, cache_token=sf_small
+    )
+    assert shared2 is shared1  # memo hit: the SAME checkpointed frame
+    other = dedup.ngram_jaccard_pairs_prefix_shared(
+        docs, "doc_id", "text", n=3, threshold=0.7, cache_token=sf_small
+    )
+    assert other is not shared1
+    assert dedup.ngram_jaccard_pairs_prefix_shared(
+        docs, "doc_id", "text", n=3, threshold=0.8, cache_token="elsewhere"
+    ) is not shared1
+    # no token -> no caching, straight passthrough plan
+    assert len(dedup._PREFIX_PAIR_CACHE) == 3
+    dedup.ngram_jaccard_pairs_prefix_shared(docs, "doc_id", "text")
+    assert len(dedup._PREFIX_PAIR_CACHE) == 3
+    dedup._PREFIX_PAIR_CACHE.clear()

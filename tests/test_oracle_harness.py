@@ -65,6 +65,25 @@ def test_compare_distinguishes_null_from_value(spark):
         compare(got, want, "null-vs-value")
 
 
+def test_run_oracle_rejects_uncast_integer_sum():
+    """The r7 blind spot, closed: DuckDB's integer sum() binds to
+    HUGEINT, which the driver's engine-type hash distinguishes from
+    BIGINT but fetchdf() coerces away. run_oracle must fail FAST on an
+    un-CAST sum() so the defect can't ride an unverified wave again."""
+    import duckdb
+
+    from tests.oracle import run_oracle
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1), (2)) v(x)")
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        run_oracle(con, "SELECT sum(x) AS s FROM t", "uncast-sum")
+    # the pinned fix passes, value intact
+    out = run_oracle(con, "SELECT CAST(sum(x) AS BIGINT) AS s FROM t", "cast-sum")
+    assert out["s"].iloc[0] == 3
+    con.close()
+
+
 def test_compare_raises_on_float_null_vs_zero(spark):
     """The gate's historical blind spot: a float NULL/NaN on one side
     must NOT equal 0.0 on the other (fillna(0) alone would let a

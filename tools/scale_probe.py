@@ -163,6 +163,8 @@ def main() -> None:
         _replicate(spark)
         print(f"replicated 10x in {time.time()-t0:.1f}s", file=sys.stderr)
 
+    from streaming_data_spark.operators import dedup as _dedup
+
     qs = entry.queries()
     names = sys.argv[1:] or HEAVY  # optional subset for targeted runs
     result: dict[str, dict[str, float]] = {}
@@ -172,6 +174,10 @@ def main() -> None:
         for label, d in (("sf0.1", SRC), ("x10", DST)):
             best = float("inf")
             for _ in range(2):
+                # the probe measures each query's FULL standalone cost:
+                # the r8 shared pair memo must not let a later query
+                # ride an earlier query's materialized pair set here
+                _dedup._PREFIX_PAIR_CACHE.clear()
                 t0 = time.time()
                 df = fn(spark, d)
                 df.write.format("noop").mode("overwrite").save()

@@ -25,7 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
-from tests.oracle import compare, duckdb_conn  # noqa: E402
+from tests.oracle import compare, duckdb_conn, run_oracle  # noqa: E402
 
 
 def main() -> int:
@@ -50,7 +50,7 @@ def main() -> int:
             try:
                 got = qs[name](spark, sf_dir)
                 if name in oracles:
-                    want = con.execute(oracles[name]).fetchdf()
+                    want = run_oracle(con, oracles[name], name=name)
                     compare(got, want, name=f"{name}@{scale}")
                     status = "ok"
                 else:
