@@ -168,54 +168,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT27_QUERIES,
         **EXT28_QUERIES,
     }
-    front = [n for n in _R8_WINDOW + _R8_TAIL if n in merged]
+    front = [n for n in _R9_WINDOW + _R9_TAIL if n in merged]
     return {**{n: merged[n] for n in front}, **merged}
 
 
-# Round-8 driver window (the grading driver oracle-checks the FIRST 50
-# entries in insertion order). Per the r7 verdict, the whole window is
-# spent on the verification backlog, not on new queries:
-#   (a) the 13 r7 driver-red queries — all one defect, un-CAST integer
-#       sum() in the DuckDB oracle binding to HUGEINT (values were
-#       exact); the oracles now CAST and must show green driver rows;
-#   (b) the 9 wave-62..64 queries that landed after the r7 window
-#       froze and have never been driver-checked;
-#   (c) 28 slots from the stale block (last driver-checked r3/r4),
-#       oldest-first.
-_R8_WINDOW = [
-    # (a) the 13 HUGEINT-oracle fixes
-    "a47_entry_bounce", "x67_lexical_richness", "x69_dedup_impact",
-    "x71_lsh_recall_eval", "a54_priority_sla", "a58_daily_peak_hour",
-    "x80_minhash_recall_eval", "a60_return_cohort", "x82_vocab_coverage",
-    "a66_new_vs_returning", "x86_dup_family_hist", "x89_split_leakage",
-    "x91_threshold_sweep",
-    # (b) never driver-checked (waves 62-64)
-    "x98_containment_pairs", "x99_rrf_fusion", "a77_open_order_backlog",
-    "x100_kmv_distinct", "x101_bloom_filter_eval", "a80_holt_winters",
-    "x102_ndcg_eval", "x103_hubness_koccurrence", "a81_decile_migration",
-    # (c) stale r3/r4 block, oldest-first (first 28 of the 50)
-    "a10_percentiles", "a11_cube_counts", "j5_interval_join",
-    "q10_returned_items", "q14_promo_revenue", "q16_supplier_cnt",
-    "q18_large_orders", "q19_disjunctive_revenue", "q22_idle_customers",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "x11_train_test_split", "x13_dup_clusters", "x14_chunk_documents",
-    "x15_pack_sequences", "x16_decontaminate", "x17_tfidf_terms",
-    "x18_vocab_top_tokens", "x19_stratified_sample", "x1_exact_dedup",
-    "x20_source_quota", "x2_minhash_lsh", "x2_ngram_jaccard",
-    "x2_ngram_jaccard_capped", "x4_simhash", "x5_signlsh_topk",
-    "a12_profile_customer",
+# Round-9 driver window (the grading driver oracle-checks the FIRST 50
+# entries in insertion order). Generated by `python tools/freshness.py
+# --window 50 --front x41_canonical_by_quality,x70_kcore,
+# x92_dup_clustering_coeff,x96_adamic_adar,x97_degree_assortativity`
+# per the r8 verdict:
+#   (a) the 5 shared-pair-tier consumers whose physical plans changed
+#       in r8 (dedup.py ngram_jaccard_pairs_prefix_shared) AFTER their
+#       last driver rows — they jump the queue so the green row matches
+#       the current plan;
+#   (b) the entire r4-stale block (39 queries), oldest-first in the
+#       order the r4 driver ran them;
+#   (c) the 6 oldest r5-stale queries filling the remaining slots.
+_R9_WINDOW = [
+    # (a) plan changed after last driver row (shared prefix-pair tier)
+    "x41_canonical_by_quality",
+    "x70_kcore",
+    "x92_dup_clustering_coeff",
+    "x96_adamic_adar",
+    "x97_degree_assortativity",
+    # (b) the full r4-stale block, oldest-first
+    "asof_join", "f17_backoff", "udf_scalar_pandas", "udf_grouped_agg",
+    "set_intersect", "set_except", "p7_dropna", "p10_flatten_cast",
+    "w2_pagination", "sessionization", "rollup_totals", "pivot_counts",
+    "x7_cosine_near_dup", "x7_near_dup_lsh", "x8_ivf_topk",
+    "q5_regional_revenue", "j_salted_join", "a_salted_agg",
+    "x9_media_features", "q4_exists_priority", "q17_below_avg_revenue",
+    "a9_count_distinct", "x5_cosine_topk", "x6_text_metrics",
+    "x12_clean_corpus", "a4_rolling_24h", "a5_change_codes",
+    "a6_rolling_extremes", "w1_top1_per_key", "w3_global_topk",
+    "p4_filter_project", "p6_p12_normalize", "union_all",
+    "f_dates_json", "f_strings", "x21_winnow_overlap", "x22_repetition",
+    "x23_pii_scrub", "x24_quantize_error",
+    # (c) oldest 6 of the r5-stale block
+    "q9_profit_by_nation_year", "q11_heavy_parts",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q2_min_cost_supplier", "q12_priority_split",
 ]
 
-# The rest of the stale r3/r4 block — queued directly behind the
-# window so the r9 rotation starts here (oldest-first invariant).
-_R8_TAIL = [
-    "a4_rolling_24h", "a5_change_codes",
-    "a6_rolling_extremes", "a9_count_distinct", "a_salted_agg",
-    "asof_join", "f17_backoff", "f_dates_json", "f_strings",
-    "j_salted_join", "p10_flatten_cast", "p4_filter_project",
-    "p6_p12_normalize", "p7_dropna", "pivot_counts",
-    "q17_below_avg_revenue", "q4_exists_priority", "q5_regional_revenue",
-    "rollup_totals", "sessionization", "set_except", "set_intersect",
+# Next-oldest r5-stale queries — queued directly behind the window so
+# the r10 rotation starts here (oldest-first invariant, same generator).
+_R9_TAIL = [
+    "q20_heavy_suppliers", "q21_sole_returner", "x25_kmeans_assign",
+    "scd2_history", "dq_audit_orders", "a13_gapfill_daily",
+    "a14_grouping_sets", "funnel_conversion", "cohort_retention",
+    "a15_robust_stats", "a16_rolling_zscore", "a17_rolling_distinct",
+    "x26_zorder_curve", "x29_fuzzy_match", "x30_inverted_index",
+    "x31_bigram_lm", "a18_equidepth_hist", "j7_temporal_join",
+    "p14_unpivot", "incremental_rollup", "a19_activity_streaks",
+    "a20_rolling_corr", "x33_centroid_classify", "cdc_snapshot_diff",
 ]
 
 

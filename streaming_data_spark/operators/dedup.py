@@ -543,12 +543,24 @@ def ngram_jaccard_pairs_prefix_shared(
     (callers pass sf_dir); ``None`` disables caching entirely."""
     if cache_token is None:
         return ngram_jaccard_pairs_prefix(df, id_col, text_col, n, threshold)
-    key = (
-        df.sparkSession.sparkContext.applicationId,
-        cache_token, id_col, text_col, n, threshold,
-    )
+    app_id = df.sparkSession.sparkContext.applicationId
+    # Input-identity guard (r8 advice): cache_token names the DATASET,
+    # but a caller could pass a filtered/derived df under the same
+    # token — keying on the analyzed plan's semanticHash makes that
+    # misuse fail-safe (cache miss) instead of silently wrong.
+    try:
+        plan_id = df.semanticHash()
+    except Exception:  # pragma: no cover — Connect/legacy fallback
+        plan_id = df._jdf.queryExecution().analyzed().semanticHash()
+    key = (app_id, plan_id, cache_token, id_col, text_col, n, threshold)
     cached = _PREFIX_PAIR_CACHE.get(key)
     if cached is None:
+        # Evict entries from other (stopped) sessions: their keys can
+        # never match again and they pin DataFrames bound to dead
+        # SparkContexts — without this the module-level dict grows
+        # monotonically across test sessions in one process.
+        for stale in [k for k in _PREFIX_PAIR_CACHE if k[0] != app_id]:
+            del _PREFIX_PAIR_CACHE[stale]
         cached = ngram_jaccard_pairs_prefix(
             df, id_col, text_col, n, threshold
         ).localCheckpoint(eager=True)

@@ -87,6 +87,10 @@ def q_x80_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(
         F.col("doc_id") < X80_SAMPLE_CAP
     )
+    # NOT the shared pair memo (dedup.py): this truth set is built at
+    # threshold 0.7 over the SAMPLED sub-corpus — a different pair set
+    # from the 0.8 full-corpus one the x41/x70/... tier shares, and no
+    # other query consumes it, so memoizing would checkpoint dead data.
     true = dedup.ngram_jaccard_pairs_prefix(
         docs, "doc_id", "text", n=3, threshold=MINHASH_EVAL_THRESHOLD
     ).select("id_a", "id_b", F.lit(True).alias("_t"))

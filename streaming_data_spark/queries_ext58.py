@@ -224,6 +224,10 @@ def q_x91_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(
         F.col("doc_id") < X91_SAMPLE_CAP
     )
+    # NOT the shared pair memo (dedup.py): the sweep needs pairs at the
+    # LOWEST candidate threshold over the sampled sub-corpus — a strict
+    # superset of (and thus a different set from) the shared 0.8
+    # full-corpus tier; no other query consumes it, so no memo.
     pairs = dedup.ngram_jaccard_pairs_prefix(
         docs, "doc_id", "text", n=3, threshold=min(SWEEP_THRESHOLDS)
     )

@@ -639,4 +639,25 @@ def test_prefix_pairs_shared_memo_equals_uncached_and_keys_correctly(spark, sf_s
     assert len(dedup._PREFIX_PAIR_CACHE) == 3
     dedup.ngram_jaccard_pairs_prefix_shared(docs, "doc_id", "text")
     assert len(dedup._PREFIX_PAIR_CACHE) == 3
+    # r9 input-identity guard: a DIFFERENT df under the SAME token must
+    # miss (semanticHash in the key), not silently return the other
+    # dataset's pair set — and a re-read of the same parquet must still
+    # hit (semanticHash is plan-derived, not object-derived).
+    filtered = docs.filter(F.length("text") > 0)
+    assert dedup.ngram_jaccard_pairs_prefix_shared(
+        filtered, "doc_id", "text", n=3, threshold=0.8, cache_token=sf_small
+    ) is not shared1
+    assert dedup.ngram_jaccard_pairs_prefix_shared(
+        load_table(spark, sf_small, "documents"), "doc_id", "text",
+        n=3, threshold=0.8, cache_token=sf_small,
+    ) is shared1
+    # r9 eviction guard: entries keyed by a dead session's appId are
+    # dropped at the next insert (they can never be returned again).
+    dedup._PREFIX_PAIR_CACHE[("dead-app", 0, "tok", "doc_id", "text", 3, 0.8)] = shared1
+    dedup.ngram_jaccard_pairs_prefix_shared(
+        docs, "doc_id", "text", n=3, threshold=0.9, cache_token=sf_small
+    )
+    assert all(
+        k[0] != "dead-app" for k in dedup._PREFIX_PAIR_CACHE
+    ), "stale-session entry survived an insert"
     dedup._PREFIX_PAIR_CACHE.clear()
