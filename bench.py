@@ -71,7 +71,14 @@ EXT_HEADLINE = (
 
 
 def main() -> None:
-    _load_avg0 = os.getloadavg()
+    def _loadavg() -> list[float]:
+        # context only — must never be able to kill the bench output
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:  # pragma: no cover — non-POSIX
+            return []
+
+    _load_avg0 = _loadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1).rstrip(".")) if match else -1.0
@@ -188,8 +195,8 @@ def main() -> None:
         ),
         "load_context": {
             "cpus": os.cpu_count(),
-            "loadavg_start": [round(x, 2) for x in _load_avg0],
-            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "loadavg_start": _load_avg0,
+            "loadavg_end": _loadavg(),
         },
     }
     if errors:
