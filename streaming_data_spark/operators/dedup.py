@@ -387,6 +387,10 @@ def connected_components_star(
     if e.isEmpty():
         return all_nodes.withColumn("cluster_id", F.col("id"))
 
+    # The fixpoint test needs |e| each round, but e is always last
+    # round's already-counted `stepped` — carry the count instead of
+    # re-running a job per round over the checkpointed edges.
+    n_e = e.count()
     for _ in range(max_iter):
         # ---- large-star ----
         sym = e.select(F.col("big").alias("u"), F.col("small").alias("v")).union(
@@ -409,11 +413,13 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # converged when the edge set is a fixpoint (stars reached)
-        if stepped.count() == e.count() and stepped.exceptAll(e).isEmpty():
+        # converged when the edge set is a fixpoint (stars reached):
+        # equal size + one-sided multiset difference empty ⇒ equal
+        n_stepped = stepped.count()
+        if n_stepped == n_e and stepped.exceptAll(e).isEmpty():
             e = stepped
             break
-        e = stepped
+        e, n_e = stepped, n_stepped
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"
