@@ -162,8 +162,9 @@ def main() -> None:
         try:
             # min-of-3 for the queries the vs-prev guard has flagged on
             # box drift (x30_capped r8: 0.827->1.271 with code untouched
-            # and values exact; in-session steady state ~0.8s) — one
-            # extra rep pins past the drift without slowing the suite.
+            # and values exact; min-of-10 probe shows TODAY's steady
+            # state is 1.08-1.27s — SCALE.md Round-9) — one extra rep
+            # damps the flap without slowing the suite.
             reps = 3 if name == "x30_inverted_index_capped" else 2
             best = float("inf")
             for _ in range(reps):
