@@ -1,0 +1,135 @@
+"""Plan-fingerprint machinery (r9 verdict item 2) — pure bookkeeping,
+no SparkSession.
+
+tools/plan_fps.py records, per round, each registry query's normalized
+analyzed-plan hash plus the number of Spark jobs its construction
+runs; tools/freshness.py `--front auto` diffs those snapshots against
+each query's last driver-checked round to decide who jumps the window
+queue. These tests pin the normalization rules and the diff logic on
+synthetic data; the real-data pins (auto-front reproduces the r9 hand
+front) live in test_freshness.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from plan_fps import fingerprint, normalize_plan  # noqa: E402
+import freshness  # noqa: E402
+
+
+def test_normalize_strips_expr_ids_but_keeps_structure():
+    a = "Project [l_orderkey#123L, sum_qty#45]\n+- Filter (x#7 > 3)"
+    b = "Project [l_orderkey#955L, sum_qty#81]\n+- Filter (x#2 > 3)"
+    assert normalize_plan(a) == normalize_plan(b)
+    # a STRUCTURAL difference must survive normalization
+    c = "Project [l_orderkey#123L]\n+- Filter (x#7 > 3)"
+    assert normalize_plan(a) != normalize_plan(c)
+
+
+def test_normalize_strips_lambda_allocation_counters():
+    """Higher-order-function lambda variables carry a globally
+    incrementing counter (x_12 one build, x_19 the next) — measured
+    flapping x2_minhash_lsh's hash every build until normalized."""
+    a = "zip_with(s, t, lambdafunction((lambda x_12#L = lambda y_13#L), lambda x_12#L, lambda y_13#L, false))"
+    b = "zip_with(s, t, lambdafunction((lambda x_19#L = lambda y_20#L), lambda x_19#L, lambda y_20#L, false))"
+    assert normalize_plan(a) == normalize_plan(b)
+    # ...but a different VARIABLE (not counter) still distinguishes
+    c = a.replace("lambda y_13", "lambda z_13")
+    assert normalize_plan(a) != normalize_plan(c)
+
+
+def test_fingerprint_composes_plan_and_jobs():
+    """The jobs component exists because an analyzed-plan hash cannot
+    see driver-side execution changes (r9's star-contraction
+    count-carry returned an IDENTICAL plan, one fewer job per round)."""
+    sha = "a" * 64
+    assert fingerprint(sha, 37) != fingerprint(sha, 39)
+    assert fingerprint(sha, 37) == f"{'a' * 16}:j37"
+
+
+def _write(repo: str, name: str, payload) -> None:
+    with open(os.path.join(repo, name), "w") as fh:
+        json.dump(payload, fh)
+
+
+def _fp_file(queries: dict) -> dict:
+    return {"_meta": {}, "queries": queries}
+
+
+def test_latest_rows_ignores_file_sort_order(tmp_path, monkeypatch):
+    """r9 advice: an unpadded CORRECTNESS_r10.json sorts BEFORE r2 —
+    the numerically-latest round must win regardless."""
+    repo = str(tmp_path)
+    _write(repo, "CORRECTNESS_r10.json", {"q": {}})   # unpadded, sorts first
+    _write(repo, "CORRECTNESS_r2.json", {"q": {}, "p": {}})
+    latest = freshness.latest_rows(repo)
+    assert latest["q"] == (10, 0)   # r10 beats r2 despite sort order
+    assert latest["p"] == (2, 1)
+
+
+def test_auto_front_diffs_against_last_checked_round(tmp_path, monkeypatch):
+    repo = str(tmp_path)
+    # registry of four queries; driver history: a,b checked r1; c,d r2
+    monkeypatch.setattr(freshness, "registry_names",
+                        lambda: ["a", "b", "c", "d"])
+    _write(repo, "CORRECTNESS_r01.json", {"a": {}, "b": {}})
+    _write(repo, "CORRECTNESS_r02.json", {"c": {}, "d": {}})
+    _write(repo, "PLAN_FPS_r01.json", _fp_file({
+        "a": {"fp": "A:j0", "stable": True},
+        "b": {"fp": "B:j0", "stable": True},
+    }))
+    _write(repo, "PLAN_FPS_r02.json", _fp_file({
+        "a": {"fp": "A2:j0", "stable": True},  # changed since its r1 row
+        "b": {"fp": "B:j0", "stable": True},   # unchanged
+        "c": {"fp": "C:j0", "stable": True},   # fresh (checked at r2)
+        "d": {"fp": "D:j0", "stable": True},
+    }))
+    front, uncomparable = freshness.auto_front(repo)
+    assert front == ["a"]
+    assert uncomparable == []
+
+
+def test_auto_front_excludes_unstable_and_err_as_uncomparable(tmp_path, monkeypatch):
+    """An unstable fingerprint can only produce a FALSE front — the
+    query goes to the uncomparable list (human judgment), never
+    silently into (or out of) the front."""
+    repo = str(tmp_path)
+    monkeypatch.setattr(freshness, "registry_names",
+                        lambda: ["u", "e", "m"])
+    _write(repo, "CORRECTNESS_r01.json", {"u": {}, "e": {}, "m": {}})
+    _write(repo, "PLAN_FPS_r01.json", _fp_file({
+        "u": {"fp": "U:j0", "stable": False},
+        "e": {"err": "boom"},
+        # "m" missing entirely from the snapshot
+        "m_other": {"fp": "X:j0", "stable": True},
+    }))
+    _write(repo, "PLAN_FPS_r02.json", _fp_file({
+        "u": {"fp": "U2:j0", "stable": True},
+        "e": {"fp": "E:j0", "stable": True},
+        "m": {"fp": "M:j0", "stable": True},
+    }))
+    front, uncomparable = freshness.auto_front(repo)
+    assert front == []
+    assert set(uncomparable) == {"u", "e", "m"}
+
+
+def test_auto_front_skips_rows_fresher_than_snapshot(tmp_path, monkeypatch):
+    """A driver row from the same round as (or newer than) the current
+    snapshot already postdates the current code — never fronted even
+    if older snapshots disagree."""
+    repo = str(tmp_path)
+    monkeypatch.setattr(freshness, "registry_names", lambda: ["a"])
+    _write(repo, "CORRECTNESS_r01.json", {"a": {}})
+    _write(repo, "CORRECTNESS_r02.json", {"a": {}})
+    _write(repo, "PLAN_FPS_r01.json", _fp_file(
+        {"a": {"fp": "A:j0", "stable": True}}))
+    _write(repo, "PLAN_FPS_r02.json", _fp_file(
+        {"a": {"fp": "A2:j0", "stable": True}}))
+    front, uncomparable = freshness.auto_front(repo)
+    assert front == [] and uncomparable == []

@@ -10,14 +10,18 @@ silently violated.  This tool derives it mechanically:
   python tools/freshness.py                  # staleness report
   python tools/freshness.py --window 50 \
       --front x41_canonical_by_quality,...   # emit the window literal
+  python tools/freshness.py --window 50 --front auto   # r10+
 
 Ordering rule: a query's freshness is the LATEST round in which any
 ``CORRECTNESS_r*.json`` contains a row for it; ties (same round) keep
 that round's file order, which is the window order the driver actually
-ran.  ``--front`` pins queries that must jump the queue (e.g. a plan
+ran.  ``--front`` pins queries that must jump the queue (a plan
 changed after the last driver row) ahead of the oldest-first body;
 fronted queries are removed from the body so the window never
-double-counts a slot.
+double-counts a slot.  ``--front auto`` (r9 verdict item 2) derives
+that list mechanically by diffing the per-round plan fingerprints in
+``PLAN_FPS_r*.json`` (see tools/plan_fps.py) — the last human input
+to the rotation.
 """
 
 from __future__ import annotations
@@ -40,14 +44,17 @@ def latest_rows(repo: str = HERE, upto: int | None = None) -> dict[str, tuple[in
     the r9 CORRECTNESS file lands.
     """
     latest: dict[str, tuple[int, int]] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         if upto is not None and rnd > upto:
             continue
         with open(path) as fh:
             rows = json.load(fh)
         for pos, name in enumerate(rows):
-            latest[name] = (rnd, pos)  # later files overwrite: latest wins
+            # Keep the NUMERICALLY latest round — file sort order is
+            # not trustworthy (an unpadded "r10" sorts before "r2").
+            if name not in latest or (rnd, pos) >= latest[name]:
+                latest[name] = (rnd, pos)
     return latest
 
 
@@ -68,18 +75,80 @@ def oldest_first(repo: str = HERE, upto: int | None = None) -> list[tuple[str, i
     return [(n, k[0]) for k, n in keyed]
 
 
+def plan_fp_rounds(repo: str = HERE, upto: int | None = None) -> dict[int, dict]:
+    """round -> {query -> fingerprint record} from PLAN_FPS_r*.json
+    (written by tools/plan_fps.py against each round-close code
+    state; r4-r8 were backfilled from git worktrees in r10)."""
+    out: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(repo, "PLAN_FPS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if upto is not None and rnd > upto:
+            continue
+        with open(path) as fh:
+            out[rnd] = json.load(fh)["queries"]
+    return out
+
+
+def auto_front(repo: str = HERE, upto: int | None = None
+               ) -> tuple[list[str], list[str]]:
+    """Mechanical `--front` (r9 verdict item 2): queries whose plan
+    fingerprint at the CURRENT code state (the newest PLAN_FPS round
+    <= ``upto``) differs from their fingerprint at the round of their
+    last driver row. Those rows were green against a plan that no
+    longer exists, so they jump the queue.
+
+    Returns ``(front, uncomparable)``. ``front`` is in staleness
+    order (the same order the window body uses). ``uncomparable``
+    lists stale-round queries that could not be diffed — missing
+    snapshot/entry, build error, or an unstable fingerprint in either
+    round — which need the old human judgment; the pytest pins this
+    list so it can only shrink deliberately.
+    """
+    fps = plan_fp_rounds(repo, upto)
+    if not fps:
+        raise SystemExit("no PLAN_FPS_r*.json snapshots found — run "
+                         "tools/plan_fps.py first")
+    cur_round = max(fps)
+    cur = fps[cur_round]
+    latest = latest_rows(repo, upto)
+    front: list[str] = []
+    uncomparable: list[str] = []
+    for name, rnd in oldest_first(repo, upto):
+        if rnd >= cur_round:
+            continue  # driver row already postdates the current code
+        then = fps.get(rnd, {}).get(name)
+        now = cur.get(name)
+        if (not then or not now or "err" in then or "err" in now
+                or not then.get("stable") or not now.get("stable")):
+            uncomparable.append(name)
+            continue
+        if then["fp"] != now["fp"]:
+            front.append(name)
+    return front, uncomparable
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--window", type=int, default=0,
                     help="emit a Python window literal of this size")
     ap.add_argument("--front", default="",
-                    help="comma-separated queries pinned to the window head")
+                    help="comma-separated queries pinned to the window "
+                         "head, or 'auto' to diff PLAN_FPS_r*.json "
+                         "fingerprints against each query's last "
+                         "driver-checked round")
     ap.add_argument("--upto", type=int, default=None,
                     help="only consider CORRECTNESS files up to this round")
     args = ap.parse_args()
 
     order = oldest_first(upto=args.upto)
-    front = [q for q in args.front.split(",") if q]
+    if args.front == "auto":
+        front, uncomparable = auto_front(upto=args.upto)
+        print(f"# auto-front: {front}", file=sys.stderr)
+        if uncomparable:
+            print(f"# NOT auto-comparable (human judgment still "
+                  f"required): {uncomparable}", file=sys.stderr)
+    else:
+        front = [q for q in args.front.split(",") if q]
     known = {n for n, _ in order}
     unknown = [q for q in front if q not in known]
     if unknown:
