@@ -168,51 +168,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT27_QUERIES,
         **EXT28_QUERIES,
     }
-    front = [n for n in _R9_WINDOW + _R9_TAIL if n in merged]
+    front = [n for n in _R10_WINDOW + _R10_TAIL if n in merged]
     return {**{n: merged[n] for n in front}, **merged}
 
 
-# Round-9 driver window (the grading driver oracle-checks the FIRST 50
-# entries in insertion order). Generated by `python tools/freshness.py
-# --window 50 --front x41_canonical_by_quality,x70_kcore,
-# x92_dup_clustering_coeff,x96_adamic_adar,x97_degree_assortativity`
-# per the r8 verdict:
-#   (a) the 5 shared-pair-tier consumers whose physical plans changed
-#       in r8 (dedup.py ngram_jaccard_pairs_prefix_shared) AFTER their
-#       last driver rows — they jump the queue so the green row matches
-#       the current plan;
-#   (b) the entire r4-stale block (39 queries), oldest-first in the
-#       order the r4 driver ran them;
-#   (c) the 6 oldest r5-stale queries filling the remaining slots.
-_R9_WINDOW = [
-    # (a) plan changed after last driver row (shared prefix-pair tier)
-    "x41_canonical_by_quality",
-    "x70_kcore",
-    "x92_dup_clustering_coeff",
-    "x96_adamic_adar",
-    "x97_degree_assortativity",
-    # (b) the full r4-stale block, oldest-first
-    "asof_join", "f17_backoff", "udf_scalar_pandas", "udf_grouped_agg",
-    "set_intersect", "set_except", "p7_dropna", "p10_flatten_cast",
-    "w2_pagination", "sessionization", "rollup_totals", "pivot_counts",
-    "x7_cosine_near_dup", "x7_near_dup_lsh", "x8_ivf_topk",
-    "q5_regional_revenue", "j_salted_join", "a_salted_agg",
-    "x9_media_features", "q4_exists_priority", "q17_below_avg_revenue",
-    "a9_count_distinct", "x5_cosine_topk", "x6_text_metrics",
-    "x12_clean_corpus", "a4_rolling_24h", "a5_change_codes",
-    "a6_rolling_extremes", "w1_top1_per_key", "w3_global_topk",
-    "p4_filter_project", "p6_p12_normalize", "union_all",
-    "f_dates_json", "f_strings", "x21_winnow_overlap", "x22_repetition",
-    "x23_pii_scrub", "x24_quantize_error",
-    # (c) oldest 6 of the r5-stale block
-    "q9_profit_by_nation_year", "q11_heavy_parts",
-    "q13_order_count_distribution", "q15_top_supplier",
-    "q2_min_cost_supplier", "q12_priority_split",
-]
-
-# Next-oldest r5-stale queries — queued directly behind the window so
-# the r10 rotation starts here (oldest-first invariant, same generator).
-_R9_TAIL = [
+# Round-10 driver window (the grading driver oracle-checks the FIRST
+# 50 entries in insertion order). Generated by `python
+# tools/freshness.py --window 50 --upto 9 --front
+# x13_dup_clusters_star,x56_assoc_rules,x59_semdedup`; the front is
+# the r10 plan-change set:
+#   (a) x13_dup_clusters_star — r9 verdict item 1: the star-contraction
+#       count-carry (dedup.py) changed its physical execution in r9,
+#       after its r5 driver row. Its plan FINGERPRINT is not
+#       auto-comparable (the convergence test's exceptAll().isEmpty()
+#       take-scan makes the job count timing-dependent, +-2 in one
+#       session), so `--front auto` reports it UNCOMPARABLE and the
+#       human rule applies — which the verdict already decided;
+#   (b) x56_assoc_rules + x59_semdedup — found by `--front auto`
+#       (tools/plan_fps.py fingerprint diff): both plans changed in r7
+#       (broadcast-hint cardinality gate / semdedup scale redesign)
+#       but their last driver rows are r6 — stale-plan rows the r7-r9
+#       hand rotations missed;
+# then the body: the full 24-query _R9_TAIL block (r5-stale), then the
+# remaining r5/r6-stale queries oldest-first, filling 50 slots.
+_R10_WINDOW = [
+    # (a)+(b) plan changed after last driver row
+    "x13_dup_clusters_star",
+    "x56_assoc_rules",
+    "x59_semdedup",
+    # body: oldest-first from the r1..r9 driver history
     "q20_heavy_suppliers", "q21_sole_returner", "x25_kmeans_assign",
     "scd2_history", "dq_audit_orders", "a13_gapfill_daily",
     "a14_grouping_sets", "funnel_conversion", "cohort_retention",
@@ -221,6 +205,36 @@ _R9_TAIL = [
     "x31_bigram_lm", "a18_equidepth_hist", "j7_temporal_join",
     "p14_unpivot", "incremental_rollup", "a19_activity_streaks",
     "a20_rolling_corr", "x33_centroid_classify", "cdc_snapshot_diff",
+    "a21_candle_resample", "f_variant_json", "x34_weighted_sample",
+    "a22_wow_growth", "a23_topn_others", "a24_cooccurrence",
+    "funnel_in_session", "a25_rolling_median", "x2_ngram_jaccard_prefix",
+    "a1_count", "a2_max_per_key", "a3_ohlcv", "a7_distinct",
+    "a8_metric_rollup", "a26_window_median", "a27_sma_crossover",
+    "a28_bollinger", "a29_ewma", "a30_max_drawdown", "x35_lm_score",
+    "x36_heavy_hitters", "a31_target_encode", "x37_feature_hash",
+]
+
+# The generator's FULL next block (50 queries) — the r11 rotation
+# starts here (oldest-first invariant, same generator; the length is
+# pinned by tests/test_freshness.py, r9 advice: the literal and the
+# claim "exactly what the generator emits" must agree).
+_R10_TAIL = [
+    "a32_event_transitions", "x30_inverted_index_capped", "a33_atr",
+    "a34_rsi", "a35_stochastic", "a36_obv", "x38_pmi_collocations",
+    "x39_char_entropy", "x40_bm25", "x42_pagerank",
+    "x43_stratified_split", "x44_class_balance", "x45_hard_negatives",
+    "x46_ks_drift", "x47_chi2_drift", "x48_psi_drift", "x49_js_hourly",
+    "x50_cusum", "x51_bpe_pairs", "x52_zipf_slope", "a37_holt_forecast",
+    "x53_mutual_info", "a38_rfm_segments", "x54_auc", "x55_winsorize",
+    "x57_triangles", "a39_seasonal_dow", "x58_knn_classify",
+    "a40_anomaly_mad", "a41_ab_welch", "x60_benford",
+    "x61_key_concentration", "x62_pca_power", "j1_dim_fact_join",
+    "j3_upsert_anti", "semi_join_exists", "q1_pricing_summary",
+    "q3_shipping_priority", "a42_time_to_convert", "a44_order_total_audit",
+    "x63_boilerplate_ngrams", "a46_interevent_gaps",
+    "x64_embedding_outliers", "x66_ngram_novelty", "a49_event_trigrams",
+    "a52_supplier_lead_time", "x73_lang_confusion", "a53_dau_mau",
+    "x75_tfidf_topk_pairs", "x79_source_overlap",
 ]
 
 

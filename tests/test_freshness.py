@@ -1,8 +1,11 @@
 """The driver-window rotation is generated, not hand-ordered (r8
-verdict item 7): ``tools/freshness.py`` derives the oldest-first
-order from the CORRECTNESS_r*.json history, and the literal pasted
-into ``__spark_entry__.py`` must be exactly what the generator emits.
-No SparkSession needed — this is pure bookkeeping."""
+verdict item 7), and since r10 the `--front` list is generated too
+(r9 verdict item 2): ``tools/freshness.py`` derives the oldest-first
+order from the CORRECTNESS_r*.json history and the front from the
+PLAN_FPS_r*.json fingerprint diffs, and the literals pasted into
+``__spark_entry__.py`` must be exactly what the generator emits.
+No SparkSession needed — this is pure bookkeeping.
+"""
 
 from __future__ import annotations
 
@@ -12,28 +15,76 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
 import __spark_entry__ as entry_mod
-from freshness import latest_rows, oldest_first
+from freshness import auto_front, latest_rows, oldest_first
 
-# The five shared-pair-tier consumers whose plans changed in r8 after
-# their last driver rows — the r8 verdict pins them to the r9 head.
-R9_FRONT = [
+# The r10 front: x13_dup_clusters_star is the r9-verdict-ordered front
+# (star-contraction count-carry changed its execution in r9, after its
+# r5 driver row); x56/x59 are the `--front auto` findings (plans
+# changed in r7, last driver rows r6 — misses of the r7-r9 hand
+# rotations). Order = staleness order, same as the window body rule.
+R10_FRONT = [
+    "x13_dup_clusters_star",
+    "x56_assoc_rules",
+    "x59_semdedup",
+]
+
+# The five queries the r8 verdict hand-fronted for the r9 window —
+# auto_front must rediscover all of them from r1..r8 data alone.
+R9_HAND_FRONT = {
     "x41_canonical_by_quality",
     "x70_kcore",
     "x92_dup_clustering_coeff",
     "x96_adamic_adar",
     "x97_degree_assortativity",
-]
+}
 
 
-def test_r9_window_is_generator_output_from_r8_data():
-    """_R9_WINDOW == front + oldest-first body computed from r1..r8
-    driver history; _R9_TAIL is the next block of that same order."""
-    order = [n for n, _ in oldest_first(upto=8)]
-    body = [n for n in order if n not in R9_FRONT]
-    expect_window = R9_FRONT + body[: 50 - len(R9_FRONT)]
-    assert entry_mod._R9_WINDOW == expect_window
-    n_body = 50 - len(R9_FRONT)
-    assert entry_mod._R9_TAIL == body[n_body : n_body + len(entry_mod._R9_TAIL)]
+def test_auto_front_for_r10_is_the_pinned_front():
+    """`--front auto` at upto=9 finds x56/x59 and reports x13-star as
+    uncomparable (its jobs count is timing-dependent — the convergence
+    take-scan; see plan_fps.py). The human rule covers exactly the
+    uncomparable residue, and the r9 verdict already decided it:
+    front it. Pinning BOTH lists means a future snapshot that silently
+    changes either comparability or the diff fails here first."""
+    front, uncomparable = auto_front(upto=9)
+    assert front == ["x56_assoc_rules", "x59_semdedup"]
+    assert uncomparable == ["x13_dup_clusters_star"]
+    assert R10_FRONT == sorted(
+        front + uncomparable,
+        key=lambda n: [x[0] for x in oldest_first(upto=9)].index(n),
+    )
+
+
+def test_auto_front_reproduces_and_dominates_the_r9_hand_front():
+    """The r9 verdict's done-criterion: `--front auto` from r1..r8
+    data reproduces the five hand-fronted queries — it does, plus four
+    GENUINE misses of the hand process (each verified against git
+    history in r10): sessionization (plan changed r5, row was r4),
+    x56/x59 (plans changed r7, rows r6), and x13_dup_clusters_star
+    (its plan hash already changed in r7, two rounds before the
+    count-carry that finally fronted it)."""
+    front, uncomparable = auto_front(upto=8)
+    assert R9_HAND_FRONT <= set(front)
+    assert set(front) - R9_HAND_FRONT == {
+        "sessionization",
+        "x56_assoc_rules",
+        "x59_semdedup",
+        "x13_dup_clusters_star",
+    }
+    assert uncomparable == []
+
+
+def test_r10_window_is_generator_output_from_r9_data():
+    """_R10_WINDOW == front + oldest-first body computed from r1..r9
+    driver history; _R10_TAIL is the FULL next block of that same
+    order (r9 advice: the literal is exactly what the generator
+    emits, length included)."""
+    order = [n for n, _ in oldest_first(upto=9)]
+    body = [n for n in order if n not in R10_FRONT]
+    n_body = 50 - len(R10_FRONT)
+    assert entry_mod._R10_WINDOW == R10_FRONT + body[:n_body]
+    assert entry_mod._R10_TAIL == body[n_body : n_body + 50]
+    assert len(entry_mod._R10_TAIL) == 50
 
 
 def test_window_covers_registry_and_leads_queries():
@@ -41,19 +92,21 @@ def test_window_covers_registry_and_leads_queries():
     driver-checked size (50), and queries() iteration order leads with
     the window (the driver checks the FIRST 50 entries)."""
     names = list(entry_mod.queries())
-    assert len(entry_mod._R9_WINDOW) == 50
-    assert names[:50] == entry_mod._R9_WINDOW
-    assert set(entry_mod._R9_TAIL) <= set(names)
-    assert len(set(entry_mod._R9_WINDOW)) == 50  # no double-counted slots
+    assert len(entry_mod._R10_WINDOW) == 50
+    assert names[:50] == entry_mod._R10_WINDOW
+    assert set(entry_mod._R10_TAIL) <= set(names)
+    assert len(set(entry_mod._R10_WINDOW)) == 50  # no double-counted slots
 
 
 def test_staleness_accounting_matches_registry():
-    """Every registry query has a driver row by r8 (the r8 verdict's
-    cumulative-green claim) and the per-round staleness histogram is
-    internally consistent."""
-    latest = latest_rows(upto=8)
+    """Every registry query has a driver row by r9 (the r9 verdict's
+    cumulative-green claim: histogram r9=50, r8=50, r7=33, r6=49,
+    r5=39) and the registry is frozen at 221."""
+    latest = latest_rows(upto=9)
     names = set(entry_mod.queries())
     assert names <= set(latest), sorted(names - set(latest))
     rounds = [latest[n][0] for n in names]
     assert len(rounds) == 221
-    assert min(rounds) >= 4  # nothing older than r4 entering r9
+    assert min(rounds) >= 5  # nothing older than r5 entering r10
+    hist = {r: rounds.count(r) for r in set(rounds)}
+    assert hist == {9: 50, 8: 50, 7: 33, 6: 49, 5: 39}
