@@ -70,6 +70,36 @@ EXT_HEADLINE = (
 )
 
 
+# Per-query baseline re-pins (r7 verdict item 5). x2's r01 number
+# (0.926s) timed a run against signatures leaked into the
+# block-manager cache (persist bug fixed in r2) — an unreachable
+# target that made the guard emit a permanent JIT-noise note
+# instead of catching real regressions. Re-pinned to the measured
+# in-session steady state (1.3-1.5s across r2-r7; min-of-5 already
+# absorbs the ~6s first-run codegen/JIT outlier).
+# The override corrects THAT SPECIFIC 0.926s artifact, so it only
+# applies while the anchor file still records it (r9 advice: keying
+# on the filename alone let an in-place regeneration keep the pin).
+# A re-generated baseline — new earliest file OR a re-measured x2
+# number — retires the pin automatically instead of silently
+# loosening the guard against a fresher measured baseline.
+BASE_OVERRIDES_SPEC = {"x2_minhash_lsh": (0.926, 1.5)}  # (recorded, pin)
+
+
+def _flag(base_section: dict, now: dict) -> dict:
+    """Regression filter: 1.3x relative AND >=0.25s absolute —
+    sub-second queries swing +-0.15s run-to-run on a shared box; a
+    pure ratio threshold buries real regressions (x35's 0.887->1.322)
+    under noise. Module-level so tests can pin that EVERY reported
+    line — headline, queries_ext, and the shared_pair_build canary —
+    is inside the vs-prev guard's domain."""
+    return {
+        q: {"base": b, "now": now[q]}
+        for q, b in base_section.items()
+        if q in now and b > 0 and now[q] > 1.3 * b and now[q] - b >= 0.25
+    }
+
+
 def main() -> None:
     def _loadavg() -> list[float]:
         # context only — must never be able to kill the bench output
@@ -143,15 +173,16 @@ def main() -> None:
         from streaming_data_spark.operators import dedup as _dedup
         from streaming_data_spark.queries import _t as _load
 
-        _dedup._PREFIX_PAIR_CACHE.clear()
-        start = time.perf_counter()
-        _dedup.ngram_jaccard_pairs_prefix_shared(
-            _load(spark, sf_dir, "documents"), "doc_id", "text",
-            n=3, threshold=0.8, cache_token=sf_dir,
-        )
-        ext_timings["shared_pair_build"] = round(
-            time.perf_counter() - start, 3
-        )
+        best = float("inf")
+        for _ in range(3):  # min-of-3, same protocol as the suites
+            _dedup._PREFIX_PAIR_CACHE.clear()
+            start = time.perf_counter()
+            _dedup.ngram_jaccard_pairs_prefix_shared(
+                _load(spark, sf_dir, "documents"), "doc_id", "text",
+                n=3, threshold=0.8, cache_token=sf_dir,
+            )
+            best = min(best, time.perf_counter() - start)
+        ext_timings["shared_pair_build"] = round(best, 3)
     except Exception as exc:  # noqa: BLE001
         ext_errors["shared_pair_build"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -160,14 +191,14 @@ def main() -> None:
         if fn is None:
             continue
         try:
-            # min-of-3 for the queries the vs-prev guard has flagged on
-            # box drift (x30_capped r8: 0.827->1.271 with code untouched
-            # and values exact; min-of-10 probe shows TODAY's steady
-            # state is 1.08-1.27s — SCALE.md Round-9) — one extra rep
-            # damps the flap without slowing the suite.
-            reps = 3 if name == "x30_inverted_index_capped" else 2
+            # min-of-3 across the WHOLE ext suite (r9 verdict item 5):
+            # min-of-2 still let +-50% swings through on sub-second
+            # queries (x29_fuzzy_match measured 1.65x run-to-run in the
+            # r9 probe; x30_capped's r8 flag was the same box-drift
+            # class) — the ~20s of extra wall time retires the
+            # drift-vs-regression ambiguity for good.
             best = float("inf")
-            for _ in range(reps):
+            for _ in range(3):
                 start = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - start)
@@ -189,10 +220,10 @@ def main() -> None:
         # uniform +10% vs r7 was shared-box drift; stamping the box
         # load lets a reader separate drift from regression.
         "methodology": (
-            "headline: warm run + min-of-3 (x2 min-of-5); ext: min-of-2 "
-            "(flag-listed queries min-of-3); shared_pair_build timed "
-            "separately on a cleared memo so ext numbers are "
-            "order-independent"
+            "headline: warm run + min-of-3 (x2 min-of-5); ext: min-of-3 "
+            "everywhere (r9 verdict item 5); shared_pair_build timed "
+            "separately, min-of-3 on a cleared memo per rep, so ext "
+            "numbers are order-independent"
         ),
         "load_context": {
             "cpus": os.cpu_count(),
@@ -219,38 +250,19 @@ def main() -> None:
         f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
 
-    # Per-query baseline re-pins (r7 verdict item 5). x2's r01 number
-    # (0.926s) timed a run against signatures leaked into the
-    # block-manager cache (persist bug fixed in r2) — an unreachable
-    # target that made the guard emit a permanent JIT-noise note
-    # instead of catching real regressions. Re-pinned to the measured
-    # in-session steady state (1.3-1.5s across r2-r7; min-of-5 above
-    # already absorbs the ~6s first-run codegen/JIT outlier).
-    # The override only applies while BENCH_r01 is still the anchor: if
-    # the baseline is ever re-generated (earliest file changes), the pin
-    # retires automatically instead of silently loosening the guard
-    # against a fresher, possibly lower, measured baseline.
-    BASE_OVERRIDES = {"x2_minhash_lsh": 1.5}
-
-    def _flag(base_section: dict, now: dict) -> dict:
-        # 1.3x relative AND >=0.25s absolute: sub-second queries swing
-        # +-0.15s run-to-run on a shared box; a pure ratio threshold
-        # buries real regressions (x35's 0.887->1.322) under noise.
-        return {
-            q: {"base": b, "now": now[q]}
-            for q, b in base_section.items()
-            if q in now and b > 0 and now[q] > 1.3 * b and now[q] - b >= 0.25
-        }
-
     if prior:
         try:
             with open(os.path.join(here, prior[0])) as fh:
                 base = json.load(fh).get("parsed", {})
             if base.get("sf") == sf:
-                overrides = (
-                    BASE_OVERRIDES if prior[0] == "BENCH_r01.json" else {}
-                )
-                base_q = {**base.get("queries", {}), **overrides}
+                recorded = base.get("queries", {})
+                overrides = {
+                    q: pin
+                    for q, (artifact, pin) in BASE_OVERRIDES_SPEC.items()
+                    if prior[0] == "BENCH_r01.json"
+                    and recorded.get(q) == artifact
+                }
+                base_q = {**recorded, **overrides}
                 regressions = _flag(base_q, timings)
                 payload["baseline_round"] = prior[0]
                 payload["baseline_overrides"] = overrides

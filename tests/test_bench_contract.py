@@ -39,3 +39,42 @@ def test_every_oracle_key_has_a_query():
     qs = set(entry_mod.queries())
     orphans = set(entry_mod.oracle_sql()) - qs
     assert not orphans, f"oracles without a query: {sorted(orphans)}"
+
+
+def test_vs_prev_guard_covers_shared_pair_build_line(tmp_path=None):
+    """r9 verdict item 4: shared_pair_build got its first baseline in
+    BENCH_r09, and a regression in the BUILD stage must flag on the
+    build line (not surface as noise on a warm consumer). The guard
+    compares prev['queries_ext'] against the current ext timings, and
+    the build line lives in queries_ext on both sides — pin that, plus
+    the _flag arithmetic on the line itself."""
+    import json
+
+    with open("/root/repo/BENCH_r09.json") as fh:
+        prev_ext = json.load(fh)["parsed"]["queries_ext"]
+    assert "shared_pair_build" in prev_ext  # baseline exists
+    base = prev_ext["shared_pair_build"]
+
+    # a regressed build flags on the build line...
+    now = dict(prev_ext, shared_pair_build=round(base * 1.5, 3))
+    flagged = bench._flag(prev_ext, now)
+    assert "shared_pair_build" in flagged
+    assert flagged["shared_pair_build"]["base"] == base
+    # ...and ONLY on the build line (consumers unchanged).
+    assert set(flagged) == {"shared_pair_build"}
+    # steady state does not flag
+    assert "shared_pair_build" not in bench._flag(prev_ext, dict(prev_ext))
+
+
+def test_x2_baseline_override_retires_with_the_artifact_it_corrects():
+    """r9 advice: the 1.5s x2 pin corrects the specific 0.926s r01
+    artifact (block-manager-cache leak, fixed r2). It must only apply
+    while the anchor still records that number — an in-place
+    re-generated BENCH_r01 retires the pin."""
+    import json
+
+    artifact, pin = bench.BASE_OVERRIDES_SPEC["x2_minhash_lsh"]
+    assert (artifact, pin) == (0.926, 1.5)
+    with open("/root/repo/BENCH_r01.json") as fh:
+        recorded = json.load(fh)["parsed"]["queries"]["x2_minhash_lsh"]
+    assert recorded == artifact  # the artifact is still the anchor
