@@ -559,14 +559,15 @@ def ngram_jaccard_pairs_prefix_shared(
     except Exception:  # pragma: no cover — Connect/legacy fallback
         plan_id = df._jdf.queryExecution().analyzed().semanticHash()
     key = (app_id, plan_id, cache_token, id_col, text_col, n, threshold)
+    # Evict entries from other (stopped) sessions on EVERY call, not
+    # just before an insert (r9 advice): their keys can never match
+    # again and they pin DataFrames bound to dead SparkContexts — a
+    # long-lived process whose later sessions only ever hit existing
+    # keys would otherwise keep dead-session entries forever.
+    for stale in [k for k in _PREFIX_PAIR_CACHE if k[0] != app_id]:
+        del _PREFIX_PAIR_CACHE[stale]
     cached = _PREFIX_PAIR_CACHE.get(key)
     if cached is None:
-        # Evict entries from other (stopped) sessions: their keys can
-        # never match again and they pin DataFrames bound to dead
-        # SparkContexts — without this the module-level dict grows
-        # monotonically across test sessions in one process.
-        for stale in [k for k in _PREFIX_PAIR_CACHE if k[0] != app_id]:
-            del _PREFIX_PAIR_CACHE[stale]
         cached = ngram_jaccard_pairs_prefix(
             df, id_col, text_col, n, threshold
         ).localCheckpoint(eager=True)

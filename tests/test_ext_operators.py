@@ -660,4 +660,15 @@ def test_prefix_pairs_shared_memo_equals_uncached_and_keys_correctly(spark, sf_s
     assert all(
         k[0] != "dead-app" for k in dedup._PREFIX_PAIR_CACHE
     ), "stale-session entry survived an insert"
+    # r10 (r9 advice): eviction also runs on the pure HIT path — a
+    # process whose later sessions only ever hit existing keys must
+    # not pin dead-session DataFrames forever.
+    dedup._PREFIX_PAIR_CACHE[("dead-app-2", 0, "tok", "doc_id", "text", 3, 0.8)] = shared1
+    hit = dedup.ngram_jaccard_pairs_prefix_shared(
+        docs, "doc_id", "text", n=3, threshold=0.8, cache_token=sf_small
+    )
+    assert hit is shared1  # still a hit...
+    assert all(
+        k[0] != "dead-app-2" for k in dedup._PREFIX_PAIR_CACHE
+    ), "stale-session entry survived a cache hit"
     dedup._PREFIX_PAIR_CACHE.clear()
