@@ -119,6 +119,29 @@ def test_auto_front_excludes_unstable_and_err_as_uncomparable(tmp_path, monkeypa
     assert set(uncomparable) == {"u", "e", "m"}
 
 
+def test_snapshot_exists_for_every_driver_round():
+    """Round-close checklist step 3, enforced: the rotation for round
+    N+1 diffs against the code state the round-N driver actually
+    checked, so a PLAN_FPS snapshot at least as new as the newest
+    CORRECTNESS file must exist — otherwise the next round's
+    auto-front silently degrades to 'everything uncomparable'."""
+    import glob
+    import re
+
+    def newest(pattern: str) -> int:
+        return max(
+            int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+            for p in glob.glob(pattern)
+        )
+
+    cor = newest("/root/repo/CORRECTNESS_r*.json")
+    fps = newest("/root/repo/PLAN_FPS_r*.json")
+    assert fps >= cor, (
+        f"newest PLAN_FPS is r{fps} but the driver has checked up to "
+        f"r{cor} — run tools/plan_fps.py before round close"
+    )
+
+
 def test_auto_front_skips_rows_fresher_than_snapshot(tmp_path, monkeypatch):
     """A driver row from the same round as (or newer than) the current
     snapshot already postdates the current code — never fronted even
