@@ -384,13 +384,16 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if e.isEmpty():
-        return all_nodes.withColumn("cluster_id", F.col("id"))
-
     # The fixpoint test needs |e| each round, but e is always last
     # round's already-counted `stepped` — carry the count instead of
-    # re-running a job per round over the checkpointed edges.
+    # re-running a job per round over the checkpointed edges. The
+    # count also serves the no-edges early exit: a separate isEmpty()
+    # here paid 1 OR 2 take-scan jobs depending on whether the fresh
+    # checkpoint's first partition happened to be empty — the ±1-job
+    # nondeterminism that kept x41 out of the plan-fingerprint diff.
     n_e = e.count()
+    if n_e == 0:
+        return all_nodes.withColumn("cluster_id", F.col("id"))
     for _ in range(max_iter):
         # ---- large-star ----
         sym = e.select(F.col("big").alias("u"), F.col("small").alias("v")).union(
@@ -414,9 +417,16 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
         # converged when the edge set is a fixpoint (stars reached):
-        # equal size + one-sided multiset difference empty ⇒ equal
+        # equal size + one-sided multiset difference empty ⇒ equal.
+        # count()==0, not isEmpty(): the diff is EXPECTED EMPTY here
+        # (the size gate already matched), and isEmpty's escalating
+        # take-scan ran a timing-dependent number of jobs per probe —
+        # the engine's only nondeterministic execution, which kept the
+        # two star-CC consumers out of the plan-fingerprint diff
+        # (plan_fps.py). A single count job over an empty diff costs
+        # the same and is reproducible to the job.
         n_stepped = stepped.count()
-        if n_stepped == n_e and stepped.exceptAll(e).isEmpty():
+        if n_stepped == n_e and stepped.exceptAll(e).count() == 0:
             e = stepped
             break
         e, n_e = stepped, n_stepped
