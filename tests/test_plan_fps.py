@@ -2,8 +2,9 @@
 no SparkSession.
 
 tools/plan_fps.py records, per round, each registry query's normalized
-analyzed-plan hash plus the number of Spark jobs its construction
-runs; tools/freshness.py `--front auto` diffs those snapshots against
+analyzed-plan hash plus the number of driver-side actions its
+construction runs; tools/freshness.py `--front auto` diffs those
+snapshots against
 each query's last driver-checked round to decide who jumps the window
 queue. These tests pin the normalization rules and the diff logic on
 synthetic data; the real-data pins (auto-front reproduces the r9 hand
@@ -44,13 +45,17 @@ def test_normalize_strips_lambda_allocation_counters():
     assert normalize_plan(a) != normalize_plan(c)
 
 
-def test_fingerprint_composes_plan_and_jobs():
-    """The jobs component exists because an analyzed-plan hash cannot
-    see driver-side execution changes (r9's star-contraction
-    count-carry returned an IDENTICAL plan, one fewer job per round)."""
+def test_fingerprint_composes_plan_and_actions():
+    """The actions component exists because an analyzed-plan hash
+    cannot see driver-side execution changes (r9's star-contraction
+    count-carry returned an IDENTICAL plan, one fewer count per
+    round). Driver ACTIONS, not raw Spark jobs: AQE materializes a
+    scheduler-dependent number of stage-jobs per action (measured
+    flapping +-1 across sessions in r10), while the action count is a
+    property of the query code path alone."""
     sha = "a" * 64
-    assert fingerprint(sha, 37) != fingerprint(sha, 39)
-    assert fingerprint(sha, 37) == f"{'a' * 16}:j37"
+    assert fingerprint(sha, 7) != fingerprint(sha, 9)
+    assert fingerprint(sha, 7) == f"{'a' * 16}:a7"
 
 
 def _write(repo: str, name: str, payload) -> None:
@@ -81,14 +86,14 @@ def test_auto_front_diffs_against_last_checked_round(tmp_path, monkeypatch):
     _write(repo, "CORRECTNESS_r01.json", {"a": {}, "b": {}})
     _write(repo, "CORRECTNESS_r02.json", {"c": {}, "d": {}})
     _write(repo, "PLAN_FPS_r01.json", _fp_file({
-        "a": {"fp": "A:j0", "stable": True},
-        "b": {"fp": "B:j0", "stable": True},
+        "a": {"fp": "A:a0", "stable": True},
+        "b": {"fp": "B:a0", "stable": True},
     }))
     _write(repo, "PLAN_FPS_r02.json", _fp_file({
-        "a": {"fp": "A2:j0", "stable": True},  # changed since its r1 row
-        "b": {"fp": "B:j0", "stable": True},   # unchanged
-        "c": {"fp": "C:j0", "stable": True},   # fresh (checked at r2)
-        "d": {"fp": "D:j0", "stable": True},
+        "a": {"fp": "A2:a0", "stable": True},  # changed since its r1 row
+        "b": {"fp": "B:a0", "stable": True},   # unchanged
+        "c": {"fp": "C:a0", "stable": True},   # fresh (checked at r2)
+        "d": {"fp": "D:a0", "stable": True},
     }))
     front, uncomparable = freshness.auto_front(repo)
     assert front == ["a"]
@@ -104,15 +109,15 @@ def test_auto_front_excludes_unstable_and_err_as_uncomparable(tmp_path, monkeypa
                         lambda: ["u", "e", "m"])
     _write(repo, "CORRECTNESS_r01.json", {"u": {}, "e": {}, "m": {}})
     _write(repo, "PLAN_FPS_r01.json", _fp_file({
-        "u": {"fp": "U:j0", "stable": False},
+        "u": {"fp": "U:a0", "stable": False},
         "e": {"err": "boom"},
         # "m" missing entirely from the snapshot
-        "m_other": {"fp": "X:j0", "stable": True},
+        "m_other": {"fp": "X:a0", "stable": True},
     }))
     _write(repo, "PLAN_FPS_r02.json", _fp_file({
-        "u": {"fp": "U2:j0", "stable": True},
-        "e": {"fp": "E:j0", "stable": True},
-        "m": {"fp": "M:j0", "stable": True},
+        "u": {"fp": "U2:a0", "stable": True},
+        "e": {"fp": "E:a0", "stable": True},
+        "m": {"fp": "M:a0", "stable": True},
     }))
     front, uncomparable = freshness.auto_front(repo)
     assert front == []
@@ -151,8 +156,8 @@ def test_auto_front_skips_rows_fresher_than_snapshot(tmp_path, monkeypatch):
     _write(repo, "CORRECTNESS_r01.json", {"a": {}})
     _write(repo, "CORRECTNESS_r02.json", {"a": {}})
     _write(repo, "PLAN_FPS_r01.json", _fp_file(
-        {"a": {"fp": "A:j0", "stable": True}}))
+        {"a": {"fp": "A:a0", "stable": True}}))
     _write(repo, "PLAN_FPS_r02.json", _fp_file(
-        {"a": {"fp": "A2:j0", "stable": True}}))
+        {"a": {"fp": "A2:a0", "stable": True}}))
     front, uncomparable = freshness.auto_front(repo)
     assert front == [] and uncomparable == []

@@ -16,27 +16,37 @@ builds every registry query at sf0.001 and records, per query,
     order is session-dependent, everything else in the analyzed plan
     is deterministic for this engine (all rand()/shuffle sites are
     seeded; the one uuid() helper is not used by any registry query);
-  - ``jobs``: the number of Spark jobs the query CONSTRUCTION runs
-    (job-group counted). Most queries are fully lazy (0); the
+  - ``actions``: the number of DRIVER-SIDE ACTIONS the query
+    CONSTRUCTION runs (count/collect/take/localCheckpoint/... —
+    counted by instrumenting the DataFrame action methods for the
+    duration of the build). Most queries are fully lazy (0); the
     iterative/collect-driven ones (connected components, k-means
     centroids, hot-key detection, memoized pair builds) do driver-side
     work whose shape an analyzed-plan hash alone cannot see — r9's
     star-contraction count-carry changed ONLY this (one fewer count
-    job per CC round; the returned plan is identical), which is
-    exactly the class of change that must still front a query.
+    per CC round; the returned plan is identical), which is exactly
+    the class of change that must still front a query.
 
-``fp = "<plan_sha[:16]>:j<jobs>"``. Each query is built ``--reps``
-times (default 3) in-session and the MAJORITY observation wins: the
-heaviest iterative builds (x41: 40+ jobs) sporadically read one
-phantom extra job even on a quiet box (scheduler artifact measured in
-r10 — 7 consecutive quiet reps dead-stable, then a lone +1 in a later
-session), and a single phantom must not veto comparability. No
+    Why actions and not raw Spark jobs: r10 first shipped a
+    job-group-counted metric and measured it flapping +-1 ACROSS
+    sessions with identical code, data, and config (AQE materializes
+    a variable number of stage-jobs per action — scheduler-dependent,
+    confirmed by sectioned probes on the star-CC build after every
+    take-scan had already been made deterministic). Actions are a
+    property of the query code path alone, so they are reproducible
+    by construction; a phantom AQE stage-job can never flip a
+    fingerprint again, while every real behavioural change (an added
+    catalog-cardinality count, a removed per-round convergence count)
+    is still one full unit.
+
+``fp = "<plan_sha[:16]>:a<actions>"``. Each query is built ``--reps``
+times (default 3) in-session and the MAJORITY observation wins; no
 majority -> ``stable: false`` and `freshness.py --front auto` excludes
 the query from diffing (an unstable fingerprint can only produce false
 fronts); all distinct observations are recorded under ``observed``.
-The shared prefix-pair memo is cleared before every build so ``jobs``
-is order-independent (same reasoning as bench.py's shared_pair_build
-line).
+The shared prefix-pair memo is cleared before every build so
+``actions`` is order-independent (same reasoning as bench.py's
+shared_pair_build line).
 
 Historical backfill: the tool takes ``--repo`` so it can run against a
 git worktree of a past round-close commit (the code state that round's
@@ -45,11 +55,10 @@ way in r10. The session config is PINNED HERE, identical for every
 round, so fingerprint diffs can only come from query code, never from
 session.py drift between rounds.
 
-PROTOCOL: run ONE instance at a time on a quiet box. Measured in r10:
-six concurrent instances produced phantom +1/-1 job counts on the
-heavy iterative queries (x41 read 44-45 under contention vs a
-dead-stable 43 across 7 quiet reps) — scheduler contention, not query
-nondeterminism. Sequential quiet runs are reproducible to the job.
+PROTOCOL: run ONE instance at a time on a quiet box — not strictly
+required since the actions metric (unlike the job-group count it
+replaced) is load-immune, but it keeps wall time predictable and the
+box honest for any bench run that follows.
 """
 
 from __future__ import annotations
@@ -76,8 +85,8 @@ def normalize_plan(plan: str) -> str:
     return _EXPR_ID.sub("#", _LAMBDA_ID.sub(r"lambda \1_#", plan))
 
 
-def fingerprint(plan_sha: str, jobs: int) -> str:
-    return f"{plan_sha[:16]}:j{jobs}"
+def fingerprint(plan_sha: str, actions: int) -> str:
+    return f"{plan_sha[:16]}:a{actions}"
 
 
 def _pinned_session(cpus: int):
@@ -103,6 +112,51 @@ def _pinned_session(cpus: int):
     )
 
 
+# DataFrame methods that launch driver-side work during query
+# CONSTRUCTION in this repo (collect-driven literals, eager
+# checkpoints, convergence probes). Wrapped for counting while a
+# build runs; head/first/isEmpty may delegate to take internally —
+# the double-count is deterministic, which is all that matters.
+_ACTION_METHODS = (
+    "count", "collect", "take", "first", "head", "tail", "isEmpty",
+    "toPandas", "localCheckpoint", "checkpoint", "foreach",
+    "foreachPartition",
+)
+
+
+class _ActionCounter:
+    """Counts DataFrame action-method invocations while installed.
+
+    Patches the CONCRETE runtime class (``type(spark.range(1))`` —
+    ``pyspark.sql.classic.dataframe.DataFrame`` in Spark 4), not the
+    ``pyspark.sql.DataFrame`` facade: the classic subclass overrides
+    every action method, so patching the base silently counts nothing.
+    """
+
+    def __init__(self, df_cls) -> None:
+        self.n = 0
+        self._cls = df_cls
+
+    def install(self):
+        originals = {}
+        for name in _ACTION_METHODS:
+            orig = getattr(self._cls, name)
+            originals[name] = orig
+
+            def _wrap(orig_fn):
+                def wrapper(df_self, *a, **k):
+                    self.n += 1
+                    return orig_fn(df_self, *a, **k)
+                return wrapper
+
+            setattr(self._cls, name, _wrap(orig))
+        return originals
+
+    def restore(self, originals) -> None:
+        for name, orig in originals.items():
+            setattr(self._cls, name, orig)
+
+
 def _clear_memos() -> None:
     """Reset the shared pair memo (the repo's only module-level memo)
     so every build pays its own jobs — order-independence, same as
@@ -120,7 +174,7 @@ def compute(repo: str, sf_dir: str, reps: int, cpus: int,
 
     spark = _pinned_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    tracker = spark.sparkContext.statusTracker()
+    df_cls = type(spark.range(1))  # the concrete classic DataFrame class
     registry = entry_mod.queries()
 
     out: dict[str, dict] = {}
@@ -129,42 +183,43 @@ def compute(repo: str, sf_dir: str, reps: int, cpus: int,
             continue
         seen: list[tuple[str, int]] = []
         err = None
-        # rep -1 is a discarded warm-up: the FIRST build of a query in
-        # a session can pay one extra job (cold file-listing / parquet
-        # footer read) that no later build repeats — measuring it would
-        # mark every cold query "unstable".
+        # rep -1 is a discarded warm-up: kept so rep>=0 builds run
+        # against warm file listings (actions are load- and
+        # cache-immune, but the warm-up also primes lazy imports and
+        # keeps per-query wall time comparable).
         for rep in range(-1, reps):
             _clear_memos()
-            group = f"fp-{name}-{rep}"
-            spark.sparkContext.setJobGroup(group, f"plan_fps {name}")
+            counter = _ActionCounter(df_cls)
+            originals = counter.install()
             try:
                 df = fn(spark, sf_dir)
                 plan = df._jdf.queryExecution().analyzed().toString()
                 sha = hashlib.sha256(
                     normalize_plan(plan).encode()
                 ).hexdigest()
-                jobs = len(tracker.getJobIdsForGroup(group))
                 if rep >= 0:
-                    seen.append((sha, jobs))
+                    seen.append((sha, counter.n))
             except Exception as exc:  # noqa: BLE001 — record, continue
                 err = f"{type(exc).__name__}: {exc}"[:300]
                 break
+            finally:
+                counter.restore(originals)
         if err is not None:
             out[name] = {"err": err}
         else:
             counts = Counter(seen)
-            (sha, jobs), votes = counts.most_common(1)[0]
+            (sha, actions), votes = counts.most_common(1)[0]
             rec = {
-                "fp": fingerprint(sha, jobs),
+                "fp": fingerprint(sha, actions),
                 "plan_sha": sha,
-                "jobs": jobs,
-                # majority-of-reps: one phantom job can't veto
+                "actions": actions,
+                # majority-of-reps: one flaky rep can't veto
                 # comparability, a genuine flip-flop still does
                 "stable": votes > len(seen) // 2,
             }
             if len(counts) > 1:
                 rec["observed"] = sorted(
-                    f"{s[:8]}:j{j}" for s, j in counts
+                    f"{s[:8]}:a{a}" for s, a in counts
                 )
             out[name] = rec
     spark.stop()
