@@ -177,25 +177,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # tools/freshness.py --window 50 --upto 9 --front
 # x13_dup_clusters_star,x56_assoc_rules,x59_semdedup`; the front is
 # the r10 plan-change set:
-#   (a) x13_dup_clusters_star — r9 verdict item 1: the star-contraction
-#       count-carry (dedup.py) changed its physical execution in r9,
-#       after its r5 driver row. Its plan FINGERPRINT is not
-#       auto-comparable (the convergence test's exceptAll().isEmpty()
-#       take-scan makes the job count timing-dependent, +-2 in one
-#       session), so `--front auto` reports it UNCOMPARABLE and the
-#       human rule applies — which the verdict already decided;
+#   (a) x13_dup_clusters_star — r9 verdict item 1 AND a `--front auto`
+#       finding: the star-contraction count-carry (dedup.py) changed
+#       its physical execution in r9 after its r5 driver row, and its
+#       plan hash had ALREADY changed in r7 (the algorithm swap) —
+#       the fingerprint diff sees the sha change directly;
 #   (b) x56_assoc_rules + x59_semdedup — found by `--front auto`
 #       (tools/plan_fps.py fingerprint diff): both plans changed in r7
 #       (broadcast-hint cardinality gate / semdedup scale redesign)
 #       but their last driver rows are r6 — stale-plan rows the r7-r9
 #       hand rotations missed;
+#   (c) x41_canonical_by_quality — fronted by r10 ITSELF: this round
+#       made the star-CC convergence probes deterministic (dedup.py:
+#       count()==0 instead of isEmpty() take-scans, one merged count
+#       for the empty-edges exit), which changes its build execution
+#       (one fewer driver action) after its r9 driver row. The same
+#       rule that fronted the others, applied to our own change; it
+#       is last in the front because it is the freshest.
 # then the body: the full 24-query _R9_TAIL block (r5-stale), then the
 # remaining r5/r6-stale queries oldest-first, filling 50 slots.
 _R10_WINDOW = [
-    # (a)+(b) plan changed after last driver row
+    # (a)+(b)+(c) plan changed after last driver row
     "x13_dup_clusters_star",
     "x56_assoc_rules",
     "x59_semdedup",
+    "x41_canonical_by_quality",
     # body: oldest-first from the r1..r9 driver history
     "q20_heavy_suppliers", "q21_sole_returner", "x25_kmeans_assign",
     "scd2_history", "dq_audit_orders", "a13_gapfill_daily",
@@ -211,7 +217,7 @@ _R10_WINDOW = [
     "a1_count", "a2_max_per_key", "a3_ohlcv", "a7_distinct",
     "a8_metric_rollup", "a26_window_median", "a27_sma_crossover",
     "a28_bollinger", "a29_ewma", "a30_max_drawdown", "x35_lm_score",
-    "x36_heavy_hitters", "a31_target_encode", "x37_feature_hash",
+    "x36_heavy_hitters", "a31_target_encode",
 ]
 
 # The generator's FULL next block (50 queries) — the r11 rotation
@@ -219,6 +225,7 @@ _R10_WINDOW = [
 # pinned by tests/test_freshness.py, r9 advice: the literal and the
 # claim "exactly what the generator emits" must agree).
 _R10_TAIL = [
+    "x37_feature_hash",
     "a32_event_transitions", "x30_inverted_index_capped", "a33_atr",
     "a34_rsi", "a35_stochastic", "a36_obv", "x38_pmi_collocations",
     "x39_char_entropy", "x40_bm25", "x42_pagerank",
@@ -234,7 +241,7 @@ _R10_TAIL = [
     "x63_boilerplate_ngrams", "a46_interevent_gaps",
     "x64_embedding_outliers", "x66_ngram_novelty", "a49_event_trigrams",
     "a52_supplier_lead_time", "x73_lang_confusion", "a53_dau_mau",
-    "x75_tfidf_topk_pairs", "x79_source_overlap",
+    "x75_tfidf_topk_pairs",
 ]
 
 

@@ -21,11 +21,16 @@ from freshness import auto_front, latest_rows, oldest_first
 # (star-contraction count-carry changed its execution in r9, after its
 # r5 driver row); x56/x59 are the `--front auto` findings (plans
 # changed in r7, last driver rows r6 — misses of the r7-r9 hand
-# rotations). Order = staleness order, same as the window body rule.
+# rotations); x41 is fronted by r10's OWN change (deterministic
+# convergence probes in dedup.py altered its build execution after its
+# r9 driver row — the snapshot diffed at upto=9 predates that change,
+# so auto cannot see it; PLAN_FPS_r10 records the new fingerprint).
+# Order = staleness order, same as the window body rule.
 R10_FRONT = [
     "x13_dup_clusters_star",
     "x56_assoc_rules",
     "x59_semdedup",
+    "x41_canonical_by_quality",
 ]
 
 # The five queries the r8 verdict hand-fronted for the r9 window —
@@ -40,17 +45,23 @@ R9_HAND_FRONT = {
 
 
 def test_auto_front_for_r10_is_the_pinned_front():
-    """`--front auto` at upto=9 finds x56/x59 and reports x13-star as
-    uncomparable (its jobs count is timing-dependent — the convergence
-    take-scan; see plan_fps.py). The human rule covers exactly the
-    uncomparable residue, and the r9 verdict already decided it:
-    front it. Pinning BOTH lists means a future snapshot that silently
-    changes either comparability or the diff fails here first."""
+    """`--front auto` at upto=9 finds exactly the three stale-plan
+    rows — x13-star (sha changed r7 + count-carry r9, row r5) and
+    x56/x59 (r7 changes, rows r6) — with ZERO uncomparable queries
+    (the action-count metric is reproducible across sessions; see
+    plan_fps.py). Pinning both lists means a future snapshot that
+    silently changes either comparability or the diff fails here
+    first."""
     front, uncomparable = auto_front(upto=9)
-    assert front == ["x56_assoc_rules", "x59_semdedup"]
-    assert uncomparable == ["x13_dup_clusters_star"]
+    assert front == [
+        "x13_dup_clusters_star", "x56_assoc_rules", "x59_semdedup",
+    ]
+    assert uncomparable == []
+    # R10_FRONT = the auto output + x41 (fronted by r10's own change,
+    # invisible to the upto=9 snapshots by construction — visible in
+    # the PLAN_FPS_r09-vs-r10 diff), in staleness order.
     assert R10_FRONT == sorted(
-        front + uncomparable,
+        front + ["x41_canonical_by_quality"],
         key=lambda n: [x[0] for x in oldest_first(upto=9)].index(n),
     )
 
