@@ -168,7 +168,8 @@ def _clear_memos() -> None:
 
 
 def compute(repo: str, sf_dir: str, reps: int, cpus: int,
-            only: set[str] | None = None) -> dict:
+            only: set[str] | None = None,
+            dump_dir: str | None = None) -> dict:
     sys.path.insert(0, repo)
     import __spark_entry__ as entry_mod
 
@@ -194,11 +195,15 @@ def compute(repo: str, sf_dir: str, reps: int, cpus: int,
             try:
                 df = fn(spark, sf_dir)
                 plan = df._jdf.queryExecution().analyzed().toString()
-                sha = hashlib.sha256(
-                    normalize_plan(plan).encode()
-                ).hexdigest()
+                normalized = normalize_plan(plan)
+                sha = hashlib.sha256(normalized.encode()).hexdigest()
                 if rep >= 0:
                     seen.append((sha, counter.n))
+                    if dump_dir and rep == 0:
+                        os.makedirs(dump_dir, exist_ok=True)
+                        with open(os.path.join(
+                                dump_dir, f"{name}.plan.txt"), "w") as fh:
+                            fh.write(normalized)
             except Exception as exc:  # noqa: BLE001 — record, continue
                 err = f"{type(exc).__name__}: {exc}"[:300]
                 break
@@ -240,10 +245,17 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--only", default="",
                     help="comma-separated query names (debug)")
+    ap.add_argument("--dump-plans", default="",
+                    help="also write each query's NORMALIZED analyzed "
+                         "plan text to this directory — diff two dumps "
+                         "(e.g. from two worktrees) to root-cause a "
+                         "fingerprint change instead of re-deriving it "
+                         "from the sha alone")
     args = ap.parse_args()
 
     only = {q for q in args.only.split(",") if q} or None
-    queries = compute(args.repo, args.sf_dir, args.reps, args.cpus, only)
+    queries = compute(args.repo, args.sf_dir, args.reps, args.cpus, only,
+                      dump_dir=args.dump_plans or None)
     payload = {
         "_meta": {
             "round": args.round,
