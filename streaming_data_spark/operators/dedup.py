@@ -546,6 +546,19 @@ def ngram_jaccard_pairs_prefix(
 _PREFIX_PAIR_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _context_stopped(df: DataFrame) -> bool:
+    """True iff the SparkContext a memoized DataFrame is bound to has
+    been stopped (``SparkContext.stop()`` nulls ``_jsc``). Anything
+    unreadable counts as stopped — eviction must fail-safe toward
+    dropping an entry we cannot prove alive."""
+    try:
+        sc = df.sparkSession.sparkContext
+        jsc = getattr(sc, "_jsc", None)
+        return jsc is None or jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001 — unreadable == not provably live
+        return True
+
+
 def ngram_jaccard_pairs_prefix_shared(
     df: DataFrame,
     id_col: str,
@@ -569,12 +582,16 @@ def ngram_jaccard_pairs_prefix_shared(
     except Exception:  # pragma: no cover — Connect/legacy fallback
         plan_id = df._jdf.queryExecution().analyzed().semanticHash()
     key = (app_id, plan_id, cache_token, id_col, text_col, n, threshold)
-    # Evict entries from other (stopped) sessions on EVERY call, not
-    # just before an insert (r9 advice): their keys can never match
-    # again and they pin DataFrames bound to dead SparkContexts — a
-    # long-lived process whose later sessions only ever hit existing
-    # keys would otherwise keep dead-session entries forever.
-    for stale in [k for k in _PREFIX_PAIR_CACHE if k[0] != app_id]:
+    # Evict entries whose SparkContext has actually STOPPED, on EVERY
+    # call — hit or insert (r9 advice): their keys can never match
+    # again and they pin DataFrames bound to dead contexts. Checked by
+    # liveness, not by app_id != caller (r10 advice): two CONCURRENT
+    # live sessions in one process must not thrash each other's
+    # memoized pair builds just by alternating calls.
+    for stale in [
+        k for k, v in _PREFIX_PAIR_CACHE.items()
+        if k[0] != app_id and _context_stopped(v)
+    ]:
         del _PREFIX_PAIR_CACHE[stale]
     cached = _PREFIX_PAIR_CACHE.get(key)
     if cached is None:

@@ -66,6 +66,57 @@ def test_vs_prev_guard_covers_shared_pair_build_line(tmp_path=None):
     assert "shared_pair_build" not in bench._flag(prev_ext, dict(prev_ext))
 
 
+def test_await_quiet_waits_then_passes_and_stops_at_budget():
+    """r10 verdict item 4 (the load gate): BENCH_r10's 8.5s headline
+    was recorded at loadavg 7.34 and was pure box noise. The gate must
+    (a) return immediately on a quiet box, (b) poll until the box
+    quiets, (c) give up at the wait budget rather than hang the driver."""
+    # (a) quiet box: no sleeping at all
+    la, waited = bench._await_quiet(
+        2.0, 600, poll_s=15,
+        loadavg=lambda: [0.4, 0.5, 0.6],
+        sleep=lambda s: (_ for _ in ()).throw(AssertionError("slept")))
+    assert la == [0.4, 0.5, 0.6] and waited == 0.0
+
+    # (b) loaded box that quiets after two polls
+    readings = iter([[5.0, 4, 4], [3.0, 4, 4], [1.2, 2, 2]])
+    slept = []
+    la, waited = bench._await_quiet(
+        2.0, 600, poll_s=15, loadavg=lambda: next(readings),
+        sleep=slept.append)
+    assert la[0] == 1.2 and waited == 30.0 and slept == [15, 15]
+
+    # (c) never quiets: stops at the budget, reports what it saw
+    la, waited = bench._await_quiet(
+        2.0, 45, poll_s=15, loadavg=lambda: [9.9, 9, 9],
+        sleep=lambda s: None)
+    assert la[0] == 9.9 and waited >= 45
+
+
+def test_committed_bench_artifacts_are_not_load_contaminated():
+    """The committed BENCH_r*.json is THE round record — a run that
+    stamped load_contaminated (box never quieted inside the wait
+    budget) must be rerun on a quiet box, never committed. BENCH_r10
+    predates the marker (its contamination was diagnosed post-hoc from
+    load_context); every artifact from r11 on is gated here."""
+    import glob
+    import json
+    import re
+
+    for path in glob.glob("/root/repo/BENCH_r*.json"):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        if rnd < 11:
+            continue
+        with open(path) as fh:
+            parsed = json.load(fh).get("parsed", {})
+        assert not parsed.get("load_contaminated"), (
+            f"{path} is load-contaminated — rerun bench.py on a quiet "
+            "box and re-record")
+        la = parsed.get("load_context", {}).get("loadavg_start")
+        assert la and la[0] <= bench.LOAD_GATE_THRESHOLD, (
+            f"{path} loadavg_start {la} exceeds the gate threshold")
+
+
 def test_x2_baseline_override_retires_with_the_artifact_it_corrects():
     """r9 advice: the 1.5s x2 pin corrects the specific 0.926s r01
     artifact (block-manager-cache leak, fixed r2). It must only apply

@@ -651,24 +651,45 @@ def test_prefix_pairs_shared_memo_equals_uncached_and_keys_correctly(spark, sf_s
         load_table(spark, sf_small, "documents"), "doc_id", "text",
         n=3, threshold=0.8, cache_token=sf_small,
     ) is shared1
-    # r9 eviction guard: entries keyed by a dead session's appId are
-    # dropped at the next insert (they can never be returned again).
-    dedup._PREFIX_PAIR_CACHE[("dead-app", 0, "tok", "doc_id", "text", 3, 0.8)] = shared1
+    # r9 eviction guard, r11-refined (r10 advice): entries whose
+    # SparkContext has actually STOPPED are dropped at the next insert
+    # (they can never be returned again) — but a foreign appId alone is
+    # NOT grounds for eviction: two concurrent LIVE sessions must not
+    # thrash each other's memo by alternating calls.
+    class _StoppedCtx:
+        _jsc = None
+
+    class _StoppedSession:
+        sparkContext = _StoppedCtx()
+
+    class _StoppedDF:
+        sparkSession = _StoppedSession()
+
+    assert dedup._context_stopped(_StoppedDF())
+    assert not dedup._context_stopped(shared1)
+    dedup._PREFIX_PAIR_CACHE[("dead-app", 0, "tok", "doc_id", "text", 3, 0.8)] = _StoppedDF()
+    live_foreign_key = ("live-other-app", 0, "tok", "doc_id", "text", 3, 0.8)
+    dedup._PREFIX_PAIR_CACHE[live_foreign_key] = shared1  # live context, other session
     dedup.ngram_jaccard_pairs_prefix_shared(
         docs, "doc_id", "text", n=3, threshold=0.9, cache_token=sf_small
     )
     assert all(
         k[0] != "dead-app" for k in dedup._PREFIX_PAIR_CACHE
-    ), "stale-session entry survived an insert"
+    ), "stopped-session entry survived an insert"
+    assert live_foreign_key in dedup._PREFIX_PAIR_CACHE, (
+        "live foreign-session entry was evicted — concurrent sessions "
+        "would thrash the memo"
+    )
     # r10 (r9 advice): eviction also runs on the pure HIT path — a
     # process whose later sessions only ever hit existing keys must
     # not pin dead-session DataFrames forever.
-    dedup._PREFIX_PAIR_CACHE[("dead-app-2", 0, "tok", "doc_id", "text", 3, 0.8)] = shared1
+    dedup._PREFIX_PAIR_CACHE[("dead-app-2", 0, "tok", "doc_id", "text", 3, 0.8)] = _StoppedDF()
     hit = dedup.ngram_jaccard_pairs_prefix_shared(
         docs, "doc_id", "text", n=3, threshold=0.8, cache_token=sf_small
     )
     assert hit is shared1  # still a hit...
     assert all(
         k[0] != "dead-app-2" for k in dedup._PREFIX_PAIR_CACHE
-    ), "stale-session entry survived a cache hit"
+    ), "stopped-session entry survived a cache hit"
+    assert live_foreign_key in dedup._PREFIX_PAIR_CACHE  # still not thrashed
     dedup._PREFIX_PAIR_CACHE.clear()

@@ -85,17 +85,43 @@ def test_auto_front_reproduces_and_dominates_the_r9_hand_front():
     assert uncomparable == []
 
 
-def test_r10_window_is_generator_output_from_r9_data():
-    """_R10_WINDOW == front + oldest-first body computed from r1..r9
-    driver history; _R10_TAIL is the FULL next block of that same
-    order (r9 advice: the literal is exactly what the generator
-    emits, length included)."""
+def test_r10_window_was_generator_output_from_r9_data():
+    """The r10 window (now history — its driver rows are in
+    CORRECTNESS_r10.json) was front + oldest-first body from the
+    r1..r9 driver history. Pinned via the r10 CORRECTNESS file itself:
+    the driver ran exactly the literal we shipped, so replaying the
+    generator against upto=9 data must reproduce that file's order."""
+    import json
+
+    with open("/root/repo/CORRECTNESS_r10.json") as fh:
+        r10_checked = list(json.load(fh))
     order = [n for n, _ in oldest_first(upto=9)]
     body = [n for n in order if n not in R10_FRONT]
     n_body = 50 - len(R10_FRONT)
-    assert entry_mod._R10_WINDOW == R10_FRONT + body[:n_body]
-    assert entry_mod._R10_TAIL == body[n_body : n_body + 50]
-    assert len(entry_mod._R10_TAIL) == 50
+    assert r10_checked == R10_FRONT + body[:n_body]
+
+
+def test_auto_front_for_r11_is_empty():
+    """`--front auto` at upto=10 emits ZERO fronts (r10 verdict item 1
+    pre-ran this): no plan fingerprint changed after its owner's last
+    driver row — r10's commits were rotation/bench bookkeeping plus
+    the dedup-probe change whose consumers were all IN the r10
+    window. Zero uncomparable, as every round since the action-count
+    metric landed."""
+    front, uncomparable = auto_front(upto=10)
+    assert front == []
+    assert uncomparable == []
+
+
+def test_r11_window_is_generator_output_from_r10_data():
+    """_R11_WINDOW == the pure oldest-first body from the r1..r10
+    driver history (zero fronts); _R11_TAIL is the FULL next block of
+    that same order (r9 advice: the literal is exactly what the
+    generator emits, length included)."""
+    order = [n for n, _ in oldest_first(upto=10)]
+    assert entry_mod._R11_WINDOW == order[:50]
+    assert entry_mod._R11_TAIL == order[50:100]
+    assert len(entry_mod._R11_TAIL) == 50
 
 
 def test_window_covers_registry_and_leads_queries():
@@ -103,21 +129,22 @@ def test_window_covers_registry_and_leads_queries():
     driver-checked size (50), and queries() iteration order leads with
     the window (the driver checks the FIRST 50 entries)."""
     names = list(entry_mod.queries())
-    assert len(entry_mod._R10_WINDOW) == 50
-    assert names[:50] == entry_mod._R10_WINDOW
-    assert set(entry_mod._R10_TAIL) <= set(names)
-    assert len(set(entry_mod._R10_WINDOW)) == 50  # no double-counted slots
+    assert len(entry_mod._R11_WINDOW) == 50
+    assert names[:50] == entry_mod._R11_WINDOW
+    assert set(entry_mod._R11_TAIL) <= set(names)
+    assert len(set(entry_mod._R11_WINDOW)) == 50  # no double-counted slots
 
 
 def test_staleness_accounting_matches_registry():
-    """Every registry query has a driver row by r9 (the r9 verdict's
-    cumulative-green claim: histogram r9=50, r8=50, r7=33, r6=49,
-    r5=39) and the registry is frozen at 221."""
-    latest = latest_rows(upto=9)
+    """Every registry query has a driver row by r10 (the r10 verdict's
+    cumulative-green claim: histogram r10=50, r9=49, r8=50, r7=33,
+    r6=39 — the floor advanced from r5 to r6 at the r10 close) and the
+    registry is frozen at 221."""
+    latest = latest_rows(upto=10)
     names = set(entry_mod.queries())
     assert names <= set(latest), sorted(names - set(latest))
     rounds = [latest[n][0] for n in names]
     assert len(rounds) == 221
-    assert min(rounds) >= 5  # nothing older than r5 entering r10
+    assert min(rounds) >= 6  # nothing older than r6 entering r11
     hist = {r: rounds.count(r) for r in set(rounds)}
-    assert hist == {9: 50, 8: 50, 7: 33, 6: 49, 5: 39}
+    assert hist == {10: 50, 9: 49, 8: 50, 7: 33, 6: 39}

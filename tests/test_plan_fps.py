@@ -17,9 +17,12 @@ import json
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
+import plan_fps  # noqa: E402
 from plan_fps import fingerprint, normalize_plan  # noqa: E402
 import freshness  # noqa: E402
 
@@ -145,6 +148,64 @@ def test_snapshot_exists_for_every_driver_round():
         f"newest PLAN_FPS is r{fps} but the driver has checked up to "
         f"r{cor} — run tools/plan_fps.py before round close"
     )
+
+
+def test_compute_rejects_reps_below_two():
+    """r10 advice: majority-vote stability is vacuous at one
+    observation (votes=1 > 0 marks stable=true), and --reps 0 crashed
+    on most_common(1)[0]. compute() refuses both before touching
+    Spark."""
+    for bad in (0, 1, -3):
+        with pytest.raises(SystemExit):
+            plan_fps.compute("/root/repo", "/root/testdata/sf0.001",
+                             reps=bad, cpus=2)
+
+
+def test_auto_front_warns_on_engine_version_mismatch(tmp_path, monkeypatch, capsys):
+    """r10 advice: an engine upgrade between rounds changes
+    analyzed-plan strings wholesale — a cross-version diff must warn
+    that its fronts may be engine artifacts, not query-code changes.
+    Same-version (and version-less legacy) snapshots stay silent."""
+    repo = str(tmp_path)
+    monkeypatch.setattr(freshness, "registry_names", lambda: ["a"])
+    _write(repo, "CORRECTNESS_r01.json", {"a": {}})
+    _write(repo, "PLAN_FPS_r01.json", {
+        "_meta": {"engine": {"pyspark": "4.0.0", "spark": "4.0.0"}},
+        "queries": {"a": {"fp": "A:a0", "stable": True}},
+    })
+    _write(repo, "PLAN_FPS_r02.json", {
+        "_meta": {"engine": {"pyspark": "4.1.2", "spark": "4.1.2"}},
+        "queries": {"a": {"fp": "A2:a0", "stable": True}},
+    })
+    front, _ = freshness.auto_front(repo)
+    assert front == ["a"]  # the diff still runs...
+    assert "WARNING" in capsys.readouterr().err  # ...but warns loudly
+    # same engine on both sides -> silent
+    _write(repo, "PLAN_FPS_r01.json", {
+        "_meta": {"engine": {"pyspark": "4.1.2", "spark": "4.1.2"}},
+        "queries": {"a": {"fp": "A:a0", "stable": True}},
+    })
+    freshness.auto_front(repo)
+    assert "WARNING" not in capsys.readouterr().err
+    # legacy snapshot without engine metadata -> no false alarm
+    _write(repo, "PLAN_FPS_r01.json", _fp_file(
+        {"a": {"fp": "A:a0", "stable": True}}))
+    freshness.auto_front(repo)
+    assert "WARNING" not in capsys.readouterr().err
+
+
+def test_window_smaller_than_front_errors(monkeypatch):
+    """r10 advice: len(front) > --window used to slice with a negative
+    bound and silently emit a wrong-sized window literal."""
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())[:3]
+    monkeypatch.setattr(
+        sys, "argv",
+        ["freshness.py", "--window", "2", "--front", ",".join(names)])
+    with pytest.raises(SystemExit) as exc:
+        freshness.main()
+    assert "wrong-sized window" in str(exc.value)
 
 
 def test_auto_front_skips_rows_fresher_than_snapshot(tmp_path, monkeypatch):

@@ -79,13 +79,19 @@ def plan_fp_rounds(repo: str = HERE, upto: int | None = None) -> dict[int, dict]
     """round -> {query -> fingerprint record} from PLAN_FPS_r*.json
     (written by tools/plan_fps.py against each round-close code
     state; r4-r8 were backfilled from git worktrees in r10)."""
+    return {rnd: payload["queries"]
+            for rnd, payload in _plan_fp_payloads(repo, upto).items()}
+
+
+def _plan_fp_payloads(repo: str = HERE, upto: int | None = None
+                      ) -> dict[int, dict]:
     out: dict[int, dict] = {}
     for path in glob.glob(os.path.join(repo, "PLAN_FPS_r*.json")):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         if upto is not None and rnd > upto:
             continue
         with open(path) as fh:
-            out[rnd] = json.load(fh)["queries"]
+            out[rnd] = json.load(fh)
     return out
 
 
@@ -104,12 +110,35 @@ def auto_front(repo: str = HERE, upto: int | None = None
     round — which need the old human judgment; the pytest pins this
     list so it can only shrink deliberately.
     """
-    fps = plan_fp_rounds(repo, upto)
+    payloads = _plan_fp_payloads(repo, upto)
+    fps = {rnd: p["queries"] for rnd, p in payloads.items()}
     if not fps:
         raise SystemExit("no PLAN_FPS_r*.json snapshots found — run "
                          "tools/plan_fps.py first")
     cur_round = max(fps)
     cur = fps[cur_round]
+    # Engine-identity guard (r10 advice): a pyspark upgrade between
+    # rounds changes analyzed-plan strings wholesale — a cross-version
+    # fp diff would front swaths of the registry and attribute it to
+    # "query code changed". Warn loudly; the diffs still run (the
+    # operator must then judge the fronts by hand).
+    def _engine(rnd: int):
+        return payloads.get(rnd, {}).get("_meta", {}).get("engine")
+
+    cur_engine = _engine(cur_round)
+    if cur_engine is not None:
+        mismatched = sorted(
+            rnd for rnd in fps
+            if rnd != cur_round and _engine(rnd) is not None
+            and _engine(rnd) != cur_engine
+        )
+        if mismatched:
+            print(
+                f"# WARNING: PLAN_FPS_r{cur_round} was taken under engine "
+                f"{cur_engine} but rounds {mismatched} were not — "
+                "fingerprint diffs against those rounds may reflect the "
+                "engine upgrade, not query-code changes; judge any "
+                "resulting fronts by hand", file=sys.stderr)
     latest = latest_rows(repo, upto)
     front: list[str] = []
     uncomparable: list[str] = []
@@ -164,6 +193,11 @@ def main() -> None:
             print(f"  r{rnd}  {name}")
         return
 
+    if len(front) > args.window:
+        raise SystemExit(
+            f"--front has {len(front)} queries but --window is only "
+            f"{args.window}: a negative body slice would silently emit "
+            "a wrong-sized window — shrink the front or grow the window")
     body = [n for n, _ in order if n not in front]
     window = front + body[: args.window - len(front)]
     tail = body[args.window - len(front):][: args.window]

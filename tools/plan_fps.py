@@ -169,11 +169,22 @@ def _clear_memos() -> None:
 
 def compute(repo: str, sf_dir: str, reps: int, cpus: int,
             only: set[str] | None = None,
-            dump_dir: str | None = None) -> dict:
+            dump_dir: str | None = None) -> tuple[dict, dict]:
+    """Returns ``(per-query records, engine env)``. ``reps`` must be
+    >= 2: majority-vote stability is vacuous at one observation (a
+    single rep can never demonstrate reproducibility — r10 advice)."""
+    if reps < 2:
+        raise SystemExit(
+            f"--reps must be >= 2 (got {reps}): stability is a "
+            "majority over repeated observations; one observation "
+            "marks everything 'stable' vacuously")
     sys.path.insert(0, repo)
+    import pyspark
+
     import __spark_entry__ as entry_mod
 
     spark = _pinned_session(cpus)
+    env = {"pyspark": pyspark.__version__, "spark": spark.version}
     spark.sparkContext.setLogLevel("ERROR")
     df_cls = type(spark.range(1))  # the concrete classic DataFrame class
     registry = entry_mod.queries()
@@ -219,8 +230,11 @@ def compute(repo: str, sf_dir: str, reps: int, cpus: int,
                 "plan_sha": sha,
                 "actions": actions,
                 # majority-of-reps: one flaky rep can't veto
-                # comparability, a genuine flip-flop still does
-                "stable": votes > len(seen) // 2,
+                # comparability, a genuine flip-flop still does.
+                # votes >= 2 belt-and-braces (r10 advice): even if a
+                # build error truncated `seen` to one rep, a single
+                # observation is never evidence of stability.
+                "stable": votes >= 2 and votes > len(seen) // 2,
             }
             if len(counts) > 1:
                 rec["observed"] = sorted(
@@ -228,7 +242,7 @@ def compute(repo: str, sf_dir: str, reps: int, cpus: int,
                 )
             out[name] = rec
     spark.stop()
-    return out
+    return out, env
 
 
 def main() -> None:
@@ -254,8 +268,8 @@ def main() -> None:
     args = ap.parse_args()
 
     only = {q for q in args.only.split(",") if q} or None
-    queries = compute(args.repo, args.sf_dir, args.reps, args.cpus, only,
-                      dump_dir=args.dump_plans or None)
+    queries, env = compute(args.repo, args.sf_dir, args.reps, args.cpus,
+                           only, dump_dir=args.dump_plans or None)
     payload = {
         "_meta": {
             "round": args.round,
@@ -263,6 +277,13 @@ def main() -> None:
             "sf_dir": args.sf_dir,
             "reps": args.reps,
             "cpus": args.cpus,
+            # Engine identity (r10 advice): an engine upgrade between
+            # rounds changes analyzed-plan strings and internal action
+            # delegation — a cross-version fingerprint diff would
+            # front swaths of the registry with a misleading "query
+            # code changed" attribution. freshness.py --front auto
+            # warns when snapshots disagree here.
+            "engine": env,
             "n_queries": len(queries),
             "n_unstable": sum(
                 1 for v in queries.values() if v.get("stable") is False
