@@ -86,6 +86,8 @@ def main() -> None:
         spark.stop()
         return
 
+    from streaming_data_spark.operators import dedup as _dedup
+
     names = sys.argv[2:]
     qs = entry.queries()
     result: dict[str, dict[str, float]] = {}
@@ -99,6 +101,11 @@ def main() -> None:
                 continue
             best = float("inf")
             for _ in range(2):
+                # Standalone cost per rep: the shared prefix-pair memo
+                # would otherwise make rep 2 (and every same-scale
+                # consumer) a warm cache hit — same protocol as
+                # bench.py's shared_pair_build line and scale_probe.py.
+                _dedup._PREFIX_PAIR_CACHE.clear()
                 t0 = time.time()
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
