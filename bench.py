@@ -146,9 +146,16 @@ def main() -> None:
     # Wait out box noise before the clock starts (r10 verdict item 4).
     # SPARK_GRAFT_LOAD_WAIT=0 disables the wait (quick local iteration
     # on a busy box); the contamination stamp below still applies.
-    threshold = float(os.environ.get(
-        "SPARK_GRAFT_LOAD_THRESHOLD", LOAD_GATE_THRESHOLD))
-    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
+    def _env_float(name: str, default: float) -> float:
+        # a malformed env var must never kill the run — the driver
+        # contract is ONE JSON line, always
+        try:
+            return float(os.environ.get(name, default))
+        except ValueError:
+            return default
+
+    threshold = _env_float("SPARK_GRAFT_LOAD_THRESHOLD", LOAD_GATE_THRESHOLD)
+    wait_budget = _env_float("SPARK_GRAFT_LOAD_WAIT", 600.0)
     _load_avg0, _waited = _await_quiet(threshold, wait_budget)
     contaminated = bool(_load_avg0) and _load_avg0[0] > threshold
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

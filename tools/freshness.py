@@ -127,10 +127,13 @@ def auto_front(repo: str = HERE, upto: int | None = None
 
     cur_engine = _engine(cur_round)
     if cur_engine is not None:
+        # only rounds some stale query actually diffs against — a
+        # mismatched snapshot nothing maps to cannot mis-front anyone
+        used = {rnd for _, rnd in oldest_first(repo, upto)
+                if rnd < cur_round and rnd in fps}
         mismatched = sorted(
-            rnd for rnd in fps
-            if rnd != cur_round and _engine(rnd) is not None
-            and _engine(rnd) != cur_engine
+            rnd for rnd in used
+            if _engine(rnd) is not None and _engine(rnd) != cur_engine
         )
         if mismatched:
             print(
