@@ -39,8 +39,17 @@ def pagerank(
     from 1/N. The symmetric graph has no dangling nodes, so total
     mass is conserved without a redistribution term.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Materialize the edge list ONCE before symmetrizing: the union's
+    # two branches would otherwise each replay the whole upstream pair
+    # computation (shingle explode + similarity join on near-dup
+    # inputs) — measured 75.6s vs 21.5s at x30 data, where the edge
+    # OUTPUT is only thousands of rows. Same guard triangles() and
+    # kcore_peel() already carry.
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct().localCheckpoint()
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("u").alias("id"), "deg").localCheckpoint()

@@ -101,26 +101,37 @@ def test_r10_window_was_generator_output_from_r9_data():
     assert r10_checked == R10_FRONT + body[:n_body]
 
 
-def test_auto_front_for_r11_is_empty():
+def test_auto_front_for_r11_at_r10_snapshots_is_empty():
     """`--front auto` at upto=10 emits ZERO fronts (r10 verdict item 1
     pre-ran this): no plan fingerprint changed after its owner's last
     driver row — r10's commits were rotation/bench bookkeeping plus
     the dedup-probe change whose consumers were all IN the r10
     window. Zero uncomparable, as every round since the action-count
-    metric landed."""
+    metric landed. (r11 then fronted x42_pagerank by its OWN change —
+    see the next test — which the upto=10 view cannot see by
+    construction: the fix postdates the r10 snapshot.)"""
     front, uncomparable = auto_front(upto=10)
     assert front == []
     assert uncomparable == []
 
 
+R11_FRONT = ["x42_pagerank"]
+
+
 def test_r11_window_is_generator_output_from_r10_data():
-    """_R11_WINDOW == the pure oldest-first body from the r1..r10
-    driver history (zero fronts); _R11_TAIL is the FULL next block of
-    that same order (r9 advice: the literal is exactly what the
-    generator emits, length included)."""
+    """_R11_WINDOW == front + oldest-first body from the r1..r10
+    driver history; _R11_TAIL is the FULL next block of that same
+    order (r9 advice: the literal is exactly what the generator
+    emits, length included). The front is x42_pagerank, fronted by
+    r11's own pagerank edge-replay fix (one extra driver action in
+    its build, fp a8->a9 in PLAN_FPS_r11; SCALE.md Round-11) — x42
+    was already in the window by staleness, so the front changes the
+    ORDER, not the 50-query set."""
     order = [n for n, _ in oldest_first(upto=10)]
-    assert entry_mod._R11_WINDOW == order[:50]
-    assert entry_mod._R11_TAIL == order[50:100]
+    body = [n for n in order if n not in R11_FRONT]
+    assert entry_mod._R11_WINDOW == R11_FRONT + body[:49]
+    assert set(entry_mod._R11_WINDOW) == set(order[:50])  # same set, reordered
+    assert entry_mod._R11_TAIL == body[49:99]
     assert len(entry_mod._R11_TAIL) == 50
 
 
