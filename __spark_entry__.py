@@ -176,21 +176,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # 50 entries in insertion order). Generated by `python
 # tools/freshness.py --window 50 --front auto` over the r1..r10 driver
 # history + the PLAN_FPS_r11 snapshot. `--front auto` fronts exactly
-# ONE query:
-#   x42_pagerank — fronted by r11's OWN change: the round's x30 scale
-#   probe exposed that graph.pagerank's symmetrizing union replayed
-#   the upstream pair join in both branches (75.6 s vs 21.5 s at x30
-#   for a 7,680-row edge output; SCALE.md Round-11); the
-#   materialize-once fix adds one driver action to x42's build
-#   (fp a8 -> a9), changing its execution after its r6 driver row.
-#   x42 was already IN this window by staleness — the front only
-#   moves it to the head, the 50-query SET is unchanged.
-# The body is the pure oldest-first order: the 39 queries whose last
-# driver row is r6, then the 11 oldest r7 entries — the r10 tail
-# block. The freshness floor advances from r6 to r7 when the r11
-# driver records these rows.
+# TWO queries, both by r11's OWN changes (the round's x30 scale probe
+# exposed one defect class — a lazy expensive edge plan referenced by
+# multiple branches, replaying the corpus-wide pair join — in two
+# operators; SCALE.md Round-11 + addendum):
+#   x42_pagerank — graph.pagerank's symmetrizing union replayed the
+#   pair join in both branches (75.6 s vs 21.5 s at x30 for a
+#   7,680-row edge output); the materialize-once fix adds one driver
+#   action to its build (fp a8 -> a9) after its r6 driver row. It was
+#   already IN this window by staleness — the front moves it to the
+#   head.
+#   x13_dup_clusters — the same bug in label-prop CC, compounded:
+#   `sym` fed EVERY round's join, replaying the pair plan ~2x per
+#   round (x30 wall 66.7 -> 19.2 s after the fix; fp a5 -> a7, two
+#   new eager checkpoints) after its r8 driver row. Fronting it
+#   pushes the 50th body query (x75_tfidf_topk_pairs) to the tail
+#   head.
+# The body is the pure oldest-first order: the r6-stale queries, then
+# the oldest r7 entries — the r10 tail block. The freshness floor
+# advances from r6 to r7 when the r11 driver records these rows.
 _R11_WINDOW = [
     "x42_pagerank",
+    "x13_dup_clusters",
     "x37_feature_hash",
     "a32_event_transitions", "x30_inverted_index_capped", "a33_atr",
     "a34_rsi", "a35_stochastic", "a36_obv", "x38_pmi_collocations",
@@ -207,7 +214,6 @@ _R11_WINDOW = [
     "x63_boilerplate_ngrams", "a46_interevent_gaps",
     "x64_embedding_outliers", "x66_ngram_novelty", "a49_event_trigrams",
     "a52_supplier_lead_time", "x73_lang_confusion", "a53_dau_mau",
-    "x75_tfidf_topk_pairs",
 ]
 
 # The generator's FULL next block (50 queries) — the r12 rotation
@@ -215,6 +221,7 @@ _R11_WINDOW = [
 # pinned by tests/test_freshness.py, r9 advice: the literal and the
 # claim "exactly what the generator emits" must agree).
 _R11_TAIL = [
+    "x75_tfidf_topk_pairs",
     "x79_source_overlap", "j8_asof_forward", "a59_discount_waterfall",
     "x81_chunk_dedup", "a61_revenue_gini", "a64_burst_ratio",
     "a65_fulfillment_span", "a67_transition_latency",
@@ -232,7 +239,7 @@ _R11_TAIL = [
     "x100_kmv_distinct", "x101_bloom_filter_eval", "a80_holt_winters",
     "x102_ndcg_eval", "x103_hubness_koccurrence", "a81_decile_migration",
     "a10_percentiles", "a11_cube_counts", "j5_interval_join",
-    "q10_returned_items", "q14_promo_revenue", "q16_supplier_cnt",
+    "q10_returned_items", "q14_promo_revenue",
 ]
 
 

@@ -289,10 +289,21 @@ def connected_components(
     near-dup candidate set (orders of magnitude smaller than the
     corpus), so rounds are cheap relative to the pair-finding stage.
     """
+    # Materialize the edge projection ONCE before symmetrizing, and
+    # the symmetrized set once before iterating: `sym` feeds every
+    # round's join, so a lazy plan here replays the whole upstream
+    # pair computation (shingle explode + similarity join over the
+    # corpus) 2x per round — measured as x13's superlinear x30 ratio
+    # (66.7s, of which the 7,680-row edge list's pair join was being
+    # recomputed ~8x; SCALE.md Round-11). Same guard pagerank /
+    # triangles / kcore_peel / star-CC carry.
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")

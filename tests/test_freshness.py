@@ -107,31 +107,33 @@ def test_auto_front_for_r11_at_r10_snapshots_is_empty():
     driver row — r10's commits were rotation/bench bookkeeping plus
     the dedup-probe change whose consumers were all IN the r10
     window. Zero uncomparable, as every round since the action-count
-    metric landed. (r11 then fronted x42_pagerank by its OWN change —
+    metric landed. (r11 then fronted two queries by its OWN changes —
     see the next test — which the upto=10 view cannot see by
-    construction: the fix postdates the r10 snapshot.)"""
+    construction: both fixes postdate the r10 snapshot.)"""
     front, uncomparable = auto_front(upto=10)
     assert front == []
     assert uncomparable == []
 
 
-R11_FRONT = ["x42_pagerank"]
+# Both fronted by r11's OWN edge-replay fixes (SCALE.md Round-11 +
+# addendum): graph.pagerank (+1 action, fp a8->a9, last driver row r6)
+# and label-prop connected_components (+2 actions, fp a5->a7, last
+# driver row r8). Front order = staleness order, same as the body.
+R11_FRONT = ["x42_pagerank", "x13_dup_clusters"]
 
 
 def test_r11_window_is_generator_output_from_r10_data():
     """_R11_WINDOW == front + oldest-first body from the r1..r10
     driver history; _R11_TAIL is the FULL next block of that same
     order (r9 advice: the literal is exactly what the generator
-    emits, length included). The front is x42_pagerank, fronted by
-    r11's own pagerank edge-replay fix (one extra driver action in
-    its build, fp a8->a9 in PLAN_FPS_r11; SCALE.md Round-11) — x42
-    was already in the window by staleness, so the front changes the
-    ORDER, not the 50-query set."""
+    emits, length included). x42 was already in the window by
+    staleness (the front only moves it up); fronting x13 (last row
+    r8) pushes the 50th body query to the tail head."""
     order = [n for n, _ in oldest_first(upto=10)]
     body = [n for n in order if n not in R11_FRONT]
-    assert entry_mod._R11_WINDOW == R11_FRONT + body[:49]
-    assert set(entry_mod._R11_WINDOW) == set(order[:50])  # same set, reordered
-    assert entry_mod._R11_TAIL == body[49:99]
+    n_body = 50 - len(R11_FRONT)
+    assert entry_mod._R11_WINDOW == R11_FRONT + body[:n_body]
+    assert entry_mod._R11_TAIL == body[n_body : n_body + 50]
     assert len(entry_mod._R11_TAIL) == 50
 
 
