@@ -70,9 +70,30 @@ def _replicate(spark: SparkSession) -> None:
         .withColumn("text", F.regexp_replace("text", r"(\S+)", rf"$1c{i}"))) \
         .write.mode("overwrite").parquet(f"{DST}/documents.parquet")
 
+    # Embeddings fan with a PER-COPY ORTHOGONAL TRANSFORM (cyclic
+    # coordinate shift + copy-dependent sign pattern): preserves every
+    # within-copy cosine exactly while making cross-copy similarities
+    # generic, so near-dup candidate volume grows LINEARLY in copies.
+    # A raw vec_id-offset fan (the pre-r11 version) made every vector
+    # an exact duplicate of its 9 twins — quadratic cross-copy
+    # candidate volume, the dishonest shape (the text fan's
+    # suffix-perturbation solves the same problem for shingles).
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
-    fan(emb, lambda d, i: d.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFF))) \
-        .write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+
+    def _rot(d: DataFrame, i: int) -> DataFrame:
+        if i == 0:
+            c = d  # copy 0 is the untouched base
+        else:
+            c = d.withColumn("embedding", F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.element_at(
+                    "embedding", ((j + F.lit(i)) % dim + 1).cast("int")
+                ) * F.when((j + F.lit(i * 7)) % 3 == 0, -1.0).otherwise(1.0),
+            ))
+        return c.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFF))
+
+    fan(emb, _rot).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 
 
 HEAVY = [

@@ -69,6 +69,41 @@ def _replicate(spark: SparkSession) -> None:
         .withColumn("text", F.regexp_replace("text", r"(\S+)", rf"$1c{i}"))) \
         .write.mode("overwrite").parquet(f"{X30}/documents.parquet")
 
+    _replicate_embeddings(spark)
+
+
+def _replicate_embeddings(spark: SparkSession) -> None:
+    """Fan embeddings 30× with a PER-COPY ORTHOGONAL TRANSFORM
+    (cyclic coordinate shift by the copy index + a copy-dependent
+    ±1 sign pattern). Orthogonality preserves every WITHIN-copy
+    cosine exactly — each copy is a faithful replica of the base
+    similarity structure — while cross-copy similarities become
+    generic (a permuted-and-sign-flipped vector is uncorrelated with
+    its source for non-degenerate data), so near-dup pair volume
+    grows LINEARLY with copies. A raw vec_id-offset fan would instead
+    make every vector an EXACT duplicate of 29 twins and near-dup
+    candidate volume quadratic in copies — the dishonest shape (the
+    text fan's suffix-perturbation solves the same problem for
+    shingles). vec_id offsets match the documents fan so doc⋈embedding
+    joins stay aligned per copy."""
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    out = None
+    for i in range(COPIES):
+        if i == 0:
+            c = emb  # copy 0 is the untouched base
+        else:
+            rotated = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.element_at(
+                    "embedding", ((j + F.lit(i)) % dim + 1).cast("int")
+                ) * F.when((j + F.lit(i * 7)) % 3 == 0, -1.0).otherwise(1.0),
+            )
+            c = emb.withColumn("embedding", rotated)
+        c = c.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFF))
+        out = c if out is None else out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{X30}/embeddings.parquet")
+
 
 def main() -> None:
     from streaming_data_spark.session import get_session
@@ -83,6 +118,13 @@ def main() -> None:
         t0 = time.time()
         _replicate(spark)
         print(json.dumps({"replicated": "x30", "sec": round(time.time() - t0, 1)}))
+        spark.stop()
+        return
+    if stage == "embeddings":  # regenerate only the embeddings fan
+        t0 = time.time()
+        _replicate_embeddings(spark)
+        print(json.dumps({"replicated": "x30-embeddings",
+                          "sec": round(time.time() - t0, 1)}))
         spark.stop()
         return
 
