@@ -70,6 +70,30 @@ def _replicate(spark: SparkSession) -> None:
         .write.mode("overwrite").parquet(f"{X30}/documents.parquet")
 
     _replicate_embeddings(spark)
+    _replicate_events(spark)
+
+
+def _replicate_events(spark: SparkSession) -> None:
+    """Fan events 30× — same raw-long nanos handling as
+    tools/scale_probe.py so load_table's ts logic applies identically
+    to the replica. event_id offset per copy; user/session dimensions
+    stay in range (30× events against the same user universe, the
+    honest growth shape for a behavioral log)."""
+    def fan(df: DataFrame, build) -> DataFrame:
+        out = None
+        for i in range(COPIES):
+            c = build(df, i)
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        ev = spark.read.parquet(f"{SRC}/events.parquet")
+        fan(ev, lambda d, i: d.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * OFF))) \
+            .write.mode("overwrite").parquet(f"{X30}/events.parquet")
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
 
 
 def _replicate_embeddings(spark: SparkSession) -> None:
@@ -124,6 +148,13 @@ def main() -> None:
         t0 = time.time()
         _replicate_embeddings(spark)
         print(json.dumps({"replicated": "x30-embeddings",
+                          "sec": round(time.time() - t0, 1)}))
+        spark.stop()
+        return
+    if stage == "events":  # regenerate only the events fan
+        t0 = time.time()
+        _replicate_events(spark)
+        print(json.dumps({"replicated": "x30-events",
                           "sec": round(time.time() - t0, 1)}))
         spark.stop()
         return
