@@ -168,59 +168,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT27_QUERIES,
         **EXT28_QUERIES,
     }
-    front = [n for n in _R11_WINDOW + _R11_TAIL if n in merged]
+    front = [n for n in _R12_WINDOW + _R12_TAIL if n in merged]
     return {**{n: merged[n] for n in front}, **merged}
 
 
-# Round-11 driver window (the grading driver oracle-checks the FIRST
+# Round-12 driver window (the grading driver oracle-checks the FIRST
 # 50 entries in insertion order). Generated by `python
-# tools/freshness.py --window 50 --front auto` over the r1..r10 driver
-# history + the PLAN_FPS_r11 snapshot. `--front auto` fronts exactly
-# TWO queries, both by r11's OWN changes (the round's x30 scale probe
-# exposed one defect class — a lazy expensive edge plan referenced by
-# multiple branches, replaying the corpus-wide pair join — in two
-# operators; SCALE.md Round-11 + addendum):
-#   x42_pagerank — graph.pagerank's symmetrizing union replayed the
-#   pair join in both branches (75.6 s vs 21.5 s at x30 for a
-#   7,680-row edge output); the materialize-once fix adds one driver
-#   action to its build (fp a8 -> a9) after its r6 driver row. It was
-#   already IN this window by staleness — the front moves it to the
-#   head.
-#   x13_dup_clusters — the same bug in label-prop CC, compounded:
-#   `sym` fed EVERY round's join, replaying the pair plan ~2x per
-#   round (x30 wall 66.7 -> 19.2 s after the fix; fp a5 -> a7, two
-#   new eager checkpoints) after its r8 driver row. Fronting it
-#   pushes the 50th body query (x75_tfidf_topk_pairs) to the tail
-#   head.
-# The body is the pure oldest-first order: the r6-stale queries, then
-# the oldest r7 entries — the r10 tail block. The freshness floor
-# advances from r6 to r7 when the r11 driver records these rows.
-_R11_WINDOW = [
-    "x42_pagerank",
-    "x13_dup_clusters",
-    "x37_feature_hash",
-    "a32_event_transitions", "x30_inverted_index_capped", "a33_atr",
-    "a34_rsi", "a35_stochastic", "a36_obv", "x38_pmi_collocations",
-    "x39_char_entropy", "x40_bm25",
-    "x43_stratified_split", "x44_class_balance", "x45_hard_negatives",
-    "x46_ks_drift", "x47_chi2_drift", "x48_psi_drift", "x49_js_hourly",
-    "x50_cusum", "x51_bpe_pairs", "x52_zipf_slope", "a37_holt_forecast",
-    "x53_mutual_info", "a38_rfm_segments", "x54_auc", "x55_winsorize",
-    "x57_triangles", "a39_seasonal_dow", "x58_knn_classify",
-    "a40_anomaly_mad", "a41_ab_welch", "x60_benford",
-    "x61_key_concentration", "x62_pca_power", "j1_dim_fact_join",
-    "j3_upsert_anti", "semi_join_exists", "q1_pricing_summary",
-    "q3_shipping_priority", "a42_time_to_convert", "a44_order_total_audit",
-    "x63_boilerplate_ngrams", "a46_interevent_gaps",
-    "x64_embedding_outliers", "x66_ngram_novelty", "a49_event_trigrams",
-    "a52_supplier_lead_time", "x73_lang_confusion", "a53_dau_mau",
-]
-
-# The generator's FULL next block (50 queries) — the r12 rotation
-# starts here (oldest-first invariant, same generator; the length is
-# pinned by tests/test_freshness.py, r9 advice: the literal and the
-# claim "exactly what the generator emits" must agree).
-_R11_TAIL = [
+# tools/freshness.py --window 50 --front auto` over the r1..r11 driver
+# history + the PLAN_FPS_r11 snapshot. `--front auto` emits ZERO
+# fronts this round (the r11 verdict pre-ran the generator and
+# predicted exactly this): r11's only engine changes were the two
+# edge-replay fixes, and both consumers (x42_pagerank,
+# x13_dup_clusters) got fresh r11 driver rows AFTER the
+# PLAN_FPS_r11 re-snapshot, so no plan fingerprint postdates its
+# owner's last driver row. The window is therefore the pure
+# oldest-first body: the 23 queries whose latest driver row is r7
+# (starting x75_tfidf_topk_pairs) followed by the 27 oldest r8
+# entries — i.e. exactly the r11 tail block, as the rotation
+# invariant requires. The freshness floor advances from r7 to r8
+# when the r12 driver records these rows.
+_R12_WINDOW = [
     "x75_tfidf_topk_pairs",
     "x79_source_overlap", "j8_asof_forward", "a59_discount_waterfall",
     "x81_chunk_dedup", "a61_revenue_gini", "a64_burst_ratio",
@@ -240,6 +207,30 @@ _R11_TAIL = [
     "x102_ndcg_eval", "x103_hubness_koccurrence", "a81_decile_migration",
     "a10_percentiles", "a11_cube_counts", "j5_interval_join",
     "q10_returned_items", "q14_promo_revenue",
+]
+
+# The generator's FULL next block (50 queries) — the r13 rotation
+# starts here (oldest-first invariant, same generator; the length is
+# pinned by tests/test_freshness.py, r9 advice: the literal and the
+# claim "exactly what the generator emits" must agree).
+_R12_TAIL = [
+    "q16_supplier_cnt",
+    "q18_large_orders", "q19_disjunctive_revenue", "q22_idle_customers",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "x11_train_test_split", "x14_chunk_documents", "x15_pack_sequences",
+    "x16_decontaminate", "x17_tfidf_terms", "x18_vocab_top_tokens",
+    "x19_stratified_sample", "x1_exact_dedup", "x20_source_quota",
+    "x2_minhash_lsh", "x2_ngram_jaccard", "x2_ngram_jaccard_capped",
+    "x4_simhash", "x5_signlsh_topk", "a12_profile_customer",
+    "x70_kcore", "x92_dup_clustering_coeff", "x96_adamic_adar",
+    "x97_degree_assortativity", "asof_join", "f17_backoff",
+    "udf_scalar_pandas", "udf_grouped_agg", "set_intersect",
+    "set_except", "p7_dropna", "p10_flatten_cast", "w2_pagination",
+    "sessionization", "rollup_totals", "pivot_counts",
+    "x7_cosine_near_dup", "x7_near_dup_lsh", "x8_ivf_topk",
+    "q5_regional_revenue", "j_salted_join", "a_salted_agg",
+    "x9_media_features", "q4_exists_priority", "q17_below_avg_revenue",
+    "a9_count_distinct", "x5_cosine_topk", "x6_text_metrics",
 ]
 
 

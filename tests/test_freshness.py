@@ -122,19 +122,50 @@ def test_auto_front_for_r11_at_r10_snapshots_is_empty():
 R11_FRONT = ["x42_pagerank", "x13_dup_clusters"]
 
 
-def test_r11_window_is_generator_output_from_r10_data():
-    """_R11_WINDOW == front + oldest-first body from the r1..r10
-    driver history; _R11_TAIL is the FULL next block of that same
-    order (r9 advice: the literal is exactly what the generator
-    emits, length included). x42 was already in the window by
-    staleness (the front only moves it up); fronting x13 (last row
-    r8) pushes the 50th body query to the tail head."""
+def test_r11_window_was_generator_output_from_r10_data():
+    """The r11 window (now history — its driver rows are in
+    CORRECTNESS_r11.json) was front + oldest-first body from the
+    r1..r10 driver history. Pinned via the r11 CORRECTNESS file
+    itself: the driver ran exactly the literal we shipped, so
+    replaying the generator against upto=10 data must reproduce that
+    file's order. x42 was already in the window by staleness (the
+    front only moved it up); fronting x13 (last row r8) pushed the
+    50th body query to the tail head."""
+    import json
+
+    with open("/root/repo/CORRECTNESS_r11.json") as fh:
+        r11_checked = list(json.load(fh))
     order = [n for n, _ in oldest_first(upto=10)]
     body = [n for n in order if n not in R11_FRONT]
     n_body = 50 - len(R11_FRONT)
-    assert entry_mod._R11_WINDOW == R11_FRONT + body[:n_body]
-    assert entry_mod._R11_TAIL == body[n_body : n_body + 50]
-    assert len(entry_mod._R11_TAIL) == 50
+    assert r11_checked == R11_FRONT + body[:n_body]
+
+
+def test_auto_front_for_r12_at_r11_snapshots_is_empty():
+    """`--front auto` at upto=11 emits ZERO fronts (the r11 verdict
+    pre-ran the generator and predicted exactly this): r11's only
+    engine changes were the two edge-replay fixes, and both consumers
+    (x42_pagerank, x13_dup_clusters) got fresh r11 driver rows AFTER
+    the PLAN_FPS_r11 re-snapshot — no fingerprint postdates its
+    owner's last driver row. Zero uncomparable, as every round since
+    the action-count metric landed."""
+    front, uncomparable = auto_front(upto=11)
+    assert front == []
+    assert uncomparable == []
+
+
+def test_r12_window_is_generator_output_from_r11_data():
+    """_R12_WINDOW == the pure oldest-first body from the r1..r11
+    driver history (zero fronts — see the previous test); _R12_TAIL
+    is the FULL next block of that same order (r9 advice: the literal
+    is exactly what the generator emits, length included). The body
+    starts with the 23 r7-stale queries (x75_tfidf_topk_pairs first)
+    then the 27 oldest r8 entries — i.e. exactly the r11 tail
+    block, as the rotation invariant requires."""
+    order = [n for n, _ in oldest_first(upto=11)]
+    assert entry_mod._R12_WINDOW == order[:50]
+    assert entry_mod._R12_TAIL == order[50:100]
+    assert len(entry_mod._R12_TAIL) == 50
 
 
 def test_window_covers_registry_and_leads_queries():
@@ -142,22 +173,22 @@ def test_window_covers_registry_and_leads_queries():
     driver-checked size (50), and queries() iteration order leads with
     the window (the driver checks the FIRST 50 entries)."""
     names = list(entry_mod.queries())
-    assert len(entry_mod._R11_WINDOW) == 50
-    assert names[:50] == entry_mod._R11_WINDOW
-    assert set(entry_mod._R11_TAIL) <= set(names)
-    assert len(set(entry_mod._R11_WINDOW)) == 50  # no double-counted slots
+    assert len(entry_mod._R12_WINDOW) == 50
+    assert names[:50] == entry_mod._R12_WINDOW
+    assert set(entry_mod._R12_TAIL) <= set(names)
+    assert len(set(entry_mod._R12_WINDOW)) == 50  # no double-counted slots
 
 
 def test_staleness_accounting_matches_registry():
-    """Every registry query has a driver row by r10 (the r10 verdict's
-    cumulative-green claim: histogram r10=50, r9=49, r8=50, r7=33,
-    r6=39 — the floor advanced from r5 to r6 at the r10 close) and the
+    """Every registry query has a driver row by r11 (the r11 verdict's
+    cumulative-green claim: histogram r11=50, r10=50, r9=49, r8=49,
+    r7=23 — the floor advanced from r6 to r7 at the r11 close) and the
     registry is frozen at 221."""
-    latest = latest_rows(upto=10)
+    latest = latest_rows(upto=11)
     names = set(entry_mod.queries())
     assert names <= set(latest), sorted(names - set(latest))
     rounds = [latest[n][0] for n in names]
     assert len(rounds) == 221
-    assert min(rounds) >= 6  # nothing older than r6 entering r11
+    assert min(rounds) >= 7  # nothing older than r7 entering r12
     hist = {r: rounds.count(r) for r in set(rounds)}
-    assert hist == {10: 50, 9: 49, 8: 50, 7: 33, 6: 39}
+    assert hist == {11: 50, 10: 50, 9: 49, 8: 49, 7: 23}
