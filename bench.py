@@ -97,6 +97,15 @@ BASE_OVERRIDES_SPEC = {"x2_minhash_lsh": (0.926, 1.5)}  # (recorded, pin)
 # never silently become the round's record.
 LOAD_GATE_THRESHOLD = 2.0
 
+# The start gate can't see load that ramps up DURING the run (r11
+# advice: BENCH_r11 committed with loadavg_end 2.2, unchecked). The
+# end reading includes the bench's OWN Spark load — a quiet-box run
+# ends around 2 (r11: 2.2) while the contaminated r9 ended at 4.07 —
+# so the end bound is gate + own-load allowance, a softer `load_drift`
+# marker rather than the hard contamination stamp: numbers from a run
+# that drifted above it are suspect and must be rerun, not recorded.
+LOAD_DRIFT_END_THRESHOLD = 4.0
+
 
 def _await_quiet(threshold: float, timeout_s: float, poll_s: float = 15.0,
                  loadavg=None, sleep=None) -> tuple[list[float], float]:
@@ -289,6 +298,13 @@ def main() -> None:
         # never quieted inside the wait budget, so every number above
         # is suspect — rerun on a quiet box before recording.
         payload["load_contaminated"] = True
+    la_end = payload["load_context"]["loadavg_end"]
+    if la_end and la_end[0] > LOAD_DRIFT_END_THRESHOLD:
+        # Load ramped up mid-run past what the bench's own work can
+        # explain — same rerun-don't-record rule as the start gate
+        # (tests/test_bench_contract.py forbids this marker in any
+        # committed BENCH_r*.json from r12 on).
+        payload["load_drift"] = True
     if errors:
         payload["errors"] = errors
         payload["suite_incomplete"] = True

@@ -115,6 +115,15 @@ def test_committed_bench_artifacts_are_not_load_contaminated():
         la = parsed.get("load_context", {}).get("loadavg_start")
         assert la and la[0] <= bench.LOAD_GATE_THRESHOLD, (
             f"{path} loadavg_start {la} exceeds the gate threshold")
+        if rnd < 12:
+            continue  # r11 predates the end-drift marker (r11 advice)
+        assert not parsed.get("load_drift"), (
+            f"{path} stamped load_drift — load ramped up mid-run; "
+            "rerun bench.py on a quiet box and re-record")
+        la_end = parsed.get("load_context", {}).get("loadavg_end")
+        assert la_end and la_end[0] <= bench.LOAD_DRIFT_END_THRESHOLD, (
+            f"{path} loadavg_end {la_end} exceeds the drift bound "
+            "(start gate + the bench's own-load allowance)")
 
 
 def test_x2_baseline_override_retires_with_the_artifact_it_corrects():

@@ -20,6 +20,7 @@ Writes /tmp/sfx10 once (reused if present); prints one JSON line.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -79,7 +80,24 @@ def _replicate(spark: SparkSession) -> None:
     # candidate volume, the dishonest shape (the text fan's
     # suffix-perturbation solves the same problem for shingles).
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
+    first = emb.select("embedding").first()
+    if first is None or first[0] is None:
+        raise SystemExit(
+            f"embeddings table at {SRC} is empty — cannot derive the "
+            "transform dimension; regenerate the testdata"
+        )
+    dim = len(first[0])
+    # Copies i and i' collide (identical shift+sign => exact
+    # duplicates, reintroducing the quadratic cross-copy candidate
+    # volume this transform exists to prevent) when i = i' mod
+    # lcm(dim, 3). Safe for the shipped dim=64 (lcm 192), but guard
+    # against a shrunken embeddings dataset (r11 advice).
+    if math.lcm(dim, 3) <= COPIES:
+        raise SystemExit(
+            f"embedding dim {dim}: lcm(dim, 3) = {math.lcm(dim, 3)} "
+            f"<= {COPIES} copies — per-copy transforms would repeat "
+            "and produce exact cross-copy duplicates"
+        )
 
     def _rot(d: DataFrame, i: int) -> DataFrame:
         if i == 0:
@@ -89,7 +107,7 @@ def _replicate(spark: SparkSession) -> None:
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 lambda j: F.element_at(
                     "embedding", ((j + F.lit(i)) % dim + 1).cast("int")
-                ) * F.when((j + F.lit(i * 7)) % 3 == 0, -1.0).otherwise(1.0),
+                ) * F.when((j + F.lit(i)) % 3 == 0, -1.0).otherwise(1.0),
             ))
         return c.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFF))
 

@@ -24,6 +24,7 @@ ratios (min-of-2 per scale, noop sink).
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -111,7 +112,24 @@ def _replicate_embeddings(spark: SparkSession) -> None:
     shingles). vec_id offsets match the documents fan so doc⋈embedding
     joins stay aligned per copy."""
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
+    first = emb.select("embedding").first()
+    if first is None or first[0] is None:
+        raise SystemExit(
+            f"embeddings table at {SRC} is empty — cannot derive the "
+            "transform dimension; regenerate the testdata"
+        )
+    dim = len(first[0])
+    # Copies i and i' collide (identical shift+sign => exact
+    # duplicates, reintroducing the quadratic cross-copy candidate
+    # volume this transform exists to prevent) when i = i' mod
+    # lcm(dim, 3). Safe for the shipped dim=64 (lcm 192), but guard
+    # against a shrunken embeddings dataset (r11 advice).
+    if math.lcm(dim, 3) <= COPIES:
+        raise SystemExit(
+            f"embedding dim {dim}: lcm(dim, 3) = {math.lcm(dim, 3)} "
+            f"<= {COPIES} copies — per-copy transforms would repeat "
+            "and produce exact cross-copy duplicates"
+        )
     out = None
     for i in range(COPIES):
         if i == 0:
@@ -121,7 +139,7 @@ def _replicate_embeddings(spark: SparkSession) -> None:
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 lambda j: F.element_at(
                     "embedding", ((j + F.lit(i)) % dim + 1).cast("int")
-                ) * F.when((j + F.lit(i * 7)) % 3 == 0, -1.0).otherwise(1.0),
+                ) * F.when((j + F.lit(i)) % 3 == 0, -1.0).otherwise(1.0),
             )
             c = emb.withColumn("embedding", rotated)
         c = c.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFF))
