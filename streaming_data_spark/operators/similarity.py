@@ -121,13 +121,31 @@ def sign_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
     return bucket
 
 
+def auto_n_planes(corpus_rows: int, target_bucket: int = 128) -> int:
+    """Plane count that holds EXPECTED bucket occupancy at
+    ``target_bucket`` as the corpus grows: ceil(log2(n / target)),
+    i.e. 2^planes ∝ n. Per-bucket pair work is Σ bucket² ≈ n²/2^planes,
+    so a FIXED plane count is quadratic in n while this rule is linear
+    — measured in the r11 x30 probe (4/7/9 planes at 2k/20k/60k
+    vectors held the x30 wall to 1.79s vs 9.74s at pinned 4 planes;
+    SCALE.md Round-11). Floor 1 (tiny corpora: 2 buckets), cap 32
+    (bucket ids stay comfortably in a long even with one-bit-flip
+    probes; past 2^32 buckets the knob stops being the bottleneck)."""
+    import math
+
+    if corpus_rows <= target_bucket:
+        return 1
+    return max(1, min(32, math.ceil(math.log2(corpus_rows / target_bucket))))
+
+
 def cosine_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.8,
-    n_planes: int | None = None,
+    n_planes: int | str | None = None,
     bucket_cap: int | None = None,
+    target_bucket: int = 128,
 ) -> DataFrame:
     """[EXT X1/X2] Embedding-cosine near-duplicate pairs: (id_a, id_b,
     cosine) for every unordered pair with cosine >= threshold.
@@ -141,6 +159,14 @@ def cosine_near_dup(
     is written once partitioned by bucket and the pair scan is
     embarrassingly parallel per bucket.
 
+    ``n_planes="auto"`` (r11 verdict item 4) derives the plane count
+    from the corpus cardinality via :func:`auto_n_planes` — ONE
+    bounded driver scalar (a count, same protocol class as pagerank's
+    node count), then the identical blocked path. The registry query
+    stays pinned at 4 planes (its frozen oracle config); auto is the
+    deployment mode, keeping expected bucket occupancy near
+    ``target_bucket`` so pair work grows linearly with the corpus.
+
     ``bucket_cap`` (scale knob, analog of ``hot_shingle_cap``) bounds
     the quadratic term per bucket: a bucket holding more than cap
     members is deterministically truncated to its cap smallest ids
@@ -150,6 +176,8 @@ def cosine_near_dup(
     uncapped output (only pairs are dropped, surviving cosines are
     identical) — property-tested in tests/test_ext_operators.py.
     """
+    if n_planes == "auto":
+        n_planes = auto_n_planes(df.count(), target_bucket)
     # Normalize ONCE per vector (one corpus pass) so the pairwise step
     # is a single dot fold instead of dot + two norms — 3× less per-pair
     # work, and at scale the unit vectors are what you'd persist.

@@ -156,6 +156,56 @@ def test_cosine_near_dup_bucket_cap_subset(spark, sf_oracle):
     assert rerun == set(capped)
 
 
+def test_cosine_near_dup_auto_planes(spark, sf_oracle):
+    """n_planes="auto" (r11 verdict item 4): the plane count tracks
+    the corpus so 2^planes ∝ n — the r11 x30 probe measured this rule
+    restoring linearity (9.74s → 1.79s at x30 vs pinned 4 planes).
+    The derivation is a pure function, asserted at the probe's own
+    corpus sizes; end-to-end, auto must equal the explicit blocked
+    path at the derived count (same buckets, same pairs). The
+    registry query stays pinned at 4 planes — its frozen oracle
+    config — so auto changes no driver plan."""
+    from streaming_data_spark.queries_ext4 import NEAR_DUP_THRESHOLD
+
+    # the r11 probe's corpus sizes: sf0.1 = 2k vectors -> 4 planes,
+    # x30 = 60k -> 9 planes (SCALE.md Round-11 plane-scaling table)
+    assert similarity.auto_n_planes(2_000) == 4
+    assert similarity.auto_n_planes(60_000) == 9
+    # floor: a corpus at/below one target bucket needs no blocking
+    assert similarity.auto_n_planes(100) == 1
+    # cap: bucket ids stay long-safe however big the corpus claims
+    assert similarity.auto_n_planes(10**15) == 32
+    # monotone non-decreasing in n (spot grid — the scale invariant)
+    grid = [2**k for k in range(7, 24)]
+    counts = [similarity.auto_n_planes(n) for n in grid]
+    assert counts == sorted(counts)
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    derived = similarity.auto_n_planes(emb.count())  # 500 -> 2
+    assert derived == 2
+    auto = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_near_dup(
+            emb, threshold=NEAR_DUP_THRESHOLD, n_planes="auto"
+        ).collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_near_dup(
+            emb, threshold=NEAR_DUP_THRESHOLD, n_planes=derived
+        ).collect()
+    }
+    assert auto == explicit
+    # the bucket_cap backstop composes with auto unchanged
+    capped = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_near_dup(
+            emb, threshold=NEAR_DUP_THRESHOLD, n_planes="auto", bucket_cap=20
+        ).collect()
+    }
+    assert capped <= set(auto)
+
+
 def test_minhash_native_hash_tier(spark, sf_oracle):
     """base_hash='native' (xxhash64, no SQL oracle) must preserve the
     hash-agnostic invariant: exact-duplicate documents have identical
