@@ -356,3 +356,27 @@ def test_sma_cross_kernel_invariant_under_batch_splits(values, n_cuts, data):
         out, state = _advance_cross(state, days[lo:hi], values[lo:hi], short=2, long=4)
         pieced.extend(out)
     assert pieced == whole
+
+
+@given(
+    n=st.integers(min_value=0, max_value=10**15),
+    target=st.integers(min_value=1, max_value=100_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_auto_n_planes_occupancy_and_monotonicity(n, target):
+    """Pure-function contract of the r12 auto plane knob: (a) result
+    in [1, 32]; (b) whenever the cap/floor don't bind, expected
+    occupancy n/2^planes lands in (target/2, target] — i.e. ceil of
+    the log puts the corpus within one halving of the target bucket
+    size; (c) monotone non-decreasing in n at fixed target (more
+    corpus can never mean fewer planes — the scale invariant the x30
+    probe relies on)."""
+    p = similarity.auto_n_planes(n, target)
+    assert 1 <= p <= 32
+    if n > target and p < 32:
+        occ = n / (2 ** p)
+        assert occ <= target
+        assert occ > target / 2
+    # monotonicity across a doubling (cheap single-step check per
+    # example; the grid test in test_ext_operators covers a sweep)
+    assert similarity.auto_n_planes(2 * n if n else 1, target) >= p
