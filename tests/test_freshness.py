@@ -10,9 +10,11 @@ No SparkSession needed — this is pure bookkeeping.
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tools")
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
 
 import __spark_entry__ as entry_mod
 from freshness import auto_front, latest_rows, oldest_first
@@ -93,7 +95,7 @@ def test_r10_window_was_generator_output_from_r9_data():
     generator against upto=9 data must reproduce that file's order."""
     import json
 
-    with open("/root/repo/CORRECTNESS_r10.json") as fh:
+    with open(REPO / "CORRECTNESS_r10.json") as fh:
         r10_checked = list(json.load(fh))
     order = [n for n, _ in oldest_first(upto=9)]
     body = [n for n in order if n not in R10_FRONT]
@@ -133,7 +135,7 @@ def test_r11_window_was_generator_output_from_r10_data():
     50th body query to the tail head."""
     import json
 
-    with open("/root/repo/CORRECTNESS_r11.json") as fh:
+    with open(REPO / "CORRECTNESS_r11.json") as fh:
         r11_checked = list(json.load(fh))
     order = [n for n, _ in oldest_first(upto=10)]
     body = [n for n in order if n not in R11_FRONT]
@@ -154,18 +156,48 @@ def test_auto_front_for_r12_at_r11_snapshots_is_empty():
     assert uncomparable == []
 
 
-def test_r12_window_is_generator_output_from_r11_data():
-    """_R12_WINDOW == the pure oldest-first body from the r1..r11
-    driver history (zero fronts — see the previous test); _R12_TAIL
+def test_r12_window_was_generator_output_from_r11_data():
+    """The r12 window (now history — its driver rows are in
+    CORRECTNESS_r12.json) was the pure oldest-first body from the
+    r1..r11 driver history (zero fronts — see the previous test).
+    Pinned via the r12 CORRECTNESS file itself: the driver ran exactly
+    the literal we shipped, so replaying the generator against upto=11
+    data must reproduce that file's order. The body started with the
+    23 r7-stale queries (x75_tfidf_topk_pairs first) then the 27
+    oldest r8 entries — exactly the r11 tail block."""
+    import json
+
+    with open(REPO / "CORRECTNESS_r12.json") as fh:
+        r12_checked = list(json.load(fh))
+    order = [n for n, _ in oldest_first(upto=11)]
+    assert r12_checked == order[:50]
+
+
+def test_auto_front_for_r13_at_r12_snapshots_is_empty():
+    """`--front auto` at upto=12 emits ZERO fronts (the r12 verdict
+    pre-ran the generator and predicted exactly this): PLAN_FPS_r12 is
+    fingerprint-identical to r11 for all 221 queries — r12's only
+    engine change was the additive auto-planes knob, which no registry
+    query exercises — so no fingerprint postdates its owner's last
+    driver row. Zero uncomparable, as every round since the
+    action-count metric landed."""
+    front, uncomparable = auto_front(upto=12)
+    assert front == []
+    assert uncomparable == []
+
+
+def test_r13_window_is_generator_output_from_r12_data():
+    """_R13_WINDOW == the pure oldest-first body from the r1..r12
+    driver history (zero fronts — see the previous test); _R13_TAIL
     is the FULL next block of that same order (r9 advice: the literal
     is exactly what the generator emits, length included). The body
-    starts with the 23 r7-stale queries (x75_tfidf_topk_pairs first)
-    then the 27 oldest r8 entries — i.e. exactly the r11 tail
-    block, as the rotation invariant requires."""
-    order = [n for n, _ in oldest_first(upto=11)]
-    assert entry_mod._R12_WINDOW == order[:50]
-    assert entry_mod._R12_TAIL == order[50:100]
-    assert len(entry_mod._R12_TAIL) == 50
+    starts with the 22 r8-stale queries (q16_supplier_cnt first) then
+    the 28 oldest r9 entries — i.e. exactly the r12 tail block, as
+    the rotation invariant requires."""
+    order = [n for n, _ in oldest_first(upto=12)]
+    assert entry_mod._R13_WINDOW == order[:50]
+    assert entry_mod._R13_TAIL == order[50:100]
+    assert len(entry_mod._R13_TAIL) == 50
 
 
 def test_window_covers_registry_and_leads_queries():
@@ -173,22 +205,22 @@ def test_window_covers_registry_and_leads_queries():
     driver-checked size (50), and queries() iteration order leads with
     the window (the driver checks the FIRST 50 entries)."""
     names = list(entry_mod.queries())
-    assert len(entry_mod._R12_WINDOW) == 50
-    assert names[:50] == entry_mod._R12_WINDOW
-    assert set(entry_mod._R12_TAIL) <= set(names)
-    assert len(set(entry_mod._R12_WINDOW)) == 50  # no double-counted slots
+    assert len(entry_mod._R13_WINDOW) == 50
+    assert names[:50] == entry_mod._R13_WINDOW
+    assert set(entry_mod._R13_TAIL) <= set(names)
+    assert len(set(entry_mod._R13_WINDOW)) == 50  # no double-counted slots
 
 
 def test_staleness_accounting_matches_registry():
-    """Every registry query has a driver row by r11 (the r11 verdict's
-    cumulative-green claim: histogram r11=50, r10=50, r9=49, r8=49,
-    r7=23 — the floor advanced from r6 to r7 at the r11 close) and the
+    """Every registry query has a driver row by r12 (the r12 verdict's
+    cumulative-green claim: histogram r12=50, r11=50, r10=50, r9=49,
+    r8=22 — the floor advanced from r7 to r8 at the r12 close) and the
     registry is frozen at 221."""
-    latest = latest_rows(upto=11)
+    latest = latest_rows(upto=12)
     names = set(entry_mod.queries())
     assert names <= set(latest), sorted(names - set(latest))
     rounds = [latest[n][0] for n in names]
     assert len(rounds) == 221
-    assert min(rounds) >= 7  # nothing older than r7 entering r12
+    assert min(rounds) >= 8  # nothing older than r8 entering r13
     hist = {r: rounds.count(r) for r in set(rounds)}
-    assert hist == {11: 50, 10: 50, 9: 49, 8: 49, 7: 23}
+    assert hist == {12: 50, 11: 50, 10: 50, 9: 49, 8: 22}
