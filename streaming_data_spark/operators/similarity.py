@@ -130,12 +130,16 @@ def auto_n_planes(corpus_rows: int, target_bucket: int = 128) -> int:
     vectors held the x30 wall to 1.79s vs 9.74s at pinned 4 planes;
     SCALE.md Round-11). Floor 1 (tiny corpora: 2 buckets), cap 32
     (bucket ids stay comfortably in a long even with one-bit-flip
-    probes; past 2^32 buckets the knob stops being the bottleneck)."""
-    import math
+    probes; past 2^32 buckets the knob stops being the bottleneck).
 
+    Computed exactly in integers: float log2 of a quotient can land
+    one plane off the occupancy contract (n/2^p in (target/2, target])
+    near exact powers of two at large n. bit_length(ceil(n/t) - 1) is
+    the exact ceil(log2(n/t)): 2^(p-1)+1 <= ceil(n/t) <= 2^p gives
+    t/2 < n/2^p <= t whenever the floor/cap don't bind."""
     if corpus_rows <= target_bucket:
         return 1
-    return max(1, min(32, math.ceil(math.log2(corpus_rows / target_bucket))))
+    return max(1, min(32, (-(-corpus_rows // target_bucket) - 1).bit_length()))
 
 
 def cosine_near_dup(
@@ -178,6 +182,14 @@ def cosine_near_dup(
     """
     if n_planes == "auto":
         n_planes = auto_n_planes(df.count(), target_bucket)
+    elif n_planes is not None and not isinstance(n_planes, int):
+        # Fail fast with a clear message: any other string (e.g. "4"
+        # read from a config file) would fall past both branches and
+        # die with an opaque TypeError at range(n_planes).
+        raise ValueError(
+            f"n_planes must be an int, None (exact all-pairs) or "
+            f"'auto', got {n_planes!r}"
+        )
     # Normalize ONCE per vector (one corpus pass) so the pairwise step
     # is a single dot fold instead of dot + two norms — 3× less per-pair
     # work, and at scale the unit vectors are what you'd persist.

@@ -179,6 +179,22 @@ def test_cosine_near_dup_auto_planes(spark, sf_oracle):
     grid = [2**k for k in range(7, 24)]
     counts = [similarity.auto_n_planes(n) for n in grid]
     assert counts == sorted(counts)
+    # integer-exact near powers of two at large n (r12 advice): the
+    # occupancy contract n/2^p in (target/2, target] must hold at
+    # exact boundaries float log2 could round off — n = t*2^k exactly
+    # gives p = k (occ == target), n = t*2^k + 1 gives p = k+1
+    for k in (10, 20, 30):
+        assert similarity.auto_n_planes(128 * 2**k) == k
+        assert similarity.auto_n_planes(128 * 2**k + 1) == k + 1
+    # any string other than "auto" (e.g. "4" from a config) fails
+    # fast with a clear message instead of an opaque TypeError deep
+    # in the blocked path (r12 advice)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_planes"):
+        similarity.cosine_near_dup(
+            load_table(spark, sf_oracle, "embeddings"), n_planes="4"
+        )
 
     emb = load_table(spark, sf_oracle, "embeddings")
     derived = similarity.auto_n_planes(emb.count())  # 500 -> 2

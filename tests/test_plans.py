@@ -1465,16 +1465,34 @@ def _instrumented_edges(spark, n_edges: int = 12):
     return base.mapInPandas(_count, "id_a long, id_b long"), acc, len(pairs)
 
 
+def _assert_evaluated_once(acc, n: int, guard: str) -> None:
+    """acc.value == n is the clean once-through. Spark accumulators
+    double-count on task retries/speculation, so a transient task
+    failure can legitimately add a PARTIAL partition (n + n/2, ...) —
+    noise, not the regression this canary exists for. The replay
+    signature of a reverted guard is a FULL re-evaluation of the
+    upstream plan: a clean multiple >= 2n (the union/iteration
+    branches each run the whole stage again). Flag exactly that
+    (r12 advice: don't let a local-mode retry flake a guard as
+    'gone')."""
+    assert acc.value >= n, (
+        f"instrumented stage saw only {acc.value}/{n} rows — the "
+        "canary frame was not the frame the operator consumed"
+    )
+    replayed = acc.value >= 2 * n and acc.value % n == 0
+    assert not replayed, (
+        f"edge plan evaluated {acc.value / n:.1f}x (expected once): "
+        f"the {guard} eager-checkpoint guard is gone"
+    )
+
+
 def test_pagerank_materializes_edges_once(spark):
     from streaming_data_spark.operators.graph import pagerank
 
     edges, acc, n = _instrumented_edges(spark)
     out = pagerank(edges, iters=3).collect()
     assert len(out) == 11  # 4-clique + 5-node path component + pair
-    assert acc.value == n, (
-        f"edge plan evaluated {acc.value / n:.1f}x (expected once): "
-        "the graph.py pagerank eager-checkpoint guard is gone"
-    )
+    _assert_evaluated_once(acc, n, "graph.py pagerank")
 
 
 def test_label_prop_cc_materializes_edges_once(spark):
@@ -1484,10 +1502,7 @@ def test_label_prop_cc_materializes_edges_once(spark):
     out = connected_components(edges)
     rows = {r["id"]: r["cluster_id"] for r in out.collect()}
     assert rows[3] == 0 and rows[14] == 10 and rows[21] == 20
-    assert acc.value == n, (
-        f"edge plan evaluated {acc.value / n:.1f}x (expected once): "
-        "the dedup.py label-prop CC eager-checkpoint guard is gone"
-    )
+    _assert_evaluated_once(acc, n, "dedup.py label-prop CC")
 
 
 def test_star_cc_materializes_edges_once(spark):
@@ -1497,10 +1512,7 @@ def test_star_cc_materializes_edges_once(spark):
     out = connected_components_star(edges)
     rows = {r["id"]: r["cluster_id"] for r in out.collect()}
     assert rows[3] == 0 and rows[14] == 10 and rows[21] == 20
-    assert acc.value == n, (
-        f"edge plan evaluated {acc.value / n:.1f}x (expected once): "
-        "the dedup.py star-CC eager-checkpoint guard is gone"
-    )
+    _assert_evaluated_once(acc, n, "dedup.py star-CC")
 
 
 def test_triangles_materializes_edges_once(spark):
@@ -1509,10 +1521,7 @@ def test_triangles_materializes_edges_once(spark):
     edges, acc, n = _instrumented_edges(spark)
     tri = triangles(edges).collect()
     assert len(tri) == 5  # C(4,3)=4 in the clique + (10,11,12)
-    assert acc.value == n, (
-        f"edge plan evaluated {acc.value / n:.1f}x (expected once): "
-        "the graph.py triangles eager-checkpoint guard is gone"
-    )
+    _assert_evaluated_once(acc, n, "graph.py triangles")
 
 
 def test_kcore_materializes_edges_once(spark):
@@ -1521,7 +1530,126 @@ def test_kcore_materializes_edges_once(spark):
     edges, acc, n = _instrumented_edges(spark)
     out = {r["id"] for r in kcore_peel(edges, k=3, rounds=3).collect()}
     assert out == {0, 1, 2, 3}  # only the 4-clique survives the 3-core
-    assert acc.value == n, (
-        f"edge plan evaluated {acc.value / n:.1f}x (expected once): "
-        "the graph.py kcore_peel eager-checkpoint guard is gone"
+    _assert_evaluated_once(acc, n, "graph.py kcore_peel")
+
+
+# ---------------------------------------------------------------------------
+# r12 verdict item 4: the same materialize-once canary for the two
+# NON-graph multi-consumer sites previously pinned only by
+# exchange-count asserts — the x75 TF-IDF weight table
+# (queries_ext53.py) and x59 SemDeDup's assignment/vecs frames
+# (queries_ext47.py). Exchange counts catch a replay only when it
+# changes the exchange count; an accumulator catches it always.
+#
+# These are full (spark, sf_dir) queries, so the recipe instruments
+# the TABLE LOADER instead of a literal frame: `_t` is monkeypatched
+# to wrap the hot table in a row-counting mapInPandas stage, and the
+# query runs twice — once as shipped, once with
+# DataFrame.localCheckpoint no-op'd (exactly what reverting the guard
+# does to the plan). The guard's entire purpose is to cut upstream
+# re-evaluation, so the as-shipped run MUST count strictly fewer
+# upstream rows — by at least one full table pass. If the guard is
+# reverted in source, both runs build identical plans, the counts tie,
+# and the test fails. Self-calibrating: no hard-coded in-plan scan
+# multiplicities (those legitimately vary with join strategy), only
+# the delta the checkpoint exists to create.
+#
+# Both passes run with spark.sql.exchange.reuse=false: at sf0.001
+# ReusedExchange happens to dedupe every replayed subplan (measured:
+# x75 reverted counts the SAME 3 passes with reuse on), which would
+# mask a reverted guard. Reuse is exactly what the guard must not
+# depend on — it only fires on bit-identical subplans within one
+# query execution and silently vanishes when AQE re-optimizes or a
+# consumer's pushed filters diverge — so the canary compares the two
+# plans in the regime the checkpoint exists for. Same config both
+# sides keeps the comparison fair.
+#
+# NOTE: the concrete class is pyspark.sql.classic.dataframe.DataFrame
+# — pyspark.sql.DataFrame is the abstract parent and the subclass
+# SHADOWS localCheckpoint, so patching the parent is a silent no-op
+# (measured: counts tie with the parent patched).
+# ---------------------------------------------------------------------------
+
+
+def _count_table_evals(spark, sf_dir, module, query_name, table,
+                       monkeypatch, noop_checkpoint):
+    """Run module.<query_name>(spark, sf_dir) with `table` loads
+    instrumented; return total rows seen crossing the instrumented
+    stage (= rows-per-pass × number of upstream evaluations)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from streaming_data_spark.schemas import load_table
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _t_instrumented(s, d, name):
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        df = load_table(s, d, name)
+        if name != table:
+            return df
+
+        def _count(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return df.mapInPandas(_count, df.schema)
+
+    reuse_before = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        with monkeypatch.context() as m:
+            m.setattr(module, "_t", _t_instrumented)
+            if noop_checkpoint:
+                m.setattr(DataFrame, "localCheckpoint",
+                          lambda self, *a, **k: self)
+            getattr(module, query_name)(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", reuse_before)
+    return acc.value
+
+
+def test_x75_weight_table_materializes_once(spark, sf_small, monkeypatch):
+    """The x75 TF-IDF weight table feeds three consumers (norms + both
+    pair-join sides); the localCheckpoint at queries_ext53.py keeps
+    the tf/df chains from replaying per consumer."""
+    from streaming_data_spark import queries_ext53
+
+    n = __import__("streaming_data_spark.schemas", fromlist=["load_table"]) \
+        .load_table(spark, sf_small, "documents").count()
+    guarded = _count_table_evals(
+        spark, sf_small, queries_ext53, "q_x75_tfidf_topk_pairs",
+        "documents", monkeypatch, noop_checkpoint=False)
+    reverted = _count_table_evals(
+        spark, sf_small, queries_ext53, "q_x75_tfidf_topk_pairs",
+        "documents", monkeypatch, noop_checkpoint=True)
+    assert guarded >= n  # instrumentation actually on the consumed path
+    assert reverted >= guarded + n, (
+        f"checkpoint saves no upstream evaluation (guarded={guarded}, "
+        f"reverted={reverted}, rows/pass={n}): the queries_ext53.py "
+        "weight-table localCheckpoint guard is gone"
+    )
+
+
+def test_x59_assignment_and_vecs_materialize_once(spark, sf_small,
+                                                  monkeypatch):
+    """x59 SemDeDup's assignment frame feeds both pair-join sides AND
+    the final flag join; the vecs frame feeds both probe sides. The
+    two localCheckpoints at queries_ext47.py keep the
+    posexplode/centroid pipeline from replaying per consumer."""
+    from streaming_data_spark import queries_ext47
+
+    n = __import__("streaming_data_spark.schemas", fromlist=["load_table"]) \
+        .load_table(spark, sf_small, "embeddings").count()
+    guarded = _count_table_evals(
+        spark, sf_small, queries_ext47, "q_x59_semdedup",
+        "embeddings", monkeypatch, noop_checkpoint=False)
+    reverted = _count_table_evals(
+        spark, sf_small, queries_ext47, "q_x59_semdedup",
+        "embeddings", monkeypatch, noop_checkpoint=True)
+    assert guarded >= n
+    assert reverted >= guarded + n, (
+        f"checkpoint saves no upstream evaluation (guarded={guarded}, "
+        f"reverted={reverted}, rows/pass={n}): a queries_ext47.py "
+        "assignment/vecs localCheckpoint guard is gone"
     )
