@@ -126,6 +126,130 @@ def test_committed_bench_artifacts_are_not_load_contaminated():
             "(start gate + the bench's own-load allowance)")
 
 
+def test_flap_triage_verdict_paths():
+    """r12 verdict item 3: the x35/x63-style manual pre-root-cause is
+    now a bench.py verdict. Pure decision logic with injected probes —
+    pin all four verdict paths and exactly which ones demote."""
+    vs_prev = {
+        "q_jit": {"base": 1.0, "now": 1.35},        # unchanged fp, floor ok
+        "q_shift": {"base": 0.887, "now": 1.322},   # unchanged fp, floor moved
+        "q_replanned": {"base": 1.0, "now": 1.4},   # fingerprint changed
+        "q_dark": {"base": 1.0, "now": 1.4},        # no snapshot entry
+        "q_probe_dead": {"base": 1.0, "now": 1.4},  # floor probe failed
+    }
+    snapshot = {
+        "q_jit": {"fp": "aaaa:a0", "stable": True},
+        "q_shift": {"fp": "bbbb:a0", "stable": True},
+        "q_replanned": {"fp": "cccc:a0", "stable": True},
+        "q_probe_dead": {"fp": "dddd:a0", "stable": True},
+    }
+    live = {
+        "q_jit": {"fp": "aaaa:a0", "stable": True},
+        "q_shift": {"fp": "bbbb:a0", "stable": True},
+        "q_replanned": {"fp": "cccc:a1", "stable": True},  # actions changed
+        "q_dark": {"fp": "eeee:a0", "stable": True},
+        "q_probe_dead": {"fp": "dddd:a0", "stable": True},
+    }
+    # records: x35's real r7 incident shape for q_shift (floor moved to
+    # 1.322 vs a 0.887 record), the r12 flap shape for q_jit (floor
+    # 1.191 vs 1.158 record = 1.028, inside the 1.15 band)
+    records = {"q_jit": (1.158, "BENCH_r07.json"),
+               "q_shift": (0.887, "BENCH_r05.json"),
+               "q_probe_dead": (1.0, "BENCH_r01.json")}
+    floors = {"q_jit": {"floor": 1.191, "times": [1.191, 1.25]},
+              "q_shift": {"floor": 1.322, "times": [1.322, 1.4]},
+              "q_probe_dead": None}
+
+    triage, demote = bench._triage_flaps(
+        vs_prev, snapshot,
+        live_fp=lambda q: live.get(q),
+        floor_probe=lambda q: floors.get(q),
+        record_floor=lambda q: records.get(q, (None, None)),
+    )
+    assert set(triage) == set(vs_prev)
+    assert triage["q_jit"]["verdict"] == "jit_band"
+    assert triage["q_jit"]["floor_ratio"] == round(1.191 / 1.158, 3)
+    assert triage["q_shift"]["verdict"] == "floor_shift"
+    assert triage["q_replanned"]["verdict"] == "fingerprint_changed"
+    assert triage["q_dark"]["verdict"] == "uncomparable"
+    assert triage["q_probe_dead"]["verdict"] == "uncomparable"
+    # ONLY the in-band unchanged-fingerprint flap is demoted; the
+    # x35-r7 incident shape and every uncomparable path keep the flag
+    assert demote == ["q_jit"]
+    # every triage record still carries the raw flag it judged
+    assert triage["q_shift"]["flag"] == vs_prev["q_shift"]
+    # an unstable snapshot entry can never be 'unchanged'
+    t2, d2 = bench._triage_flaps(
+        {"q_jit": vs_prev["q_jit"]},
+        {"q_jit": {"fp": "aaaa:a0", "stable": False}},
+        live_fp=lambda q: live.get(q),
+        floor_probe=lambda q: floors.get(q),
+        record_floor=lambda q: records.get(q, (None, None)),
+    )
+    assert t2["q_jit"]["verdict"] == "uncomparable" and d2 == []
+
+
+def test_record_floor_scans_all_rounds_and_both_sections():
+    """The floor is judged against the best committed number ANYWHERE
+    in the history (same sf), not just the previous round — a slow
+    prev round must not launder a regression. x2_minhash_lsh has both
+    a headline history and round-to-round variance; its record must be
+    the global min across artifacts."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    best, src = bench._record_floor(here, 0.1, "x2_minhash_lsh")
+    assert best is not None and src is not None
+    lows = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        with open(path) as fh:
+            parsed = json.load(fh).get("parsed") or {}
+        if parsed.get("sf") != 0.1:
+            continue
+        for section in ("queries", "queries_ext"):
+            t = parsed.get(section, {}).get("x2_minhash_lsh")
+            if isinstance(t, (int, float)) and t > 0:
+                lows.append(t)
+    assert best == min(lows)
+    # ext-section queries resolve too (shared_pair_build lives only
+    # in queries_ext)
+    best_ext, _ = bench._record_floor(here, 0.1, "shared_pair_build")
+    assert best_ext is not None
+    # unknown query / wrong sf -> no record, triage says uncomparable
+    assert bench._record_floor(here, 0.1, "no_such_query") == (None, None)
+    assert bench._record_floor(here, 99.0, "x2_minhash_lsh") == (None, None)
+
+
+def test_committed_artifacts_from_r13_have_triaged_vs_prev_flags():
+    """From r13 on, a committed artifact may carry vs-prev flags ONLY
+    with a triage verdict that justifies keeping them (jit_band ones
+    are demoted out by construction) — the manual pre-root-cause
+    section in SCALE.md is retired, so an untriaged flag in the round
+    record means the triage was skipped; rerun with it enabled."""
+    import glob
+    import json
+    import re
+
+    for path in glob.glob("/root/repo/BENCH_r*.json"):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        if rnd < 13:
+            continue
+        with open(path) as fh:
+            parsed = json.load(fh).get("parsed", {})
+        flags = parsed.get("regressions_vs_prev", {})
+        if not flags:
+            continue
+        triage = parsed.get("flap_triage", {}).get("queries", {})
+        for q in flags:
+            assert q in triage, (
+                f"{path}: vs-prev flag {q} has no triage verdict — "
+                "rerun bench.py with SPARK_GRAFT_TRIAGE enabled")
+            assert triage[q]["verdict"] in (
+                "fingerprint_changed", "floor_shift", "uncomparable")
+
+
 def test_x2_baseline_override_retires_with_the_artifact_it_corrects():
     """r9 advice: the 1.5s x2 pin corrects the specific 0.926s r01
     artifact (block-manager-cache leak, fixed r2). It must only apply
