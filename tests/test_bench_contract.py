@@ -250,6 +250,30 @@ def test_committed_artifacts_from_r13_have_triaged_vs_prev_flags():
                 "fingerprint_changed", "floor_shift", "uncomparable")
 
 
+def test_latest_plan_fps_picks_the_numerically_newest_snapshot():
+    """The triage diffs live fingerprints against the NEWEST committed
+    snapshot. File-name sort order is a trap ('PLAN_FPS_r9' sorts
+    after 'PLAN_FPS_r13' lexically), so the picker must key on the
+    round number — same lesson as freshness.py's latest_rows."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    fname, queries = bench._latest_plan_fps(here)
+    rounds = [
+        int(f.split("_r")[1].split(".")[0])
+        for f in os.listdir(here)
+        if f.startswith("PLAN_FPS_r") and f.endswith(".json")
+    ]
+    assert fname == f"PLAN_FPS_r{max(rounds)}.json"
+    assert queries and len(queries) == 221
+    # a directory with no snapshots is a clean (None, None) — the
+    # triage then reports every flag uncomparable instead of crashing
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as empty:
+        assert bench._latest_plan_fps(empty) == (None, None)
+
+
 def test_x2_baseline_override_retires_with_the_artifact_it_corrects():
     """r9 advice: the 1.5s x2 pin corrects the specific 0.926s r01
     artifact (block-manager-cache leak, fixed r2). It must only apply
