@@ -45,10 +45,12 @@ import scale_probe_30x as base  # noqa: E402  (tools/ sibling)
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 X10 = os.environ.get("SPARK_GRAFT_X10_DIR", "/tmp/sfx10")
 X100 = os.environ.get("SPARK_GRAFT_X100_DIR", "/tmp/sfx100")
+X1000 = os.environ.get("SPARK_GRAFT_X1000_DIR", "/tmp/sfx1000")
 # Per-copy key offset: 100 copies * 10M < 2^31 even stacked on the
 # base keys, and identical to the 30x tool's offset so any replica
-# can be cross-checked against another.
-SCALES = (("sf0.1", SRC), ("x10", X10), ("x100", X100))
+# can be cross-checked against another. The x1000 second-stage fan
+# uses a 1e9 stride, safely above stage 1's 99 * 10M ceiling.
+SCALES = (("sf0.1", SRC), ("x10", X10), ("x100", X100), ("x1000", X1000))
 
 
 def _session():
@@ -68,6 +70,55 @@ def _replicate(copies: int) -> None:
     t0 = time.time()
     base._replicate(spark)
     print(json.dumps({"replicated": f"x{copies}", "dir": out,
+                      "sec": round(time.time() - t0, 1)}))
+    spark.stop()
+
+
+def _replicate_1000() -> None:
+    """Third decade: fan the x100 replica 10x (two-stage, so Catalyst
+    never sees a 1000-child union). Only the fact/doc tables the
+    x1000 spot-check reads are fanned; dims and embeddings are copied
+    1x (the embeddings orthogonal-transform family does not compose
+    collision-free across stages, and no embedding query is probed at
+    this scale). Stage-2 key stride 1e9 clears stage 1's 99*10M
+    ceiling; document text gains a second per-copy suffix so
+    vocabulary keeps growing with the corpus."""
+    from pyspark.sql import functions as F
+
+    spark = _session()
+    t0 = time.time()
+    copy_once = ["region", "nation", "customer", "supplier", "part",
+                 "embeddings"]
+    for t in copy_once:
+        spark.read.parquet(f"{X100}/{t}.parquet").write.mode(
+            "overwrite").parquet(f"{X1000}/{t}.parquet")
+
+    def fan(df, build):
+        out = None
+        for i in range(10):
+            c = build(df, i)
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    stride = 1_000_000_000
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        for tbl, key in (("orders", "o_orderkey"),
+                         ("lineitem", "l_orderkey"),
+                         ("events", "event_id")):
+            df = spark.read.parquet(f"{X100}/{tbl}.parquet")
+            fan(df, lambda d, i, k=key: d.withColumn(
+                k, F.col(k) + F.lit(i * stride))) \
+                .write.mode("overwrite").parquet(f"{X1000}/{tbl}.parquet")
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+    docs = spark.read.parquet(f"{X100}/documents.parquet")
+    fan(docs, lambda d, i: d
+        .withColumn("doc_id", F.col("doc_id") + F.lit(i * stride))
+        .withColumn("text", F.regexp_replace("text", r"(\S+)", rf"$1d{i}"))) \
+        .write.mode("overwrite").parquet(f"{X1000}/documents.parquet")
+    print(json.dumps({"replicated": "x1000", "dir": X1000,
                       "sec": round(time.time() - t0, 1)}))
     spark.stop()
 
@@ -100,6 +151,10 @@ def _run(names: list[str]) -> None:
             times["ratio_x100"] = round(times["x100"] / times["sf0.1"], 2)
         if "x100" in times and "x10" in times:
             times["seg_x100"] = round(times["x100"] / times["x10"], 2)
+        if "x1000" in times and "sf0.1" in times:
+            times["ratio_x1000"] = round(times["x1000"] / times["sf0.1"], 2)
+        if "x1000" in times and "x100" in times:
+            times["seg_x1000"] = round(times["x1000"] / times["x100"], 2)
         result[name] = times
         print(name, times, file=sys.stderr)
     print(json.dumps({"probe": "x100_scaling", "queries": result}))
@@ -115,7 +170,10 @@ def _autoplanes() -> None:
     times: dict[str, float] = {}
     planes: dict[str, int] = {}
     pairs: dict[str, int] = {}
-    for label, d in SCALES:
+    # x1000 excluded: its embeddings table is the x100 copy (the
+    # orthogonal-transform fan does not compose collision-free
+    # across the two replication stages).
+    for label, d in SCALES[:3]:
         if not os.path.isdir(d):
             continue
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
@@ -146,7 +204,8 @@ def _autoplanes() -> None:
 def main() -> None:
     stage = sys.argv[1] if len(sys.argv) > 1 else "run"
     if stage == "replicate":
-        _replicate(int(sys.argv[2]))
+        n = int(sys.argv[2])
+        _replicate_1000() if n == 1000 else _replicate(n)
     elif stage == "autoplanes":
         _autoplanes()
     else:
