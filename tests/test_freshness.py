@@ -19,6 +19,21 @@ sys.path.insert(0, str(REPO / "tools"))
 import __spark_entry__ as entry_mod
 from freshness import auto_front, latest_rows, oldest_first
 
+# Wired into the registry in r14 (r13 verdict item 1 — queries_ext65
+# had been authored in r7 but never imported). Absent from the
+# registry for every historical replay below, so the replays filter
+# them out of oldest_first (which runs against the CURRENT registry
+# and would otherwise put the three round-0 newcomers at the head of
+# every historical order).
+R14_WIRED = {
+    "x104_quantized_recall", "x105_knn_reciprocity", "a82_promo_lift_curve",
+}
+
+
+def _hist_order(upto: int) -> list[str]:
+    """oldest_first as the registry stood BEFORE the r14 wiring."""
+    return [n for n, _ in oldest_first(upto=upto) if n not in R14_WIRED]
+
 # The r10 front: x13_dup_clusters_star is the r9-verdict-ordered front
 # (star-contraction count-carry changed its execution in r9, after its
 # r5 driver row); x56/x59 are the `--front auto` findings (plans
@@ -97,7 +112,7 @@ def test_r10_window_was_generator_output_from_r9_data():
 
     with open(REPO / "CORRECTNESS_r10.json") as fh:
         r10_checked = list(json.load(fh))
-    order = [n for n, _ in oldest_first(upto=9)]
+    order = _hist_order(9)
     body = [n for n in order if n not in R10_FRONT]
     n_body = 50 - len(R10_FRONT)
     assert r10_checked == R10_FRONT + body[:n_body]
@@ -137,7 +152,7 @@ def test_r11_window_was_generator_output_from_r10_data():
 
     with open(REPO / "CORRECTNESS_r11.json") as fh:
         r11_checked = list(json.load(fh))
-    order = [n for n, _ in oldest_first(upto=10)]
+    order = _hist_order(10)
     body = [n for n in order if n not in R11_FRONT]
     n_body = 50 - len(R11_FRONT)
     assert r11_checked == R11_FRONT + body[:n_body]
@@ -169,7 +184,7 @@ def test_r12_window_was_generator_output_from_r11_data():
 
     with open(REPO / "CORRECTNESS_r12.json") as fh:
         r12_checked = list(json.load(fh))
-    order = [n for n, _ in oldest_first(upto=11)]
+    order = _hist_order(11)
     assert r12_checked == order[:50]
 
 
@@ -186,18 +201,55 @@ def test_auto_front_for_r13_at_r12_snapshots_is_empty():
     assert uncomparable == []
 
 
-def test_r13_window_is_generator_output_from_r12_data():
-    """_R13_WINDOW == the pure oldest-first body from the r1..r12
-    driver history (zero fronts — see the previous test); _R13_TAIL
-    is the FULL next block of that same order (r9 advice: the literal
-    is exactly what the generator emits, length included). The body
-    starts with the 22 r8-stale queries (q16_supplier_cnt first) then
-    the 28 oldest r9 entries — i.e. exactly the r12 tail block, as
-    the rotation invariant requires."""
-    order = [n for n, _ in oldest_first(upto=12)]
-    assert entry_mod._R13_WINDOW == order[:50]
-    assert entry_mod._R13_TAIL == order[50:100]
-    assert len(entry_mod._R13_TAIL) == 50
+def test_r13_window_was_generator_output_from_r12_data():
+    """The r13 window (now history — its driver rows are in
+    CORRECTNESS_r13.json) was the pure oldest-first body from the
+    r1..r12 driver history (zero fronts — see the previous test): the
+    22 r8-stale queries (q16_supplier_cnt first) then the 28 oldest
+    r9 entries. Pinned via the r13 CORRECTNESS file itself: the
+    driver ran exactly the literal we shipped, so replaying the
+    generator against upto=12 data must reproduce that file's
+    order."""
+    import json
+
+    with open(REPO / "CORRECTNESS_r13.json") as fh:
+        r13_checked = list(json.load(fh))
+    order = _hist_order(12)
+    assert r13_checked == order[:50]
+
+
+def test_auto_front_for_r14_at_r13_snapshots_is_empty():
+    """`--front auto` at upto=13 emits ZERO fronts (the r13 verdict
+    pre-ran the generator and predicted exactly this): PLAN_FPS_r13
+    is fingerprint-identical to r12 for all 221 pre-existing queries
+    — r13's only engine change was 18 additive lines in
+    similarity.py — so no fingerprint postdates its owner's last
+    driver row. The three r14-wired newcomers are round-0 rows with
+    no prior driver row to invalidate: the generator skips them in
+    the diff (they lead the window body by staleness instead), so
+    they appear in NEITHER list. Zero uncomparable, as every round
+    since the action-count metric landed."""
+    front, uncomparable = auto_front(upto=13)
+    assert front == []
+    assert uncomparable == []
+
+
+def test_r14_window_is_generator_output_from_r13_data():
+    """_R14_WINDOW == the oldest-first body from the r1..r13 driver
+    history over the CURRENT 224-query registry (zero fronts — see
+    the previous test): the three never-driver-checked r14 newcomers
+    first (round-0 staleness), then x12_clean_corpus + the 46 next-
+    oldest r9 entries. _R14_TAIL is the FULL next block of that same
+    order (r9 advice: the literal is exactly what the generator
+    emits, length included)."""
+    order = [n for n, _ in oldest_first(upto=13)]
+    assert entry_mod._R14_WINDOW == order[:50]
+    assert entry_mod._R14_TAIL == order[50:100]
+    assert len(entry_mod._R14_TAIL) == 50
+    assert entry_mod._R14_WINDOW[:3] == [
+        "x104_quantized_recall", "x105_knn_reciprocity",
+        "a82_promo_lift_curve",
+    ]
 
 
 def test_window_covers_registry_and_leads_queries():
@@ -205,22 +257,25 @@ def test_window_covers_registry_and_leads_queries():
     driver-checked size (50), and queries() iteration order leads with
     the window (the driver checks the FIRST 50 entries)."""
     names = list(entry_mod.queries())
-    assert len(entry_mod._R13_WINDOW) == 50
-    assert names[:50] == entry_mod._R13_WINDOW
-    assert set(entry_mod._R13_TAIL) <= set(names)
-    assert len(set(entry_mod._R13_WINDOW)) == 50  # no double-counted slots
+    assert len(entry_mod._R14_WINDOW) == 50
+    assert names[:50] == entry_mod._R14_WINDOW
+    assert set(entry_mod._R14_TAIL) <= set(names)
+    assert len(set(entry_mod._R14_WINDOW)) == 50  # no double-counted slots
 
 
 def test_staleness_accounting_matches_registry():
-    """Every registry query has a driver row by r12 (the r12 verdict's
-    cumulative-green claim: histogram r12=50, r11=50, r10=50, r9=49,
-    r8=22 — the floor advanced from r7 to r8 at the r12 close) and the
-    registry is frozen at 221."""
-    latest = latest_rows(upto=12)
+    """Every pre-r14 registry query has a driver row by r13 (the r13
+    verdict's cumulative-green claim: histogram r13=50, r12=50,
+    r11=50, r10=50, r9=21 — the floor advanced from r8 to r9 at the
+    r13 close); the registry grew 221 -> 224 in r14 (EXT65 wiring,
+    r13 verdict item 1) and the three newcomers are exactly the
+    never-driver-checked set."""
+    latest = latest_rows(upto=13)
     names = set(entry_mod.queries())
-    assert names <= set(latest), sorted(names - set(latest))
-    rounds = [latest[n][0] for n in names]
+    assert len(names) == 224
+    assert names - set(latest) == R14_WIRED, sorted(names - set(latest))
+    rounds = [latest[n][0] for n in names - R14_WIRED]
     assert len(rounds) == 221
-    assert min(rounds) >= 8  # nothing older than r8 entering r13
+    assert min(rounds) >= 9  # nothing older than r9 entering r14
     hist = {r: rounds.count(r) for r in set(rounds)}
-    assert hist == {12: 50, 11: 50, 10: 50, 9: 49, 8: 22}
+    assert hist == {13: 50, 12: 50, 11: 50, 10: 50, 9: 21}

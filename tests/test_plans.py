@@ -1422,6 +1422,35 @@ def test_wave64_exchange_budgets(spark, sf_small):
         assert "CartesianProduct" not in t, (name, t)
 
 
+def test_wave65_exchange_budgets(spark, sf_small):
+    """queries_ext65 (wired in r14, r13 verdict item 1). x104: two
+    k-bounded ranking legs — the quantized leg scores the corpus
+    against an 8-row broadcast query frame (per-row quantization is a
+    map, never a shuffle), the exact leg reuses cosine_topk's
+    broadcast-query plan; they join on (query, neighbor) ≤ 80 rows.
+    x105: the O(sample²) leg is sample-capped and round-robin-spread
+    (x103 discipline: one fixed 64-task shuffle of ≤1000 rows), the
+    reciprocity check is ONE self-join on reversed pairs plus a
+    ≤k-row rank groupBy. a82: one map-side agg of lineitem to the
+    ≤11-row discount grid + a 1-row broadcast baseline join — fact
+    volume crosses exactly ONE exchange."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        "x104_quantized_recall": 5,
+        "x105_knn_reciprocity": 7,
+        "a82_promo_lift_curve": 2,
+    }
+    got = {
+        name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
+    }
+    assert got == budgets, got
+    for name in budgets:
+        t = plans.explain_str(qs[name](spark, sf_small))
+        assert "CartesianProduct" not in t, (name, t)
+
+
 # ---------------------------------------------------------------------------
 # Materialize-once canaries (r11 verdict item 2): the r11 x30 probes
 # found one defect class in TWO operators — an expensive lazy edge

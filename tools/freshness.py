@@ -148,6 +148,13 @@ def auto_front(repo: str = HERE, upto: int | None = None
     for name, rnd in oldest_first(repo, upto):
         if rnd >= cur_round:
             continue  # driver row already postdates the current code
+        if rnd == 0:
+            # Never driver-checked (newly wired, e.g. the r14 EXT65
+            # wiring): there is no prior driver row for a plan change
+            # to invalidate, and round-0 staleness already puts the
+            # query at the head of the window body — no diff needed,
+            # and no human judgment either.
+            continue
         then = fps.get(rnd, {}).get(name)
         now = cur.get(name)
         if (not then or not now or "err" in then or "err" in now
