@@ -122,6 +122,18 @@ LOAD_DRIFT_END_THRESHOLD = 4.0
 FLAP_FLOOR_BAND = 1.15
 FLAP_FLOOR_REPS = 10
 
+# Cumulative record-floor guard (r13 verdict item 4): the vs-prev gate
+# requires >1.3x AND >=0.25s absolute delta, so a sub-second query
+# drifting ~1.2x per round compounds invisibly (a34/x75/a44 escaped
+# the gate three rounds running on exactly this path). Every reported
+# row is therefore ALSO compared against its best committed record
+# across the whole BENCH_r*.json history (same sf): exceeding
+# RECORD_DRIFT_RATIO x record flags it regardless of absolute size,
+# and the flag goes through the same fingerprint+floor triage as a
+# vs-prev flag, so load noise still demotes to a named jit_band
+# verdict instead of crying wolf.
+RECORD_DRIFT_RATIO = 1.5
+
 
 def _latest_plan_fps(here: str):
     """(filename, per-query fingerprint records) of the newest
@@ -300,6 +312,24 @@ def _flag(base_section: dict, now: dict) -> dict:
         for q, b in base_section.items()
         if q in now and b > 0 and now[q] > 1.3 * b and now[q] - b >= 0.25
     }
+
+
+def _flag_vs_record(sections, record_floor,
+                    ratio: float = RECORD_DRIFT_RATIO) -> dict:
+    """Cumulative drift filter (r13 verdict item 4): flag any reported
+    row exceeding ``ratio`` x its best committed record — NO absolute
+    floor, so the sub-0.25s drift the vs-prev gate tolerates cannot
+    compound across rounds unseen. ``record_floor(q) -> (best, src)``
+    is injected (same scan the flap triage uses) so the contract test
+    pins the decision without artifacts."""
+    out: dict[str, dict] = {}
+    for section in sections:
+        for q, t in section.items():
+            record, src = record_floor(q)
+            if record is not None and record > 0 and t > ratio * record:
+                out[q] = {"record": record, "record_source": src,
+                          "now": t, "ratio": round(t / record, 3)}
+    return out
 
 
 def main() -> None:
@@ -504,37 +534,50 @@ def main() -> None:
         try:
             with open(os.path.join(here, prior[-1])) as fh:
                 prev = json.load(fh).get("parsed", {})
+            vs_prev: dict | None = None
             if prev.get("sf") == sf:
                 vs_prev = _flag(prev.get("queries", {}), timings)
                 vs_prev.update(_flag(prev.get("queries_ext", {}), ext_timings))
                 payload["prev_round"] = prior[-1]
-                # Automated flap triage (r12 verdict item 3): every
-                # unchanged-fingerprint flag gets the dedicated-JVM
-                # min-of-10 floor probe; jit_band verdicts are demoted
-                # out of regressions_vs_prev, everything else keeps
-                # the hard flag. SPARK_GRAFT_TRIAGE=0 skips the (slow)
-                # probes for quick local iteration — the raw flags then
-                # stand untriaged, never silently dropped.
-                if vs_prev and os.environ.get(
-                        "SPARK_GRAFT_TRIAGE", "1") != "0":
-                    fp_file, fp_snapshot = _latest_plan_fps(here)
-                    triage, demote = _triage_flaps(
-                        vs_prev, fp_snapshot,
-                        live_fp=lambda q: _live_fingerprint(here, q),
-                        floor_probe=lambda q: _run_floor_probe(
-                            here, q, sf_dir),
-                        record_floor=lambda q: _record_floor(here, sf, q),
-                    )
-                    for q in demote:
-                        del vs_prev[q]
-                    payload["flap_triage"] = {
-                        "plan_fps_snapshot": fp_file,
-                        "floor_band": FLAP_FLOOR_BAND,
-                        "floor_reps": FLAP_FLOOR_REPS,
-                        "demoted": demote,
-                        "queries": triage,
-                    }
+            # Cumulative record guard (r13 verdict item 4): every
+            # reported row vs its best committed record, no absolute
+            # floor — the compounding-drift blind spot of vs-prev.
+            vs_record = _flag_vs_record(
+                (timings, ext_timings),
+                lambda q: _record_floor(here, sf, q))
+            # Automated flap triage (r12 verdict item 3; extended to
+            # the record guard in r14): every unchanged-fingerprint
+            # flag gets the dedicated-JVM min-of-10 floor probe;
+            # jit_band verdicts are demoted out of BOTH flag dicts,
+            # everything else keeps the hard flag. SPARK_GRAFT_TRIAGE=0
+            # skips the (slow) probes for quick local iteration — the
+            # raw flags then stand untriaged, never silently dropped.
+            combined = {**vs_record, **(vs_prev or {})}
+            if combined and os.environ.get(
+                    "SPARK_GRAFT_TRIAGE", "1") != "0":
+                fp_file, fp_snapshot = _latest_plan_fps(here)
+                triage, demote = _triage_flaps(
+                    combined, fp_snapshot,
+                    live_fp=lambda q: _live_fingerprint(here, q),
+                    floor_probe=lambda q: _run_floor_probe(
+                        here, q, sf_dir),
+                    record_floor=lambda q: _record_floor(here, sf, q),
+                )
+                for q in demote:
+                    if vs_prev is not None:
+                        vs_prev.pop(q, None)
+                    vs_record.pop(q, None)
+                payload["flap_triage"] = {
+                    "plan_fps_snapshot": fp_file,
+                    "floor_band": FLAP_FLOOR_BAND,
+                    "floor_reps": FLAP_FLOOR_REPS,
+                    "demoted": demote,
+                    "queries": triage,
+                }
+            if vs_prev is not None:
                 payload["regressions_vs_prev"] = vs_prev
+            payload["regressions_vs_record"] = vs_record
+            payload["record_drift_ratio"] = RECORD_DRIFT_RATIO
         except (OSError, ValueError):
             pass
 

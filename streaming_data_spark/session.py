@@ -74,3 +74,71 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# -- input-bytes-aware shuffle sizing (r13 scale finding) ---------------
+#
+# AQE coalesces small shuffle partitions DOWN from the initial
+# ``spark.sql.shuffle.partitions`` but — skew-join splitting aside —
+# never splits past that initial count, so an initial count sized for
+# the small scale silently becomes a spill cliff at the large one
+# (measured: x35_lm_score at x1000, ~1B token instances — 32
+# partitions -> 117 s, 256 -> 75 s; plan identical, pure spill).  The
+# asymmetry dictates the rule: derive the INITIAL count from input
+# bytes and round UP — overshooting is cheap (AQE trims empty/small
+# partitions at runtime), undershooting is the expensive direction
+# (AQE cannot add partitions).  This is the standard cluster knob
+# (inputs / target partition bytes); here it is automatic.
+
+_SHUFFLE_TARGET_BYTES = 128 << 20  # ~128 MB of input per shuffle partition
+_SHUFFLE_PARTITION_CAP = 8192  # runaway guard: 1 TB inputs at 128 MB
+
+
+def input_bytes(spark: SparkSession, *paths: str) -> int:
+    """Total bytes under ``paths`` via the Hadoop FileSystem API (so
+    HDFS/S3/file: URIs all work on a real cluster); falls back to a
+    local walk for plain paths when the JVM gateway is unavailable."""
+    total = 0
+    for path in paths:
+        try:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            total += fs.getContentSummary(jpath).getLength()
+        except Exception:
+            if os.path.isfile(path):
+                total += os.path.getsize(path)
+            else:
+                for root, _dirs, files in os.walk(path):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f)) for f in files
+                    )
+    return total
+
+
+def autosize_shuffle_partitions(
+    spark: SparkSession,
+    *paths: str,
+    target_bytes: int = _SHUFFLE_TARGET_BYTES,
+    floor: int | None = None,
+    cap: int = _SHUFFLE_PARTITION_CAP,
+) -> int:
+    """Set ``spark.sql.shuffle.partitions`` from the bytes under
+    ``paths`` (the tables the upcoming queries read — passing the
+    whole dataset dir is correct: the count is an initial CEILING
+    that AQE coalesces down per-query, so unread tables only ever
+    round it up, never hurt).  Returns the count applied.
+
+    ``n = clamp(floor, ceil(bytes / target_bytes), cap)`` with
+    ``floor`` defaulting to the session's current core parallelism.
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` overrides the computation —
+    the hand knob still wins when a probe needs a fixed count.
+    """
+    forced = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if forced:
+        n = int(forced)
+    else:
+        lo = floor if floor is not None else spark.sparkContext.defaultParallelism
+        n = min(cap, max(lo, -(-input_bytes(spark, *paths) // target_bytes)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n

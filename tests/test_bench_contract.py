@@ -238,13 +238,15 @@ def test_committed_artifacts_from_r13_have_triaged_vs_prev_flags():
             continue
         with open(path) as fh:
             parsed = json.load(fh).get("parsed", {})
-        flags = parsed.get("regressions_vs_prev", {})
+        flags = dict(parsed.get("regressions_vs_prev", {}))
+        # r14: the cumulative record guard's flags need verdicts too
+        flags.update(parsed.get("regressions_vs_record", {}))
         if not flags:
             continue
         triage = parsed.get("flap_triage", {}).get("queries", {})
         for q in flags:
             assert q in triage, (
-                f"{path}: vs-prev flag {q} has no triage verdict — "
+                f"{path}: flag {q} has no triage verdict — "
                 "rerun bench.py with SPARK_GRAFT_TRIAGE enabled")
             assert triage[q]["verdict"] in (
                 "fingerprint_changed", "floor_shift", "uncomparable")
@@ -265,7 +267,11 @@ def test_latest_plan_fps_picks_the_numerically_newest_snapshot():
         if f.startswith("PLAN_FPS_r") and f.endswith(".json")
     ]
     assert fname == f"PLAN_FPS_r{max(rounds)}.json"
-    assert queries and len(queries) == 221
+    # <=r13: the frozen 221-query registry. >=r14: 224 (EXT65 wired,
+    # r13 verdict item 1) + the shared_pair_build canary fingerprint
+    # (r13 verdict item 5).
+    expected = 221 if max(rounds) <= 13 else 225
+    assert queries and len(queries) == expected
     # a directory with no snapshots is a clean (None, None) — the
     # triage then reports every flag uncomparable instead of crashing
     import tempfile
@@ -286,3 +292,61 @@ def test_x2_baseline_override_retires_with_the_artifact_it_corrects():
     with open("/root/repo/BENCH_r01.json") as fh:
         recorded = json.load(fh)["parsed"]["queries"]["x2_minhash_lsh"]
     assert recorded == artifact  # the artifact is still the anchor
+
+
+def test_record_guard_flags_compounding_drift_without_absolute_floor():
+    """r13 verdict item 4: three rounds of ~1.2x sub-0.25s drift
+    passed the vs-prev gate untouched (a34/x75/a44). The record guard
+    compares every reported row against its best committed number with
+    NO absolute-delta floor, so exactly that compounding path flags."""
+    records = {
+        "a34_rsi": (0.10, "BENCH_r10.json"),   # 0.173 now = 1.73x record
+        "x75_ok": (0.50, "BENCH_r11.json"),    # 0.6 now = 1.2x, inside
+        "q_big": (2.0, "BENCH_r01.json"),      # 3.5 now = 1.75x record
+        "q_zero": (0.0, "BENCH_r02.json"),     # degenerate record: skip
+    }
+    head = {"q_big": 3.5}
+    ext = {"a34_rsi": 0.173, "x75_ok": 0.6, "q_zero": 1.0, "q_new": 9.9}
+    flagged = bench._flag_vs_record(
+        (head, ext), lambda q: records.get(q, (None, None)))
+    # the 0.073s absolute delta the vs-prev gate ignores DOES flag here
+    assert set(flagged) == {"a34_rsi", "q_big"}
+    assert flagged["a34_rsi"] == {
+        "record": 0.10, "record_source": "BENCH_r10.json",
+        "now": 0.173, "ratio": 1.73}
+    # inside-ratio, no-record, and zero-record rows never flag
+    assert "x75_ok" not in flagged and "q_new" not in flagged
+    assert "q_zero" not in flagged
+
+
+def test_shared_pair_build_flag_resolves_to_named_verdict():
+    """r13 verdict item 5 done-criterion: a synthetic flag on
+    shared_pair_build resolves through the SAME triage as registry
+    queries (it now has a plan fingerprint via tools/plan_fps.py's
+    canary target and a floor path via tools/floor_probe.py) — never
+    the old 'uncomparable' dead end."""
+    flag = {"shared_pair_build": {"record": 2.515, "now": 3.43,
+                                  "ratio": 1.364}}
+    snapshot = {"shared_pair_build": {"fp": "6da9f2cd:a0", "stable": True}}
+    live_same = {"shared_pair_build": {"fp": "6da9f2cd:a0", "stable": True}}
+
+    # unchanged fingerprint + floor at the record -> jit_band, demoted
+    triage, demote = bench._triage_flaps(
+        flag, snapshot,
+        live_fp=lambda q: live_same.get(q),
+        floor_probe=lambda q: {"floor": 2.6, "times": [2.6, 3.4]},
+        record_floor=lambda q: (2.515, "BENCH_r12.json"),
+    )
+    assert triage["shared_pair_build"]["verdict"] == "jit_band"
+    assert demote == ["shared_pair_build"]
+
+    # changed fingerprint -> the flag stands with a named cause
+    live_diff = {"shared_pair_build": {"fp": "ffff0000:a1", "stable": True}}
+    triage, demote = bench._triage_flaps(
+        flag, snapshot,
+        live_fp=lambda q: live_diff.get(q),
+        floor_probe=lambda q: {"floor": 2.6, "times": [2.6]},
+        record_floor=lambda q: (2.515, "BENCH_r12.json"),
+    )
+    assert triage["shared_pair_build"]["verdict"] == "fingerprint_changed"
+    assert demote == []

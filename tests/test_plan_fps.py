@@ -222,3 +222,19 @@ def test_auto_front_skips_rows_fresher_than_snapshot(tmp_path, monkeypatch):
         {"a": {"fp": "A2:a0", "stable": True}}))
     front, uncomparable = freshness.auto_front(repo)
     assert front == [] and uncomparable == []
+
+
+def test_compute_targets_include_shared_pair_build(spark):
+    """r13 verdict item 5: the bench's one non-registry timing site is
+    fingerprinted with the registry protocol, so its flap-triage path
+    can resolve to a named verdict instead of 'uncomparable'. Live
+    run (reps=2, sf0.001) — also pins that the LAZY builder's plan is
+    session-stable (the memoized wrapper's checkpointed plan is not,
+    which is why the canary fingerprints the builder)."""
+    out, _env = plan_fps.compute(
+        "/root/repo", "/root/testdata/sf0.001", reps=2, cpus=4,
+        only={"shared_pair_build"})
+    rec = out["shared_pair_build"]
+    assert "err" not in rec, rec
+    assert rec["stable"] is True
+    assert rec["fp"].endswith(f":a{rec['actions']}")

@@ -24,3 +24,75 @@ def test_session_factory_pins_correctness_and_scale_confs(spark):
 def test_session_factory_is_reentrant(spark):
     again = get_session(app_name="second-call")
     assert again is spark or again.sparkContext is spark.sparkContext
+
+
+def test_autosize_shuffle_partitions_floors_at_parallelism(spark, tmp_path):
+    """Small inputs (every local test dir) keep the core-count floor —
+    autosizing must never DROP below the session's parallelism."""
+    from streaming_data_spark.session import autosize_shuffle_partitions
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (tmp_path / "t.bin").write_bytes(b"x" * 1024)
+        n = autosize_shuffle_partitions(spark, str(tmp_path))
+        assert n == spark.sparkContext.defaultParallelism
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_autosize_shuffle_partitions_scales_with_bytes_and_caps(
+    spark, tmp_path
+):
+    """The r13 x1000 finding mechanized: initial partitions = ceil of
+    input bytes over the per-partition target (AQE coalesces down but
+    never splits up past the initial count, so rounding UP is the
+    safe direction), bounded by the runaway cap."""
+    from streaming_data_spark.session import autosize_shuffle_partitions
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (tmp_path / "a.bin").write_bytes(b"x" * 7000)
+        (tmp_path / "b.bin").write_bytes(b"x" * 3001)
+        # 10001 bytes at a 100-byte target -> ceil = 101 partitions
+        n = autosize_shuffle_partitions(spark, str(tmp_path), target_bytes=100)
+        assert n == 101
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "101"
+        # cap binds
+        n = autosize_shuffle_partitions(
+            spark, str(tmp_path), target_bytes=100, cap=64
+        )
+        assert n == 64
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_autosize_shuffle_partitions_env_override_wins(
+    spark, tmp_path, monkeypatch
+):
+    """SPARK_GRAFT_SHUFFLE_PARTITIONS remains the explicit hand knob —
+    a probe that needs a fixed count (e.g. the r13 32-vs-256 spill
+    experiment itself) must be able to pin it."""
+    from streaming_data_spark.session import autosize_shuffle_partitions
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "77")
+        (tmp_path / "a.bin").write_bytes(b"x" * 10_000)
+        n = autosize_shuffle_partitions(spark, str(tmp_path), target_bytes=10)
+        assert n == 77
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "77"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_input_bytes_sums_files_and_dirs(spark, tmp_path):
+    from streaming_data_spark.session import input_bytes
+
+    (tmp_path / "a.bin").write_bytes(b"x" * 123)
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "b.bin").write_bytes(b"x" * 77)
+    assert input_bytes(spark, str(tmp_path)) == 200
+    assert input_bytes(spark, str(tmp_path / "a.bin")) == 123
+    assert input_bytes(spark, str(tmp_path), str(sub)) == 277

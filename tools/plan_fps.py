@@ -157,6 +157,24 @@ class _ActionCounter:
             setattr(self._cls, name, orig)
 
 
+def _shared_pair_build(spark, sf_dir):
+    """The bench canary's pair-build plan (bench.py times exactly this
+    builder as the ``shared_pair_build`` line). Fingerprinted alongside
+    the registry (r13 verdict item 5) so the one non-registry bench
+    row has the same triage path as everything else: the LAZY builder
+    is hashed (the memoizing wrapper returns a checkpointed LogicalRDD
+    whose plan string is session-dependent; the wrapper itself is 30
+    lines of memo bookkeeping pinned by its own idempotency tests),
+    and any driver-side action the build runs shows up in the action
+    count as usual."""
+    from streaming_data_spark.operators import dedup
+    from streaming_data_spark.queries import _t
+
+    return dedup.ngram_jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.8)
+
+
 def _clear_memos() -> None:
     """Reset the shared pair memo (the repo's only module-level memo)
     so every build pays its own jobs — order-independence, same as
@@ -188,9 +206,14 @@ def compute(repo: str, sf_dir: str, reps: int, cpus: int,
     spark.sparkContext.setLogLevel("ERROR")
     df_cls = type(spark.range(1))  # the concrete classic DataFrame class
     registry = entry_mod.queries()
+    targets = dict(registry)
+    # The bench's non-registry timing site, fingerprinted with the
+    # same protocol (r13 verdict item 5). setdefault: a future round
+    # promoting it to a registry query must win.
+    targets.setdefault("shared_pair_build", _shared_pair_build)
 
     out: dict[str, dict] = {}
-    for name, fn in registry.items():
+    for name, fn in targets.items():
         if only is not None and name not in only:
             continue
         seen: list[tuple[str, int]] = []

@@ -25,8 +25,13 @@ sys.path.insert(0, REPO)
 from streaming_data_spark.session import get_session  # noqa: E402
 import __spark_entry__ as entry  # noqa: E402
 
-SCALES = (("sf0.1", "/root/testdata/sf0.1"), ("x10", "/tmp/sfx10"),
-          ("x100", "/tmp/sfx100"))
+# Same env-var resolution as scale_probe_100x.py (r13 ADVICE: the 4x
+# re-run used to hardcode /tmp/sfx100 and skip the isdir guard).
+X100 = os.environ.get("SPARK_GRAFT_X100_DIR", "/tmp/sfx100")
+SCALES = (("sf0.1", os.environ.get("SPARK_GRAFT_SF_DIR",
+                                   "/root/testdata/sf0.1")),
+          ("x10", os.environ.get("SPARK_GRAFT_X10_DIR", "/tmp/sfx10")),
+          ("x100", X100))
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
     r"BroadcastNestedLoopJoin|CartesianProduct)")
@@ -43,31 +48,44 @@ def main() -> None:
         if not os.path.isdir(d):
             continue
         df = fn(spark, d)
-        # Final AQE-decided plan requires execution; read the initial
-        # plan's strategies (cost-model decision) from explain.
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        joins = JOIN_RE.findall(plan)
+        # Initial cost-model strategies (pre-execution) ...
+        joins_initial = JOIN_RE.findall(
+            df._jdf.queryExecution().executedPlan().toString())
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
-        report[label] = {"joins": joins, "sec": round(best, 3)}
+        # ... and the final AQE-decided strategies AFTER execution
+        # (r13 ADVICE: AQE can convert SortMergeJoin back to
+        # BroadcastHashJoin at runtime, so the initial list alone can
+        # misstate what actually executed). The noop writes above run
+        # their OWN QueryExecution, so finalize THIS df's adaptive
+        # plan explicitly (untimed, executor-side row count — no
+        # driver collect) before re-reading it.
+        df._jdf.queryExecution().toRdd().count()
+        joins_final = JOIN_RE.findall(
+            df._jdf.queryExecution().executedPlan().toString())
+        report[label] = {"joins_initial": joins_initial,
+                         "joins_final": joins_final,
+                         "sec": round(best, 3)}
         print(label, report[label], file=sys.stderr)
-    # Partition-count sensitivity at x100 only.
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(int(old) * 4))
-    try:
-        df = fn(spark, "/tmp/sfx100")
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        report["x100_4xparts"] = {"sec": round(best, 3)}
-        print("x100_4xparts", report["x100_4xparts"], file=sys.stderr)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # Partition-count sensitivity at x100 only (same env-resolved
+    # dir + isdir guard as the SCALES loop — r13 ADVICE).
+    if os.path.isdir(X100):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(old) * 4))
+        try:
+            df = fn(spark, X100)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            report["x100_4xparts"] = {"sec": round(best, 3)}
+            print("x100_4xparts", report["x100_4xparts"], file=sys.stderr)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     print(json.dumps({"probe": f"{name}_plan_transition", "scales": report}))
     spark.stop()
 

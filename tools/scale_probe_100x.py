@@ -123,9 +123,33 @@ def _replicate_1000() -> None:
     spark.stop()
 
 
+_X1000_SAFE_CACHE: dict[str, bool] = {}
+
+
+def _x1000_safe(name, fn, spark) -> bool:
+    """The x1000 replica fans orders/lineitem/events/documents only;
+    embeddings are a 1x copy of the x100 replica, so a query whose
+    plan scans embeddings.parquet would report a meaningless x1000
+    ratio. Until r14 this exclusion lived only in docstrings (r13
+    ADVICE); now it is detected from the query's own scan set, not a
+    hand list — a query that fails to build is conservatively
+    unsafe."""
+    if name not in _X1000_SAFE_CACHE:
+        try:
+            from streaming_data_spark import plans
+
+            _X1000_SAFE_CACHE[name] = (
+                "embeddings.parquet" not in plans.explain_str(fn(spark, SRC))
+            )
+        except Exception:
+            _X1000_SAFE_CACHE[name] = False
+    return _X1000_SAFE_CACHE[name]
+
+
 def _run(names: list[str]) -> None:
     import __spark_entry__ as entry
     from streaming_data_spark.operators import dedup as _dedup
+    from streaming_data_spark.session import autosize_shuffle_partitions
 
     spark = _session()
     qs = entry.queries()
@@ -138,6 +162,19 @@ def _run(names: list[str]) -> None:
                 print(f"{label} dir {d} missing — run replicate first",
                       file=sys.stderr)
                 continue
+            if label == "x1000" and not _x1000_safe(name, fn, spark):
+                # The x1000 replica fans only the fact/doc tables;
+                # embeddings stay at x100 size, so an embedding-
+                # dependent query would yield a misleading ratio.
+                print(f"{name}: skipping x1000 (reads a table the "
+                      "x1000 replica does not fan)", file=sys.stderr)
+                continue
+            # r14 (r13 verdict item 3): initial shuffle partitions
+            # auto-sized from the scale dir's bytes — the hand-set
+            # SPARK_GRAFT_SHUFFLE_PARTITIONS knob the r13 x1000
+            # finding needed is now the automatic default.  AQE
+            # coalesces the small scales back down.
+            parts = autosize_shuffle_partitions(spark, d)
             best = float("inf")
             for _ in range(2):
                 _dedup._PREFIX_PAIR_CACHE.clear()
@@ -145,6 +182,7 @@ def _run(names: list[str]) -> None:
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             times[label] = round(best, 3)
+            times[f"parts_{label}"] = parts
         if "x10" in times and "sf0.1" in times:
             times["ratio_x10"] = round(times["x10"] / times["sf0.1"], 2)
         if "x100" in times and "sf0.1" in times:
