@@ -198,9 +198,15 @@ def compute(repo: str, sf_dir: str, reps: int, cpus: int,
             "marks everything 'stable' vacuously")
     sys.path.insert(0, repo)
     import pyspark
+    from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry_mod
 
+    # getOrCreate REUSES a live session (e.g. the pytest fixture's);
+    # stopping one we did not create would kill the caller's
+    # SparkContext for the rest of its process (this truncated a full
+    # r14 suite run to 179 cascade failures). Only stop what we made.
+    reused = SparkSession.getActiveSession() is not None
     spark = _pinned_session(cpus)
     env = {"pyspark": pyspark.__version__, "spark": spark.version}
     spark.sparkContext.setLogLevel("ERROR")
@@ -264,7 +270,8 @@ def compute(repo: str, sf_dir: str, reps: int, cpus: int,
                     f"{s[:8]}:a{a}" for s, a in counts
                 )
             out[name] = rec
-    spark.stop()
+    if not reused:
+        spark.stop()
     return out, env
 
 
