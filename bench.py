@@ -134,6 +134,117 @@ FLAP_FLOOR_REPS = 10
 # verdict instead of crying wolf.
 RECORD_DRIFT_RATIO = 1.5
 
+# Record override for the guard above: the history scan reaches back
+# past ROOT-CAUSED plan changes, and numbers from a retired plan are
+# not comparable records. x35's one real incident (r5->r6: floor
+# 0.887 -> 1.322, root-caused then — the hot-key skew-split machinery
+# changed the plan and was accepted as a feature) left a 0.887 record
+# the current plan can never hit; without this pin the guard's first
+# quiet-box run re-flagged x35 (1.424 vs 0.887 = 1.605x, floor-probed
+# to a 'floor_shift' that was investigated eight rounds ago) and
+# would re-flag it every round forever. While the scan still resolves
+# to exactly THAT artifact's number, judge x35 against 1.082 — its
+# best committed number under the CURRENT plan (BENCH_r12). Same
+# self-retiring semantics as BASE_OVERRIDES_SPEC: a regenerated
+# history retires the pin instead of silently loosening the guard.
+RECORD_OVERRIDES_SPEC = {
+    # query: (stale record, its artifact, comparable post-change record)
+    "x35_lm_score": (0.887, "BENCH_r05.json", 1.082),
+    # x2's r01 number timed a run against leaked block-manager-cached
+    # signatures (persist bug fixed in r2 — the SAME artifact
+    # BASE_OVERRIDES_SPEC corrects for the vs-baseline gate); its
+    # comparable record is 1.174 (BENCH_r06), the committed minimum of
+    # the post-fix steady state (1.17-1.93 across r2-r13).
+    "x2_minhash_lsh": (0.926, "BENCH_r01.json", 1.174),
+}
+
+
+# Host-throttle detection (r14): this sandbox's host slows the VM's
+# AGGREGATE CPU budget under sustained load — a quiet-gate-passing
+# bench (1-min loadavg 0.11 at start) read 34% slower than an
+# identical run 30 minutes earlier, single-thread sha256 stayed fast,
+# and 12 spurious record flags fired at a uniform ~1.6x. loadavg
+# measures queue, not budget, so the bench times a fixed 32-way
+# CPU-bound Spark job (no IO, no shuffle) and stamps it; a reading
+# past CALIB_THROTTLE_RATIO x the best committed stamp marks the run
+# `host_throttled` (rerun-don't-record, like load_contaminated) and
+# skips the flap-triage floor probes, whose readings would be equally
+# inflated.
+CALIB_THROTTLE_RATIO = 1.35
+CALIB_ROWS = 1_000_000_000
+CALIB_SHUFFLE_ROWS = 50_000_000  # -> 25M groups: a real exchange, no combine win
+
+# A degraded box produced 12 flags in one run (each flag = one
+# ~2.5-min dedicated floor probe); bound the probe bill and keep any
+# overflow as hard flags with a named no-verdict reason.
+MAX_FLOOR_PROBES = 6
+
+
+def _spark_calibration(spark) -> tuple[float, float]:
+    """(cpu_sec, shuffle_sec): two fixed Spark jobs, timed (one
+    warm-up rep each so a fresh JVM's JIT does not masquerade as
+    throttle). The cpu job saturates the 32 codegen pipelines; the
+    shuffle job moves a high-cardinality exchange (no map-side-combine
+    win) through the memory/disk path — the r14 degradation hit
+    shuffle-heavy rows while pure hashing stayed fast, so BOTH
+    subsystems are stamped."""
+    from pyspark.sql import functions as F
+
+    def _cpu(n: int) -> float:
+        t0 = time.perf_counter()
+        # max, not sum: summing xxhash64 longs overflows under ANSI
+        # mode; max exercises the same per-row hash work.
+        spark.range(n).select(F.max(F.xxhash64("id"))).collect()
+        return time.perf_counter() - t0
+
+    def _shuffle(n: int) -> float:
+        t0 = time.perf_counter()
+        spark.range(n).select(
+            F.pmod(F.xxhash64("id"), F.lit(n // 2)).alias("k")
+        ).groupBy("k").agg(F.count(F.lit(1))).select(F.max("k")).collect()
+        return time.perf_counter() - t0
+
+    _cpu(CALIB_ROWS // 20)  # warm-up: codegen + JIT
+    cpu = round(min(_cpu(CALIB_ROWS) for _ in range(2)), 3)
+    _shuffle(CALIB_SHUFFLE_ROWS // 10)
+    shuf = round(min(_shuffle(CALIB_SHUFFLE_ROWS) for _ in range(2)), 3)
+    return cpu, shuf
+
+
+def _committed_calib_floor(here: str, sf: float):
+    """Best (lowest) committed calibration stamps at this sf, per
+    subsystem: (cpu_floor, shuffle_floor). None entries before the
+    first stamped artifact lands (detection then starts next round)."""
+    best = [None, None]
+    for f in os.listdir(here):
+        if not re.fullmatch(r"BENCH_r\d+\.json", f):
+            continue
+        try:
+            with open(os.path.join(here, f)) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        if parsed.get("sf") != sf:
+            continue
+        lc = parsed.get("load_context", {})
+        for i, key in enumerate(
+                ("spark_calib_sec", "spark_calib_shuffle_sec")):
+            c = lc.get(key)
+            if isinstance(c, (int, float)) and c > 0 and (
+                    best[i] is None or c < best[i]):
+                best[i] = c
+    return tuple(best)
+
+
+def _record_floor_comparable(here: str, sf: float, query: str):
+    """_record_floor with RECORD_OVERRIDES_SPEC applied — the record
+    the drift guard and the flap triage judge against."""
+    best, src = _record_floor(here, sf, query)
+    ov = RECORD_OVERRIDES_SPEC.get(query)
+    if ov and (best, src) == (ov[0], ov[1]):
+        return ov[2], f"{src} (pre-plan-change; overridden to {ov[2]})"
+    return best, src
+
 
 def _latest_plan_fps(here: str):
     """(filename, per-query fingerprint records) of the newest
@@ -223,7 +334,8 @@ def _run_floor_probe(here: str, query: str, sf_dir: str,
 
 
 def _triage_flaps(vs_prev: dict, fp_snapshot, live_fp, floor_probe,
-                  record_floor, band: float = FLAP_FLOOR_BAND):
+                  record_floor, band: float = FLAP_FLOOR_BAND,
+                  max_probes: int = MAX_FLOOR_PROBES):
     """Returns ``(triage records, names to demote)``. Pure decision
     logic — the probe runners are injected so the contract test pins
     every verdict path without a SparkSession.
@@ -239,10 +351,24 @@ def _triage_flaps(vs_prev: dict, fp_snapshot, live_fp, floor_probe,
         the flag is demoted to this named note.
       uncomparable — missing/unstable snapshot or a failed probe;
         flag stands (fail-loud).
+      probe_budget_exceeded — more than ``max_probes`` flags needed a
+        floor probe this run (a degraded box can fire a dozen at
+        once; each probe is ~2.5 min of dedicated JVM); the worst
+        flags by ratio get the probes, the rest keep the hard flag
+        with this named reason.
+
+    Probe order is worst-first (flag now/base ratio), so the budget
+    spends where the signal is.
     """
+    def _ratio(flag: dict) -> float:
+        base = flag.get("base") or flag.get("record") or 0
+        now = flag.get("now") or 0
+        return (now / base) if base else float("inf")
+
     triage: dict[str, dict] = {}
     demote: list[str] = []
-    for q in sorted(vs_prev):
+    probes_used = 0
+    for q in sorted(vs_prev, key=lambda n: -_ratio(vs_prev[n])):
         entry: dict = {"flag": vs_prev[q]}
         prev_rec = (fp_snapshot or {}).get(q)
         now_rec = live_fp(q)
@@ -258,6 +384,11 @@ def _triage_flaps(vs_prev: dict, fp_snapshot, live_fp, floor_probe,
             triage[q] = entry
             continue
         record, src = record_floor(q)
+        if probes_used >= max_probes:
+            entry["verdict"] = "probe_budget_exceeded"
+            triage[q] = entry
+            continue
+        probes_used += 1
         probe = floor_probe(q)
         if record is None or not probe:
             entry["verdict"] = "uncomparable"
@@ -379,6 +510,21 @@ def main() -> None:
         pass
     registry = entry_mod.queries()
 
+    # Host-throttle stamp: timed BEFORE the suites so the reference
+    # job sees the same box state the timings do.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        spark_calib, spark_calib_shuffle = _spark_calibration(spark)
+    except Exception:  # noqa: BLE001 — calibration must never kill the run
+        spark_calib = spark_calib_shuffle = None
+    calib_ref, calib_shuffle_ref = _committed_calib_floor(here, sf)
+    host_throttled = any(
+        isinstance(c, float) and ref is not None
+        and c > CALIB_THROTTLE_RATIO * ref
+        for c, ref in ((spark_calib, calib_ref),
+                       (spark_calib_shuffle, calib_shuffle_ref))
+    )
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
@@ -473,6 +619,10 @@ def main() -> None:
         ),
         "load_context": {
             "cpus": os.cpu_count(),
+            "spark_calib_sec": spark_calib,
+            "spark_calib_shuffle_sec": spark_calib_shuffle,
+            "spark_calib_ref": calib_ref,
+            "spark_calib_shuffle_ref": calib_shuffle_ref,
             "loadavg_start": _load_avg0,
             "loadavg_end": _loadavg(),
             "quiet_gate": {
@@ -486,6 +636,12 @@ def main() -> None:
         # never quieted inside the wait budget, so every number above
         # is suspect — rerun on a quiet box before recording.
         payload["load_contaminated"] = True
+    if host_throttled:
+        # Same rerun-don't-record rule: the host is serving less
+        # aggregate CPU than its demonstrated best (committed calib
+        # floor), so every number above is uniformly inflated even
+        # though loadavg looked quiet.
+        payload["host_throttled"] = True
     la_end = payload["load_context"]["loadavg_end"]
     if la_end and la_end[0] > LOAD_DRIFT_END_THRESHOLD:
         # Load ramped up mid-run past what the bench's own work can
@@ -507,7 +663,6 @@ def main() -> None:
     # so x35's 1.49x round-over-round regression shipped silently. Now
     # BOTH sections are also compared against the PREVIOUS round's
     # file, same >1.3x threshold, reported under regressions_vs_prev.
-    here = os.path.dirname(os.path.abspath(__file__))
     prior = sorted(
         f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
@@ -544,7 +699,7 @@ def main() -> None:
             # floor — the compounding-drift blind spot of vs-prev.
             vs_record = _flag_vs_record(
                 (timings, ext_timings),
-                lambda q: _record_floor(here, sf, q))
+                lambda q: _record_floor_comparable(here, sf, q))
             # Automated flap triage (r12 verdict item 3; extended to
             # the record guard in r14): every unchanged-fingerprint
             # flag gets the dedicated-JVM min-of-10 floor probe;
@@ -553,7 +708,17 @@ def main() -> None:
             # skips the (slow) probes for quick local iteration — the
             # raw flags then stand untriaged, never silently dropped.
             combined = {**vs_record, **(vs_prev or {})}
-            if combined and os.environ.get(
+            if combined and host_throttled:
+                # Floor probes on a throttled host read the throttle,
+                # not the query — leave the raw flags standing and
+                # record why no verdicts exist; the host_throttled
+                # marker already makes this artifact rerun-only.
+                payload["flap_triage"] = {
+                    "skipped": "host_throttled",
+                    "spark_calib_sec": spark_calib,
+                    "spark_calib_ref": calib_ref,
+                }
+            elif combined and os.environ.get(
                     "SPARK_GRAFT_TRIAGE", "1") != "0":
                 fp_file, fp_snapshot = _latest_plan_fps(here)
                 triage, demote = _triage_flaps(
@@ -561,7 +726,8 @@ def main() -> None:
                     live_fp=lambda q: _live_fingerprint(here, q),
                     floor_probe=lambda q: _run_floor_probe(
                         here, q, sf_dir),
-                    record_floor=lambda q: _record_floor(here, sf, q),
+                    record_floor=lambda q: _record_floor_comparable(
+                        here, sf, q),
                 )
                 for q in demote:
                     if vs_prev is not None:

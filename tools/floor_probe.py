@@ -69,15 +69,20 @@ def main() -> None:
                 docs, "doc_id", "text", n=3, threshold=0.8,
                 cache_token=args.sf_dir)
 
-        _build()  # warm: file listing + codegen/JIT first-hit
+        for _ in range(3):  # warm: codegen/JIT (see --warmup note)
+            _build()
         for _ in range(args.reps):
             start = time.perf_counter()
             _build()
             times.append(round(time.perf_counter() - start, 3))
     else:
         fn = entry_mod.queries()[args.query]
-        # warm run: file listing + codegen/JIT first-hit, as bench.py
-        fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+        # THREE warm runs, not one: codegen-heavy rows (x29's
+        # levenshtein) were still JIT-descending at rep 10 with a
+        # single warm-up, over-reading the floor by ~2x (r14).
+        for _ in range(3):
+            fn(spark, args.sf_dir).write.format(
+                "noop").mode("overwrite").save()
         for _ in range(args.reps):
             start = time.perf_counter()
             fn(spark, args.sf_dir).write.format(
