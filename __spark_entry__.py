@@ -184,11 +184,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # therefore leads with the THREE never-driver-checked queries wired
 # this round (the r13 verdict's item 1 — queries_ext65: x104/x105/
 # a82, round-0 staleness puts them first), followed by the oldest-
-# first body: x12_clean_corpus + the 46 next-oldest r9 entries —
-# i.e. exactly the r13 tail block minus its last 4 entries (displaced
-# by the 3 fronted newcomers + the body shift), as the rotation
-# invariant requires. The freshness floor advances from r9 to r10
-# once the remaining r9 entries rotate through (21 left for r15).
+# first body: ALL 21 remaining r9-stale entries (x12_clean_corpus
+# first) then the 26 oldest r10 entries — i.e. exactly the r13 tail
+# block minus its last 3 entries (displaced by the fronted
+# newcomers), as the rotation invariant requires. Because every
+# r9-stale query is inside this window, the freshness floor advances
+# from r9 straight to r10 when the r14 driver records these rows —
+# zero r9 entries remain for r15, whose body starts r10-stale.
 _R14_WINDOW = [
     "x104_quantized_recall", "x105_knn_reciprocity", "a82_promo_lift_curve",
     "x12_clean_corpus",

@@ -236,14 +236,19 @@ def _committed_calib_floor(here: str, sf: float):
     return tuple(best)
 
 
-def _record_floor_comparable(here: str, sf: float, query: str):
-    """_record_floor with RECORD_OVERRIDES_SPEC applied — the record
-    the drift guard and the flap triage judge against."""
-    best, src = _record_floor(here, sf, query)
+def _apply_record_override(query: str, best, src):
+    """RECORD_OVERRIDES_SPEC application — shared by the per-query
+    helper below and main's one-pass record table."""
     ov = RECORD_OVERRIDES_SPEC.get(query)
     if ov and (best, src) == (ov[0], ov[1]):
         return ov[2], f"{src} (pre-plan-change; overridden to {ov[2]})"
     return best, src
+
+
+def _record_floor_comparable(here: str, sf: float, query: str):
+    """_record_floor with RECORD_OVERRIDES_SPEC applied — the record
+    the drift guard and the flap triage judge against."""
+    return _apply_record_override(query, *_record_floor(here, sf, query))
 
 
 def _latest_plan_fps(here: str):
@@ -264,12 +269,14 @@ def _latest_plan_fps(here: str):
         return files[-1], None
 
 
-def _record_floor(here: str, sf: float, query: str):
-    """(best committed per-query seconds across every BENCH_r*.json at
-    this sf, source filename) — the 'record' the floor probe is judged
-    against. Checks both sections; headline and ext queries share the
-    same min-of-N protocol so the numbers are comparable."""
-    best, src = None, None
+def _record_table(here: str, sf: float) -> dict:
+    """{query: (best committed seconds, source filename)} across every
+    BENCH_r*.json at this sf, built in ONE pass — ~35 reported rows x
+    N artifacts would otherwise re-list and re-parse the directory
+    per row (and again per triage flag), quadratically as rounds
+    accumulate. Checks both sections; headline and ext queries share
+    the same min-of-N protocol so the numbers are comparable."""
+    table: dict[str, tuple[float, str]] = {}
     for f in sorted(f for f in os.listdir(here)
                     if re.fullmatch(r"BENCH_r\d+\.json", f)):
         try:
@@ -282,11 +289,16 @@ def _record_floor(here: str, sf: float, query: str):
         if parsed.get("sf") != sf:
             continue
         for section in ("queries", "queries_ext"):
-            t = parsed.get(section, {}).get(query)
-            if isinstance(t, (int, float)) and t > 0 and (
-                    best is None or t < best):
-                best, src = t, f
-    return best, src
+            for query, t in parsed.get(section, {}).items():
+                if isinstance(t, (int, float)) and t > 0 and (
+                        query not in table or t < table[query][0]):
+                    table[query] = (t, f)
+    return table
+
+
+def _record_floor(here: str, sf: float, query: str):
+    """(best, source) for one query — see _record_table."""
+    return _record_table(here, sf).get(query, (None, None))
 
 
 def _live_fingerprint(here: str, query: str, timeout_s: float = 900.0):
@@ -370,6 +382,14 @@ def _triage_flaps(vs_prev: dict, fp_snapshot, live_fp, floor_probe,
     probes_used = 0
     for q in sorted(vs_prev, key=lambda n: -_ratio(vs_prev[n])):
         entry: dict = {"flag": vs_prev[q]}
+        # Budget check FIRST: the live fingerprint is ALSO a
+        # subprocess (a dedicated plan_fps session, minutes on a slow
+        # box) — a dozen flags must not spend unbounded wall time on
+        # fingerprinting either, so one budget covers both legs.
+        if probes_used >= max_probes:
+            entry["verdict"] = "probe_budget_exceeded"
+            triage[q] = entry
+            continue
         prev_rec = (fp_snapshot or {}).get(q)
         now_rec = live_fp(q)
         if (not prev_rec or not now_rec or "err" in prev_rec
@@ -384,10 +404,6 @@ def _triage_flaps(vs_prev: dict, fp_snapshot, live_fp, floor_probe,
             triage[q] = entry
             continue
         record, src = record_floor(q)
-        if probes_used >= max_probes:
-            entry["verdict"] = "probe_budget_exceeded"
-            triage[q] = entry
-            continue
         probes_used += 1
         probe = floor_probe(q)
         if record is None or not probe:
@@ -562,17 +578,14 @@ def main() -> None:
     # the build as its own line; the consumers below then all run warm,
     # so each per-query number isolates that query's own cost.
     try:
+        from streaming_data_spark import bench_canary
         from streaming_data_spark.operators import dedup as _dedup
-        from streaming_data_spark.queries import _t as _load
 
         best = float("inf")
         for _ in range(3):  # min-of-3, same protocol as the suites
             _dedup._PREFIX_PAIR_CACHE.clear()
             start = time.perf_counter()
-            _dedup.ngram_jaccard_pairs_prefix_shared(
-                _load(spark, sf_dir, "documents"), "doc_id", "text",
-                n=3, threshold=0.8, cache_token=sf_dir,
-            )
+            bench_canary.build_memoized(spark, sf_dir)
             best = min(best, time.perf_counter() - start)
         ext_timings["shared_pair_build"] = round(best, 3)
     except Exception as exc:  # noqa: BLE001
@@ -697,9 +710,13 @@ def main() -> None:
             # Cumulative record guard (r13 verdict item 4): every
             # reported row vs its best committed record, no absolute
             # floor — the compounding-drift blind spot of vs-prev.
-            vs_record = _flag_vs_record(
-                (timings, ext_timings),
-                lambda q: _record_floor_comparable(here, sf, q))
+            records = _record_table(here, sf)
+
+            def _rf(q):
+                return _apply_record_override(
+                    q, *records.get(q, (None, None)))
+
+            vs_record = _flag_vs_record((timings, ext_timings), _rf)
             # Automated flap triage (r12 verdict item 3; extended to
             # the record guard in r14): every unchanged-fingerprint
             # flag gets the dedicated-JVM min-of-10 floor probe;
@@ -726,8 +743,7 @@ def main() -> None:
                     live_fp=lambda q: _live_fingerprint(here, q),
                     floor_probe=lambda q: _run_floor_probe(
                         here, q, sf_dir),
-                    record_floor=lambda q: _record_floor_comparable(
-                        here, sf, q),
+                    record_floor=_rf,
                 )
                 for q in demote:
                     if vs_prev is not None:

@@ -106,13 +106,24 @@ def input_bytes(spark: SparkSession, *paths: str) -> int:
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
             total += fs.getContentSummary(jpath).getLength()
         except Exception:
+            # A typo'd/unmounted path must FAIL here, not silently
+            # contribute 0 bytes: a zero-byte reading floors the
+            # partition count at core parallelism, which is the exact
+            # spill cliff autosizing exists to prevent — and the tool
+            # would report the run "autosized".
             if os.path.isfile(path):
                 total += os.path.getsize(path)
-            else:
+            elif os.path.isdir(path):
                 for root, _dirs, files in os.walk(path):
                     total += sum(
                         os.path.getsize(os.path.join(root, f)) for f in files
                     )
+            else:
+                raise FileNotFoundError(
+                    f"input_bytes: no such path {path!r} (and the "
+                    "Hadoop FS lookup failed before the local "
+                    "fallback)"
+                )
     return total
 
 

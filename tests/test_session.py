@@ -96,3 +96,16 @@ def test_input_bytes_sums_files_and_dirs(spark, tmp_path):
     assert input_bytes(spark, str(tmp_path)) == 200
     assert input_bytes(spark, str(tmp_path / "a.bin")) == 123
     assert input_bytes(spark, str(tmp_path), str(sub)) == 277
+
+
+def test_input_bytes_raises_on_missing_path(spark, tmp_path):
+    """A typo'd path must fail loudly: silently contributing 0 bytes
+    would floor the partition count at core parallelism — the exact
+    spill cliff autosizing exists to prevent — while reporting the
+    run 'autosized'."""
+    import pytest
+
+    with pytest.raises(Exception, match="no such path|Path does not exist"):
+        from streaming_data_spark.session import input_bytes
+
+        input_bytes(spark, str(tmp_path / "nope"))

@@ -55,21 +55,19 @@ def main() -> None:
     times: list[float] = []
     if args.query == "shared_pair_build":
         # The bench's one non-registry timing site (r13 verdict
-        # item 5): replicate its canary protocol exactly — memo
-        # cleared per rep, the timed unit is the memoizing build
+        # item 5): replicate its canary protocol exactly — the ONE
+        # shared spec (streaming_data_spark/bench_canary.py), memo
+        # cleared per rep, the timed unit being the memoizing build
         # call itself (it materializes eagerly; no sink needed).
+        from streaming_data_spark import bench_canary
         from streaming_data_spark.operators import dedup
-        from streaming_data_spark.queries import _t
-
-        docs = _t(spark, args.sf_dir, "documents")
 
         def _build():
             dedup._PREFIX_PAIR_CACHE.clear()
-            dedup.ngram_jaccard_pairs_prefix_shared(
-                docs, "doc_id", "text", n=3, threshold=0.8,
-                cache_token=args.sf_dir)
+            bench_canary.build_memoized(spark, args.sf_dir)
 
-        for _ in range(3):  # warm: codegen/JIT (see --warmup note)
+        for _ in range(3):  # warm: codegen/JIT (3 reps, same
+            # rationale as the registry branch below)
             _build()
         for _ in range(args.reps):
             start = time.perf_counter()

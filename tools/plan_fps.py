@@ -159,20 +159,18 @@ class _ActionCounter:
 
 def _shared_pair_build(spark, sf_dir):
     """The bench canary's pair-build plan (bench.py times exactly this
-    builder as the ``shared_pair_build`` line). Fingerprinted alongside
-    the registry (r13 verdict item 5) so the one non-registry bench
-    row has the same triage path as everything else: the LAZY builder
-    is hashed (the memoizing wrapper returns a checkpointed LogicalRDD
-    whose plan string is session-dependent; the wrapper itself is 30
-    lines of memo bookkeeping pinned by its own idempotency tests),
-    and any driver-side action the build runs shows up in the action
-    count as usual."""
-    from streaming_data_spark.operators import dedup
-    from streaming_data_spark.queries import _t
+    spec as the ``shared_pair_build`` line — ONE definition in
+    streaming_data_spark/bench_canary.py shared by all three sites).
+    Fingerprinted alongside the registry (r13 verdict item 5) so the
+    one non-registry bench row has the same triage path as everything
+    else: the LAZY builder is hashed (the memoizing wrapper returns a
+    checkpointed LogicalRDD whose plan string is session-dependent;
+    the wrapper itself is 30 lines of memo bookkeeping pinned by its
+    own idempotency tests), and any driver-side action the build runs
+    shows up in the action count as usual."""
+    from streaming_data_spark import bench_canary
 
-    return dedup.ngram_jaccard_pairs_prefix(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, threshold=0.8)
+    return bench_canary.build_lazy(spark, sf_dir)
 
 
 def _clear_memos() -> None:
@@ -206,7 +204,16 @@ def compute(repo: str, sf_dir: str, reps: int, cpus: int,
     # stopping one we did not create would kill the caller's
     # SparkContext for the rest of its process (this truncated a full
     # r14 suite run to 179 cascade failures). Only stop what we made.
-    reused = SparkSession.getActiveSession() is not None
+    # The reuse test must match getOrCreate's OWN test: it consults
+    # the process-global default session, not the thread-local active
+    # one (which can be unset on a different thread while the global
+    # session is alive).
+    reused = (
+        SparkSession.getActiveSession() is not None
+        or getattr(SparkSession, "_instantiatedSession", None) is not None
+        or (SparkSession.getDefaultSession() is not None
+            if hasattr(SparkSession, "getDefaultSession") else False)
+    )
     spark = _pinned_session(cpus)
     env = {"pyspark": pyspark.__version__, "spark": spark.version}
     spark.sparkContext.setLogLevel("ERROR")

@@ -64,8 +64,13 @@ def main() -> None:
         # plan explicitly (untimed, executor-side row count — no
         # driver collect) before re-reading it.
         df._jdf.queryExecution().toRdd().count()
-        joins_final = JOIN_RE.findall(
-            df._jdf.queryExecution().executedPlan().toString())
+        # The finalized AdaptiveSparkPlan prints BOTH sections
+        # ("== Final Plan ==" then "== Initial Plan =="); keep only
+        # the final one or the initial strategies re-contaminate the
+        # list this field exists to clean up.
+        final_txt = df._jdf.queryExecution().executedPlan().toString()
+        final_txt = final_txt.split("== Initial Plan ==")[0]
+        joins_final = JOIN_RE.findall(final_txt)
         report[label] = {"joins_initial": joins_initial,
                          "joins_final": joins_final,
                          "sec": round(best, 3)}
