@@ -187,8 +187,13 @@ def _spark_calibration(spark) -> tuple[float, float]:
     shuffle job moves a high-cardinality exchange (no map-side-combine
     win) through the memory/disk path — the r14 degradation hit
     shuffle-heavy rows while pure hashing stayed fast, so BOTH
-    subsystems are stamped."""
+    subsystems are stamped. Shuffle partitions are PINNED for the
+    duration so the stamps compare across rounds even if the session
+    default changes (it did in r14: cores -> 4x cores)."""
     from pyspark.sql import functions as F
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
 
     def _cpu(n: int) -> float:
         t0 = time.perf_counter()
@@ -204,10 +209,13 @@ def _spark_calibration(spark) -> tuple[float, float]:
         ).groupBy("k").agg(F.count(F.lit(1))).select(F.max("k")).collect()
         return time.perf_counter() - t0
 
-    _cpu(CALIB_ROWS // 20)  # warm-up: codegen + JIT
-    cpu = round(min(_cpu(CALIB_ROWS) for _ in range(2)), 3)
-    _shuffle(CALIB_SHUFFLE_ROWS // 10)
-    shuf = round(min(_shuffle(CALIB_SHUFFLE_ROWS) for _ in range(2)), 3)
+    try:
+        _cpu(CALIB_ROWS // 20)  # warm-up: codegen + JIT
+        cpu = round(min(_cpu(CALIB_ROWS) for _ in range(2)), 3)
+        _shuffle(CALIB_SHUFFLE_ROWS // 10)
+        shuf = round(min(_shuffle(CALIB_SHUFFLE_ROWS) for _ in range(2)), 3)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return cpu, shuf
 
 

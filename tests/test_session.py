@@ -33,6 +33,9 @@ def test_autosize_shuffle_partitions_floors_at_parallelism(spark, tmp_path):
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # pin the session BELOW parallelism so the parallelism leg of
+        # the floor (max(parallelism, current conf)) is what binds
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         (tmp_path / "t.bin").write_bytes(b"x" * 1024)
         n = autosize_shuffle_partitions(spark, str(tmp_path))
         assert n == spark.sparkContext.defaultParallelism
@@ -52,6 +55,7 @@ def test_autosize_shuffle_partitions_scales_with_bytes_and_caps(
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         (tmp_path / "a.bin").write_bytes(b"x" * 7000)
         (tmp_path / "b.bin").write_bytes(b"x" * 3001)
         # 10001 bytes at a 100-byte target -> ceil = 101 partitions
@@ -109,3 +113,32 @@ def test_input_bytes_raises_on_missing_path(spark, tmp_path):
         from streaming_data_spark.session import input_bytes
 
         input_bytes(spark, str(tmp_path / "nope"))
+
+
+def test_default_shuffle_partitions_carry_aqe_headroom():
+    """r14 scale finding: x31's explode-amplified bigram shuffle reads
+    30.0 s at x100 with initial partitions = cores (32) and 5.0 s at
+    128. AQE coalesces an over-provisioned shuffle down at runtime
+    but can never split an under-provisioned one, so the session
+    default carries 4x headroom."""
+    from streaming_data_spark.session import _default_shuffle_partitions
+
+    assert _default_shuffle_partitions(32) == 128
+    assert _default_shuffle_partitions(8) == 32
+
+
+def test_autosize_floor_includes_current_session_setting(spark, tmp_path):
+    """Autosizing only ever RAISES: with the session already above the
+    byte-derived count, the current setting is kept (the same
+    asymmetry as the 4x default — undershoot is the direction AQE
+    cannot repair)."""
+    from streaming_data_spark.session import autosize_shuffle_partitions
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "96")
+        (tmp_path / "t.bin").write_bytes(b"x" * 1024)
+        n = autosize_shuffle_partitions(spark, str(tmp_path))
+        assert n == 96  # floor = max(parallelism 32, current 96)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

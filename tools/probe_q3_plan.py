@@ -39,9 +39,7 @@ JOIN_RE = re.compile(
 
 def main() -> None:
     name = sys.argv[1] if len(sys.argv) > 1 else "q3_shipping_priority"
-    spark = get_session(app_name="probe-q3-plan",
-                        shuffle_partitions=int(os.environ.get(
-                            "SPARK_GRAFT_CPUS", "32")))
+    spark = get_session(app_name="probe-q3-plan")
     fn = entry.queries()[name]
     report: dict[str, dict] = {}
     for label, d in SCALES:

@@ -196,7 +196,7 @@ def main() -> None:
     import __spark_entry__ as entry
 
     spark = get_session(app_name="scale-probe",
-                        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+                        )
     if not os.path.exists(f"{DST}/lineitem.parquet"):
         t0 = time.time()
         _replicate(spark)

@@ -58,7 +58,8 @@ def _session():
 
     return get_session(
         app_name="scale-probe-100x",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        # shuffle partitions: session default (4x cores, AQE coalesces)
+        # unless SPARK_GRAFT_SHUFFLE_PARTITIONS pins it via autosize.
     )
 
 

@@ -153,7 +153,8 @@ def main() -> None:
 
     spark = get_session(
         app_name="scale-probe-30x",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        # shuffle partitions: session default (4x cores, AQE coalesces)
+        # unless SPARK_GRAFT_SHUFFLE_PARTITIONS pins it via autosize.
     )
     stage = sys.argv[1] if len(sys.argv) > 1 else "run"
     if stage == "replicate":

@@ -70,7 +70,8 @@ def run_one(label: str, section: str) -> None:
     d = SCALES[label]
     spark = get_session(
         app_name=f"section-x41-{label}-{section}",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        # shuffle partitions: session default (4x cores, AQE coalesces)
+        # unless SPARK_GRAFT_SHUFFLE_PARTITIONS pins it via autosize.
     )
     docs = _t(spark, d, "documents")
 
