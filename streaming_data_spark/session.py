@@ -117,30 +117,50 @@ def input_bytes(spark: SparkSession, *paths: str) -> int:
     local walk for plain paths when the JVM gateway is unavailable."""
     total = 0
     for path in paths:
+        # Resolve the filesystem first; only a missing JVM gateway
+        # routes to the local fallback. Once the FS resolves, a
+        # missing path is a distinct, honest FileNotFoundError and any
+        # OTHER fault (auth error, transient S3/HDFS unreachability)
+        # re-raises as-is — conflating them sent remote-but-reachable
+        # URIs to a local fallback that could never see them (r14
+        # advice).
+        fs = jpath = None
         try:
             jvm = spark._jvm
             jpath = jvm.org.apache.hadoop.fs.Path(path)
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            total += fs.getContentSummary(jpath).getLength()
-        except Exception:
-            # A typo'd/unmounted path must FAIL here, not silently
-            # contribute 0 bytes: a zero-byte reading floors the
-            # partition count at core parallelism, which is the exact
-            # spill cliff autosizing exists to prevent — and the tool
-            # would report the run "autosized".
-            if os.path.isfile(path):
-                total += os.path.getsize(path)
-            elif os.path.isdir(path):
-                for root, _dirs, files in os.walk(path):
-                    total += sum(
-                        os.path.getsize(os.path.join(root, f)) for f in files
-                    )
-            else:
+        except Exception:  # noqa: BLE001 — gateway/py4j unavailable
+            pass
+        if fs is not None:
+            if not fs.exists(jpath):
+                # A typo'd/unmounted path must FAIL here, not silently
+                # contribute 0 bytes: a zero-byte reading floors the
+                # partition count at core parallelism, which is the
+                # exact spill cliff autosizing exists to prevent.
                 raise FileNotFoundError(
-                    f"input_bytes: no such path {path!r} (and the "
-                    "Hadoop FS lookup failed before the local "
-                    "fallback)"
+                    f"input_bytes: no such path {path!r} (Hadoop FS "
+                    "resolved, path absent)")
+            total += fs.getContentSummary(jpath).getLength()
+            continue
+        # Local fallback (no JVM): strip a file: scheme so local URIs
+        # still resolve.
+        local = path
+        for prefix in ("file://", "file:"):
+            if local.startswith(prefix):
+                local = local[len(prefix):]
+                break
+        if os.path.isfile(local):
+            total += os.path.getsize(local)
+        elif os.path.isdir(local):
+            for root, _dirs, files in os.walk(local):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
                 )
+        else:
+            raise FileNotFoundError(
+                f"input_bytes: no such path {path!r} (no JVM gateway; "
+                "local walk found nothing)"
+            )
     return total
 
 

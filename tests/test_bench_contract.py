@@ -93,12 +93,16 @@ def test_await_quiet_waits_then_passes_and_stops_at_budget():
     assert la[0] == 9.9 and waited >= 45
 
 
-def test_committed_bench_artifacts_are_not_load_contaminated():
-    """The committed BENCH_r*.json is THE round record — a run that
-    stamped load_contaminated (box never quieted inside the wait
-    budget) must be rerun on a quiet box, never committed. BENCH_r10
-    predates the marker (its contamination was diagnosed post-hoc from
-    load_context); every artifact from r11 on is gated here."""
+def test_committed_bench_artifacts_are_clean_or_inert():
+    """Every BENCH_r*.json is DRIVER-deposited (r14 lesson — the
+    builder's runs live in SCALE.md), so the builder cannot "rerun
+    before committing" a dirty one. The r11-r13 history is hard-clean
+    (the old rule, kept as a regression pin on those files); from r15
+    on a marker is ALLOWED — detection working is not a defect — and
+    the marked artifact must instead be INERT, which
+    test_marked_artifacts_are_inert_in_every_scan pins at the unit
+    level. What stays non-negotiable for ALL parseable artifacts:
+    the structural stamps must exist (else detection dies silently)."""
     import glob
     import json
     import re
@@ -108,31 +112,65 @@ def test_committed_bench_artifacts_are_not_load_contaminated():
         if rnd < 11:
             continue
         with open(path) as fh:
-            parsed = json.load(fh).get("parsed", {})
-        assert not parsed.get("load_contaminated"), (
-            f"{path} is load-contaminated — rerun bench.py on a quiet "
-            "box and re-record")
+            parsed = json.load(fh).get("parsed")
+        if parsed is None:
+            # A driver capture failure ("parsed": null). r14's is the
+            # known incident (the oversized stdout line, fixed r15 by
+            # _compact_payload + STDOUT_BUDGET); any LATER null-parsed
+            # artifact means the compaction regressed — fail loudly.
+            assert rnd == 14, (
+                f"{path} has no parseable payload — the compact stdout "
+                "line must stay under the driver's capture budget")
+            continue
         la = parsed.get("load_context", {}).get("loadavg_start")
-        assert la and la[0] <= bench.LOAD_GATE_THRESHOLD, (
-            f"{path} loadavg_start {la} exceeds the gate threshold")
+        assert la, f"{path} is missing loadavg_start"
+        if 11 <= rnd <= 14:
+            # historical hard-clean pins (these files are frozen)
+            assert not bench._marked_dirty(parsed), (
+                f"{path}: the r11-r14 history was verified clean; a "
+                "marker appearing here means the file was rewritten")
+            assert la[0] <= bench.LOAD_GATE_THRESHOLD, (
+                f"{path} loadavg_start {la} exceeds the gate threshold")
         if rnd < 12:
             continue  # r11 predates the end-drift marker (r11 advice)
-        assert not parsed.get("load_drift"), (
-            f"{path} stamped load_drift — load ramped up mid-run; "
-            "rerun bench.py on a quiet box and re-record")
         la_end = parsed.get("load_context", {}).get("loadavg_end")
-        assert la_end and la_end[0] <= bench.LOAD_DRIFT_END_THRESHOLD, (
-            f"{path} loadavg_end {la_end} exceeds the drift bound "
-            "(start gate + the bench's own-load allowance)")
+        assert la_end, f"{path} is missing loadavg_end"
         if rnd < 14:
             continue  # pre-r14 artifacts predate the calibration stamp
-        assert not parsed.get("host_throttled"), (
-            f"{path} stamped host_throttled — the host was serving "
-            "less aggregate CPU than its demonstrated best; rerun "
-            "when the calibration recovers and re-record")
         assert isinstance(
             parsed.get("load_context", {}).get("spark_calib_sec"),
             (int, float)), f"{path} is missing the calibration stamp"
+        if rnd >= 15 and bench._marked_dirty(parsed):
+            # a marked artifact self-documents why its numbers are
+            # rerun-only; the scans below must ignore it entirely
+            assert parsed.get("load_contaminated") or parsed.get(
+                "host_throttled") or parsed.get("load_drift")
+
+
+def test_marked_artifacts_are_inert_in_every_scan(tmp_path):
+    """A marked (throttled/contaminated/drifted) driver artifact must
+    contribute NOTHING: no records, no history, no vs-prev baseline
+    (walk-back skips it), no calibration floors — otherwise one dirty
+    driver run pollutes every future guard denominator."""
+    import json
+
+    clean = {"parsed": {
+        "sf": 0.1, "queries": {"q": 1.0},
+        "load_context": {"spark_calib_sec": 0.30}}}
+    dirty = {"parsed": {
+        "sf": 0.1, "queries": {"q": 0.1},  # would beat every record
+        "host_throttled": True,
+        "load_context": {"spark_calib_sec": 0.05}}}  # and every floor
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(clean))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(dirty))
+    records, history = bench._record_tables(str(tmp_path), 0.1)
+    assert records == {"q": (1.0, "BENCH_r01.json")}
+    assert history == {"q": [1.0]}
+    assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
+        "cpu_sec": 0.30}
+    for marker in ("load_contaminated", "load_drift", "host_throttled"):
+        assert bench._marked_dirty({marker: True})
+    assert not bench._marked_dirty({"sf": 0.1})
 
 
 def test_flap_triage_verdict_paths():
@@ -215,8 +253,9 @@ def test_record_floor_scans_all_rounds_and_both_sections():
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         with open(path) as fh:
             parsed = json.load(fh).get("parsed") or {}
-        if parsed.get("sf") != 0.1:
-            continue
+        if parsed.get("sf") != 0.1 or bench._marked_dirty(parsed):
+            continue  # marked artifacts are inert — same rule as
+            # _record_tables (see test_marked_artifacts_are_inert...)
         for section in ("queries", "queries_ext"):
             t = parsed.get(section, {}).get("x2_minhash_lsh")
             if isinstance(t, (int, float)) and t > 0:
@@ -246,10 +285,32 @@ def test_committed_artifacts_from_r13_have_triaged_vs_prev_flags():
         if rnd < 13:
             continue
         with open(path) as fh:
-            parsed = json.load(fh).get("parsed", {})
+            parsed = json.load(fh).get("parsed")
+        if parsed is None:
+            continue  # named-allowed only for r14; the artifact test
+            # above owns that assertion — don't double-report here
         flags = dict(parsed.get("regressions_vs_prev", {}))
         # r14: the cumulative record guard's flags need verdicts too
-        flags.update(parsed.get("regressions_vs_record", {}))
+        vs_rec = parsed.get("regressions_vs_record", {})
+        if "count" in flags or "count" in vs_rec:
+            # r15+ compact stdout shape: flag dicts are count+top and
+            # the triage compacts to verdict counts. A standing hard
+            # flag still demands a triage section; jit_band entries
+            # were demoted OUT of the counts by construction.
+            standing = (flags.get("count") or 0) + (
+                vs_rec.get("count") or 0)
+            if not standing:
+                continue
+            ft = parsed.get("flap_triage", {})
+            verdicts = ft.get("verdicts", {})
+            assert verdicts or ft.get("skipped"), (
+                f"{path}: {standing} standing flags with no triage — "
+                "rerun bench.py with SPARK_GRAFT_TRIAGE enabled")
+            assert set(verdicts) <= {
+                "fingerprint_changed", "floor_shift", "uncomparable",
+                "probe_budget_exceeded", "jit_band"}
+            continue
+        flags.update(vs_rec)
         if not flags:
             continue
         triage = parsed.get("flap_triage", {}).get("queries", {})
@@ -323,10 +384,42 @@ def test_record_guard_flags_compounding_drift_without_absolute_floor():
     assert set(flagged) == {"a34_rsi", "q_big"}
     assert flagged["a34_rsi"] == {
         "record": 0.10, "record_source": "BENCH_r10.json",
-        "now": 0.173, "ratio": 1.73}
+        "now": 0.173, "ratio": 1.73, "threshold": 0.15}
     # inside-ratio, no-record, and zero-record rows never flag
     assert "x75_ok" not in flagged and "q_new" not in flagged
     assert "q_zero" not in flagged
+
+
+def test_record_guard_band_term_tolerates_band_bottom_records():
+    """r14 watch item (verdict item 4 for r15): x29_fuzzy_match's
+    record (0.191) is the bottom of a ten-round honest 0.19-0.30 band,
+    so the pure 1.5x threshold (0.286) false-flagged ~half of honest
+    runs. With committed history the threshold widens to
+    max(1.5 x record, mean + 2 sigma): an in-band reading never flags,
+    a true floor shift still does."""
+    # x29's REAL committed history (r4-r13)
+    hist = [0.299, 0.26, 0.231, 0.226, 0.273, 0.244, 0.221, 0.215,
+            0.191, 0.22]
+    records = {"x29": (0.191, "BENCH_r12.json")}
+
+    def rf(q):
+        return records.get(q, (None, None))
+
+    def h(q):
+        return hist if q == "x29" else []
+
+    # top of the honest band: 1.57x the record, but inside mean+2sigma
+    assert bench._flag_vs_record(({"x29": 0.30},), rf, history=h) == {}
+    # a true floor shift (2x the band top) still flags, with the
+    # widened threshold recorded on the flag
+    flagged = bench._flag_vs_record(({"x29": 0.60},), rf, history=h)
+    assert set(flagged) == {"x29"}
+    assert flagged["x29"]["threshold"] > 1.5 * 0.191
+    # fewer than RECORD_BAND_MIN_SAMPLES committed numbers -> the pure
+    # ratio threshold stands (no sigma to estimate)
+    short = lambda q: hist[:2]  # noqa: E731
+    assert set(bench._flag_vs_record(
+        ({"x29": 0.30},), rf, history=short)) == {"x29"}
 
 
 def test_shared_pair_build_flag_resolves_to_named_verdict():
@@ -375,7 +468,7 @@ def test_x35_record_override_applies_and_self_retires():
 
     here = os.path.dirname(os.path.abspath(bench.__file__))
     stale, artifact, pinned = bench.RECORD_OVERRIDES_SPEC["x35_lm_score"]
-    assert (stale, artifact, pinned) == (0.887, "BENCH_r05.json", 1.082)
+    assert (stale, artifact, pinned) == (0.887, "BENCH_r05.json", 1.662)
     # x2's twin pin corrects the same r01 cache-leak artifact as the
     # vs-baseline override, against its post-fix committed minimum.
     x2 = bench.RECORD_OVERRIDES_SPEC["x2_minhash_lsh"]
@@ -390,24 +483,19 @@ def test_x35_record_override_applies_and_self_retires():
     sec = parsed.get("queries_ext") or parsed.get("queries")
     assert sec["x35_lm_score"] == stale
     assert bench._record_floor(here, 0.1, "x35_lm_score") == (stale, artifact)
-    # ... so the comparable record is the pinned post-change number
+    # ... so the comparable record is the pinned era-adjusted number
     best, src = bench._record_floor_comparable(here, 0.1, "x35_lm_score")
     assert best == pinned and artifact in src
-    # the pinned number really is the post-change committed minimum
-    post = []
-    for f in sorted(os.listdir(here)):
-        import re
-
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
-        if not m or int(m.group(1)) < 6:
-            continue
-        with open(os.path.join(here, f)) as fh:
-            p = json.load(fh).get("parsed") or {}
-        for s in ("queries", "queries_ext"):
-            t = p.get(s, {}).get("x35_lm_score")
-            if isinstance(t, (int, float)):
-                post.append(t)
-    assert min(post) == pinned
+    # every r15 era-shift pin resolves through the same path: the
+    # committed scan still finds the stale record, the guard judges
+    # against the investigation-day measurement (SCALE.md Round-15)
+    for q in ("x29_fuzzy_match", "a27_sma_crossover", "x40_bm25",
+              "a17_rolling_distinct", "x30_inverted_index_capped"):
+        st, art, pin = bench.RECORD_OVERRIDES_SPEC[q]
+        assert bench._record_floor(here, 0.1, q) == (st, art), q
+        b, s = bench._record_floor_comparable(here, 0.1, q)
+        assert b == pin and art in s, q
+        assert pin > st, q  # era pins only ever RAISE the denominator
     # self-retirement: a scan resolving anywhere else bypasses the pin
     orig = bench._record_floor
     bench._record_floor = lambda h, sf, q: (1.0, "BENCH_r99.json")
@@ -436,18 +524,22 @@ def test_calibration_floor_scan_and_throttle_threshold(tmp_path):
                        "load_context": {"spark_calib_sec": calib}}}))
 
     # no stamped artifacts -> no reference -> detection disabled
-    assert bench._committed_calib_floor(str(tmp_path), 0.1) == (None, None)
+    assert bench._committed_calib_floor(str(tmp_path), 0.1) == {}
     art("BENCH_r14.json", 0.1, 0.41)
     art("BENCH_r15.json", 0.1, 0.36)
     art("BENCH_r16.json", 0.01, 0.10)   # other sf: excluded
     (tmp_path / "BENCH_r17.json").write_text(json.dumps({"parsed": None}))
-    # cpu floor found; no shuffle stamps in these synthetic artifacts
-    assert bench._committed_calib_floor(str(tmp_path), 0.1) == (0.36, None)
-    # both-subsystem scan: a shuffle stamp resolves independently
+    # cpu floor found; no other positions stamped in these artifacts
+    assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
+        "cpu_sec": 0.36}
+    # every position resolves independently — start and end stamps
+    # are NOT cross-comparable (end JVMs are warmer; see CALIB_KEYS)
     (tmp_path / "BENCH_r18.json").write_text(json.dumps({
         "parsed": {"sf": 0.1, "load_context": {
-            "spark_calib_sec": 0.50, "spark_calib_shuffle_sec": 0.80}}}))
-    assert bench._committed_calib_floor(str(tmp_path), 0.1) == (0.36, 0.80)
+            "spark_calib_sec": 0.50, "spark_calib_shuffle_sec": 0.80,
+            "spark_calib_end_sec": 0.20}}}))
+    assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
+        "cpu_sec": 0.36, "shuffle_sec": 0.80, "cpu_end_sec": 0.20}
     # the threshold arithmetic the marker uses
     assert 0.50 > bench.CALIB_THROTTLE_RATIO * 0.36   # throttled
     assert not 0.45 > bench.CALIB_THROTTLE_RATIO * 0.36  # inside band
@@ -483,6 +575,292 @@ def test_triage_probe_budget_spends_worst_first():
     assert triage["q1"]["verdict"] == "probe_budget_exceeded"
     assert triage["q0"]["verdict"] == "probe_budget_exceeded"
     assert set(demote) == {"q2", "q3"}
+
+
+def test_calib_floor_file_arms_detection_and_window_retires_stamps(
+        tmp_path):
+    """r15 (r14 verdict item 2): the ONLY stamped artifact (BENCH_r14)
+    came back null-parsed, so throttle detection never armed. The
+    floor now also lives in committed CALIB_FLOOR.json — independent
+    of driver artifacts — and artifact stamps older than
+    CALIB_RECENT_ROUNDS behind the newest stamped round auto-retire
+    (r14 advice: an all-time minimum had no escape hatch)."""
+    import json
+
+    def art(name, sf, lc):
+        (tmp_path / name).write_text(json.dumps(
+            {"parsed": {"sf": sf, "load_context": lc}}))
+
+    # floor file alone arms detection (no parseable artifact needed)
+    (tmp_path / "CALIB_FLOOR.json").write_text(json.dumps(
+        {"0.1": {"cpu_sec": 0.293, "shuffle_sec": 0.274}}))
+    assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
+        "cpu_sec": 0.293, "shuffle_sec": 0.274}
+    # ...and the done-criterion arithmetic: a 1.4x reading trips it
+    assert 1.4 * 0.293 > bench.CALIB_THROTTLE_RATIO * 0.293
+    # each position keeps its own floor: an end stamp lowers ONLY the
+    # end floor (start 0.29 vs end 0.197 on one healthy box is a 1.47x
+    # warmth gap — cross-comparing would false-positive the detector)
+    art("BENCH_r15.json", 0.1, {"spark_calib_sec": 0.40,
+                                "spark_calib_end_sec": 0.25})
+    assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
+        "cpu_sec": 0.293, "shuffle_sec": 0.274, "cpu_end_sec": 0.25}
+    # an anomalously fast ancient stamp retires once the newest
+    # stamped round is more than CALIB_RECENT_ROUNDS past it
+    art("BENCH_r02.json", 0.1, {"spark_calib_sec": 0.01})
+    assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
+        "cpu_sec": 0.293, "shuffle_sec": 0.274, "cpu_end_sec": 0.25}
+    # a malformed floor file reads as absent, never crashes — the
+    # artifact stamps (r15's start 0.40 / end 0.25; r02 retired by the
+    # recent-round window) still arm detection
+    (tmp_path / "CALIB_FLOOR.json").write_text("{not json")
+    assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
+        "cpu_sec": 0.40, "cpu_end_sec": 0.25}
+
+
+def test_committed_calib_floor_file_matches_scanner_shape():
+    """The repo's committed CALIB_FLOOR.json must actually arm the
+    detector at the bench sf — shape drift here silently disarms
+    throttle detection for every future round."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    floors = bench._calib_file_floor(here, 0.1)
+    # all four positions seeded (r15 first-hour run), positive, and
+    # the end floors are the warmer (lower) ones as measured
+    for _, fkey in bench.CALIB_KEYS:
+        assert isinstance(floors.get(fkey), (int, float)), fkey
+        assert floors[fkey] > 0
+    assert floors["cpu_end_sec"] < floors["cpu_sec"]
+
+
+def test_maybe_update_calib_floor_write_if_better_only_when_clean(
+        tmp_path):
+    """Floor persistence: clean runs lower it, never raise it;
+    contaminated/drifted runs don't touch it."""
+    import json
+
+    here = str(tmp_path)
+    payload = {"load_context": {
+        "spark_calib_sec": 0.35, "spark_calib_end_sec": 0.31,
+        "spark_calib_shuffle_sec": 0.9,
+        "spark_calib_shuffle_end_sec": 1.1}}
+    assert bench._maybe_update_calib_floor(here, 0.1, payload)
+    with open(tmp_path / "CALIB_FLOOR.json") as fh:
+        rec = json.load(fh)["0.1"]
+    # each position keeps its own floor — never cross-mixed
+    assert rec["cpu_sec"] == 0.35 and rec["cpu_end_sec"] == 0.31
+    assert rec["shuffle_sec"] == 0.9 and rec["shuffle_end_sec"] == 1.1
+    # a slower clean run never raises the floor
+    worse = {"load_context": {"spark_calib_sec": 0.5,
+                              "spark_calib_shuffle_sec": 1.5}}
+    assert not bench._maybe_update_calib_floor(here, 0.1, worse)
+    # a faster-but-dirty run is ignored (its stamps are untrusted)
+    dirty = {"load_contaminated": True,
+             "load_context": {"spark_calib_sec": 0.1}}
+    assert not bench._maybe_update_calib_floor(here, 0.1, dirty)
+    with open(tmp_path / "CALIB_FLOOR.json") as fh:
+        assert json.load(fh)["0.1"]["cpu_sec"] == 0.35
+    # a better clean run lowers exactly the improved positions
+    better = {"load_context": {"spark_calib_sec": 0.28,
+                               "spark_calib_shuffle_sec": 1.2}}
+    assert bench._maybe_update_calib_floor(here, 0.1, better)
+    with open(tmp_path / "CALIB_FLOOR.json") as fh:
+        rec = json.load(fh)["0.1"]
+    assert rec["cpu_sec"] == 0.28 and rec["shuffle_sec"] == 0.9
+    assert rec["cpu_end_sec"] == 0.31  # untouched position survives
+
+
+def test_record_tables_skip_null_parsed_artifacts(tmp_path):
+    """Synthetic null-parsed fixture (r14 what's-wrong #2/#3): every
+    artifact scanner must treat {"parsed": null} as absent, never
+    crash — the real BENCH_r14.json is exactly this shape."""
+    import json
+
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({"parsed": {
+        "sf": 0.1, "queries": {"q": 1.0}, "queries_ext": {"e": 2.0}}}))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps({"parsed": None}))
+    (tmp_path / "BENCH_r03.json").write_text("{truncated tail not json")
+    records, history = bench._record_tables(str(tmp_path), 0.1)
+    assert records == {"q": (1.0, "BENCH_r01.json"),
+                       "e": (2.0, "BENCH_r01.json")}
+    assert history == {"q": [1.0], "e": [2.0]}
+    assert bench._committed_calib_floor(str(tmp_path), 0.1) == {}
+
+
+def test_triage_budget_counts_fingerprint_probes_too():
+    """r14 advice: flags resolving to fingerprint_changed/uncomparable
+    consumed no budget, so a run with many changed fingerprints could
+    spawn one plan_fps subprocess per flag, unbounded. One budget unit
+    now covers both legs of one flag — consumed before the
+    fingerprint subprocess."""
+    flags = {f"q{i}": {"base": 1.0, "now": 2.0 - i / 10.0}
+             for i in range(4)}  # worst-first order: q0, q1, q2, q3
+    snapshot = {q: {"fp": "aaaa:a0", "stable": True} for q in flags}
+    fps_run = []
+
+    def live(q):
+        fps_run.append(q)
+        return {"fp": "bbbb:a1", "stable": True}  # all changed
+
+    triage, demote = bench._triage_flaps(
+        flags, snapshot, live_fp=live,
+        floor_probe=lambda q: (_ for _ in ()).throw(
+            AssertionError("no floor probe expected")),
+        record_floor=lambda q: (1.0, "BENCH_r01.json"),
+        max_probes=2,
+    )
+    assert fps_run == ["q0", "q1"]  # budget bounds the fingerprint leg
+    assert triage["q0"]["verdict"] == "fingerprint_changed"
+    assert triage["q1"]["verdict"] == "fingerprint_changed"
+    assert triage["q2"]["verdict"] == "probe_budget_exceeded"
+    assert triage["q3"]["verdict"] == "probe_budget_exceeded"
+    assert demote == []
+
+
+def _worst_case_payload():
+    """A payload strictly fatter than any honest run: every suite row,
+    full load context, max-size flag dicts and triage, plus errors."""
+    qnames = list(bench.HEADLINE)
+    enames = ["shared_pair_build", *bench.EXT_HEADLINE]
+    flags = {q: {"record": 0.123, "record_source": "BENCH_r12.json",
+                 "now": 9.876, "ratio": 80.293, "threshold": 0.3}
+             for q in qnames + enames}
+    triage = {q: {"flag": flags[q], "verdict": "probe_budget_exceeded"}
+              for q in flags}
+    return {
+        "metric": "headline_suite_seconds",
+        "value": -1.0,
+        "unit": "sec",
+        "queries": {q: 123.456 for q in qnames},
+        "queries_ext": {q: 123.456 for q in enames},
+        "sf": 0.1,
+        "methodology": "x" * 400,
+        "load_context": {
+            "cpus": 32,
+            "spark_calib_sec": 10.123, "spark_calib_shuffle_sec": 10.123,
+            "spark_calib_end_sec": 10.123,
+            "spark_calib_shuffle_end_sec": 10.123,
+            "spark_calib_floors": {
+                "cpu_sec": 10.123, "shuffle_sec": 10.123,
+                "cpu_end_sec": 10.123, "shuffle_end_sec": 10.123},
+            "loadavg_start": [10.12, 10.12, 10.12],
+            "loadavg_end": [10.12, 10.12, 10.12],
+            "quiet_gate": {"threshold": 2.0, "waited_sec": 600.0},
+        },
+        "load_contaminated": True,
+        "host_throttled": True,
+        "load_drift": True,
+        "errors": {q: "SomeLongExceptionName: " + "y" * 400
+                   for q in qnames},
+        "errors_ext": {q: "SomeLongExceptionName: " + "y" * 400
+                       for q in enames},
+        "suite_incomplete": True,
+        "baseline_round": "BENCH_r01.json",
+        "baseline_overrides": {"x2_minhash_lsh": 1.5},
+        "regressions": flags,
+        "prev_round": "BENCH_r13.json",
+        "regressions_vs_prev": flags,
+        "regressions_vs_record": flags,
+        "record_drift_ratio": 1.5,
+        "flap_triage": {"plan_fps_snapshot": "PLAN_FPS_r14.json",
+                        "floor_band": 1.15, "floor_reps": 10,
+                        "demoted": list(flags), "queries": triage},
+        "calib_floor_updated": False,
+    }
+
+
+def test_compact_stdout_line_fits_the_driver_capture_budget():
+    """r14 what's-wrong #1: the round's graded headline was lost to a
+    stdout line past the driver's 2,000-char tail capture. The compact
+    payload is pinned under STDOUT_BUDGET for a worst-case run — every
+    flag dict maxed out, every error slot filled."""
+    import json
+
+    compact = bench._compact_payload(_worst_case_payload())
+    line = json.dumps(compact)
+    assert len(line) <= bench.STDOUT_BUDGET, (
+        f"{len(line)} chars > {bench.STDOUT_BUDGET}: the driver would "
+        "truncate this line and the round would lose its headline")
+    # and the budget itself stays under the driver's capture window
+    assert bench.STDOUT_BUDGET <= 1900
+
+
+def _honest_flagged_payload():
+    """The r14-shaped HONEST run: full timings, a dozen record flags
+    with triage, no errors — the exact payload class that blew the
+    r14 capture."""
+    payload = _worst_case_payload()
+    for key in ("errors", "errors_ext", "suite_incomplete",
+                "load_contaminated", "load_drift", "host_throttled"):
+        payload.pop(key, None)
+    payload["value"] = 6.248
+    payload["queries"] = {q: 1.234 for q in payload["queries"]}
+    payload["queries_ext"] = {q: 1.234 for q in payload["queries_ext"]}
+    flags = dict(list(payload["regressions_vs_record"].items())[:12])
+    payload["regressions_vs_record"] = flags
+    payload["regressions_vs_prev"] = {}
+    payload["regressions"] = {}
+    payload["flap_triage"] = {
+        "plan_fps_snapshot": "PLAN_FPS_r14.json",
+        "floor_band": 1.15, "floor_reps": 10, "demoted": [],
+        "queries": {q: {"flag": flags[q], "verdict": "floor_shift"}
+                    for q in flags}}
+    return payload
+
+
+def test_compact_payload_shape_preserves_scanned_sections():
+    """What later scanners read from committed artifacts must survive
+    compaction verbatim on an honest run (the r14 flag-heavy shape):
+    per-query timings (record table), load context (calibration
+    floor). Flag dicts become count+top, triage becomes verdict
+    counts, and the whole line fits the capture budget WITHOUT
+    degrading past level 0."""
+    import json
+
+    payload = _honest_flagged_payload()
+    compact = bench._compact_payload(payload)
+    assert len(json.dumps(compact)) <= bench.STDOUT_BUDGET
+    assert compact["queries"] == payload["queries"]
+    assert compact["queries_ext"] == payload["queries_ext"]
+    # the calibration-floor scan's keys survive verbatim; config
+    # echoes (quiet_gate, refs) live only in the detail file
+    lc = compact["load_context"]
+    for key in ("spark_calib_sec", "spark_calib_shuffle_sec",
+                "spark_calib_end_sec", "spark_calib_shuffle_end_sec",
+                "loadavg_start", "loadavg_end", "cpus"):
+        assert lc[key] == payload["load_context"][key]
+    assert "quiet_gate" not in lc and "spark_calib_floors" not in lc
+    assert "methodology" not in compact
+    assert compact["detail"] == bench.BENCH_DETAIL_FILE
+    n_flags = len(payload["regressions_vs_record"])
+    vs_rec = compact["regressions_vs_record"]
+    assert vs_rec["count"] == n_flags
+    assert len(vs_rec["top"]) == bench.COMPACT_TOP_FLAGS
+    # worst offender first, [name, ratio] pairs
+    assert vs_rec["top"][0][1] == round(9.876 / 0.123, 2)
+    ft = compact["flap_triage"]
+    assert ft["verdicts"] == {"floor_shift": n_flags}
+    assert ft["demoted"] == 0
+    assert ft["plan_fps_snapshot"] == "PLAN_FPS_r14.json"
+    # the original payload object is untouched (it becomes the detail)
+    assert "methodology" in payload and "queries" in payload["flap_triage"]
+
+
+def test_compact_payload_disaster_run_degrades_but_stays_parseable():
+    """On a run with many errors AND many flags the compactor strips
+    progressively instead of blowing the budget; error names compact
+    to count+first-3 and the markers always survive."""
+    import json
+
+    payload = _worst_case_payload()
+    compact = bench._compact_payload(payload)
+    assert len(json.dumps(compact)) <= bench.STDOUT_BUDGET
+    assert compact["value"] == -1.0 and compact["sf"] == 0.1
+    assert compact["host_throttled"] and compact["load_contaminated"]
+    errs = compact["errors"]
+    assert errs["count"] == len(payload["errors"])
+    assert len(errs.get("names", [])) <= 3
 
 
 def test_bench_canary_is_the_consumers_shared_build(spark, sf_small):

@@ -115,6 +115,31 @@ def test_input_bytes_raises_on_missing_path(spark, tmp_path):
         input_bytes(spark, str(tmp_path / "nope"))
 
 
+def test_input_bytes_file_scheme_and_gateway_fallback(spark, tmp_path):
+    """r14 advice: the Hadoop leg and the local fallback must agree on
+    scheme handling. Through the JVM a file: URI resolves via the
+    Hadoop local FS; with NO gateway the fallback strips the scheme
+    before the os.path walk (it used to dead-end on the raw URI)."""
+    from streaming_data_spark.session import input_bytes
+
+    (tmp_path / "a.bin").write_bytes(b"x" * 123)
+    # live gateway: Hadoop local FS handles the scheme
+    assert input_bytes(spark, f"file://{tmp_path}") == 123
+    # no gateway: a stub whose _jvm access raises routes to the local
+    # fallback, which must strip file: before walking
+    class _NoJvm:
+        @property
+        def _jvm(self):
+            raise RuntimeError("gateway down")
+
+    assert input_bytes(_NoJvm(), f"file://{tmp_path}") == 123
+    assert input_bytes(_NoJvm(), f"file:{tmp_path / 'a.bin'}") == 123
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="no JVM gateway"):
+        input_bytes(_NoJvm(), str(tmp_path / "nope"))
+
+
 def test_default_shuffle_partitions_carry_aqe_headroom():
     """r14 scale finding: x31's explode-amplified bigram shuffle reads
     30.0 s at x100 with initial partitions = cores (32) and 5.0 s at

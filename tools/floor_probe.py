@@ -62,16 +62,18 @@ def main() -> None:
         from streaming_data_spark import bench_canary
         from streaming_data_spark.operators import dedup
 
-        def _build():
-            dedup._PREFIX_PAIR_CACHE.clear()
-            bench_canary.build_memoized(spark, args.sf_dir)
-
         for _ in range(3):  # warm: codegen/JIT (3 reps, same
             # rationale as the registry branch below)
-            _build()
+            dedup._PREFIX_PAIR_CACHE.clear()
+            bench_canary.build_memoized(spark, args.sf_dir)
         for _ in range(args.reps):
+            # memo cleared OUTSIDE the timed region — bench.py times
+            # exactly the build call after its own pre-clear (r14
+            # advice: the two 'identical protocol' sites had drifted
+            # on their timed unit)
+            dedup._PREFIX_PAIR_CACHE.clear()
             start = time.perf_counter()
-            _build()
+            bench_canary.build_memoized(spark, args.sf_dir)
             times.append(round(time.perf_counter() - start, 3))
     else:
         fn = entry_mod.queries()[args.query]
