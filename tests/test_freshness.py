@@ -234,22 +234,54 @@ def test_auto_front_for_r14_at_r13_snapshots_is_empty():
     assert uncomparable == []
 
 
-def test_r14_window_is_generator_output_from_r13_data():
-    """_R14_WINDOW == the oldest-first body from the r1..r13 driver
-    history over the CURRENT 224-query registry (zero fronts — see
-    the previous test): the three never-driver-checked r14 newcomers
-    first (round-0 staleness), then x12_clean_corpus + the 46 next-
-    oldest r9 entries. _R14_TAIL is the FULL next block of that same
-    order (r9 advice: the literal is exactly what the generator
-    emits, length included)."""
+def test_r14_window_was_generator_output_from_r13_data():
+    """The r14 window (now history — its driver rows are in
+    CORRECTNESS_r14.json) was the oldest-first body from the r1..r13
+    driver history over the 224-query registry (zero fronts — see the
+    previous test): the three never-driver-checked r14 newcomers
+    first (round-0 staleness), then x12_clean_corpus + the 46
+    next-oldest r9/r10 entries. Pinned via the r14 CORRECTNESS file
+    itself: the driver ran exactly the literal we shipped, so
+    replaying the generator against upto=13 data must reproduce that
+    file's order."""
+    import json
+
+    with open(REPO / "CORRECTNESS_r14.json") as fh:
+        r14_checked = list(json.load(fh))
     order = [n for n, _ in oldest_first(upto=13)]
-    assert entry_mod._R14_WINDOW == order[:50]
-    assert entry_mod._R14_TAIL == order[50:100]
-    assert len(entry_mod._R14_TAIL) == 50
-    assert entry_mod._R14_WINDOW[:3] == [
+    assert r14_checked == order[:50]
+    assert r14_checked[:3] == [
         "x104_quantized_recall", "x105_knn_reciprocity",
         "a82_promo_lift_curve",
     ]
+
+
+def test_auto_front_for_r15_at_r14_snapshots_is_empty():
+    """`--front auto` at upto=14 emits ZERO fronts (the r14 verdict
+    pre-ran the generator and predicted exactly this): PLAN_FPS_r14
+    is fingerprint-identical to r13 for all 221 carried queries —
+    r14's only registry change was wiring EXT65, whose three queries
+    got their first driver rows in the same round — so no fingerprint
+    postdates its owner's last driver row. Zero uncomparable, as
+    every round since the action-count metric landed."""
+    front, uncomparable = auto_front(upto=14)
+    assert front == []
+    assert uncomparable == []
+
+
+def test_r15_window_is_generator_output_from_r14_data():
+    """_R15_WINDOW == the oldest-first body from the r1..r14 driver
+    history (zero fronts — see the previous test): the 24 remaining
+    r10-stale entries (x33_centroid_classify first) then the 26
+    oldest r11 entries — exactly the r14 tail block, as the rotation
+    invariant requires. _R15_TAIL is the FULL next block of that same
+    order (r9 advice: the literal is exactly what the generator
+    emits, length included)."""
+    order = [n for n, _ in oldest_first(upto=14)]
+    assert entry_mod._R15_WINDOW == order[:50]
+    assert entry_mod._R15_TAIL == order[50:100]
+    assert len(entry_mod._R15_TAIL) == 50
+    assert entry_mod._R15_WINDOW[0] == "x33_centroid_classify"
 
 
 def test_window_covers_registry_and_leads_queries():
@@ -257,25 +289,23 @@ def test_window_covers_registry_and_leads_queries():
     driver-checked size (50), and queries() iteration order leads with
     the window (the driver checks the FIRST 50 entries)."""
     names = list(entry_mod.queries())
-    assert len(entry_mod._R14_WINDOW) == 50
-    assert names[:50] == entry_mod._R14_WINDOW
-    assert set(entry_mod._R14_TAIL) <= set(names)
-    assert len(set(entry_mod._R14_WINDOW)) == 50  # no double-counted slots
+    assert len(entry_mod._R15_WINDOW) == 50
+    assert names[:50] == entry_mod._R15_WINDOW
+    assert set(entry_mod._R15_TAIL) <= set(names)
+    assert len(set(entry_mod._R15_WINDOW)) == 50  # no double-counted slots
 
 
 def test_staleness_accounting_matches_registry():
-    """Every pre-r14 registry query has a driver row by r13 (the r13
-    verdict's cumulative-green claim: histogram r13=50, r12=50,
-    r11=50, r10=50, r9=21 — the floor advanced from r8 to r9 at the
-    r13 close); the registry grew 221 -> 224 in r14 (EXT65 wiring,
-    r13 verdict item 1) and the three newcomers are exactly the
-    never-driver-checked set."""
-    latest = latest_rows(upto=13)
+    """Every registry query has a driver row by r14 (the r14
+    verdict's cumulative-green claim: histogram r14=50, r13=50,
+    r12=50, r11=50, r10=24 — the floor advanced from r9 to r10 at the
+    r14 close, and the EXT65 trio got its first rows inside the r14
+    window)."""
+    latest = latest_rows(upto=14)
     names = set(entry_mod.queries())
     assert len(names) == 224
-    assert names - set(latest) == R14_WIRED, sorted(names - set(latest))
-    rounds = [latest[n][0] for n in names - R14_WIRED]
-    assert len(rounds) == 221
-    assert min(rounds) >= 9  # nothing older than r9 entering r14
+    assert names - set(latest) == set(), sorted(names - set(latest))
+    rounds = [latest[n][0] for n in names]
+    assert min(rounds) >= 10  # nothing older than r10 entering r15
     hist = {r: rounds.count(r) for r in set(rounds)}
-    assert hist == {13: 50, 12: 50, 11: 50, 10: 50, 9: 21}
+    assert hist == {14: 50, 13: 50, 12: 50, 11: 50, 10: 24}
