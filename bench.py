@@ -294,6 +294,21 @@ def _spark_calibration(spark) -> tuple[float, float]:
     return cpu, shuf
 
 
+def _is_throttled(stamps: dict, floors: dict,
+                  ratio: float = CALIB_THROTTLE_RATIO) -> bool:
+    """True when any calibration stamp exceeds ``ratio`` x its OWN
+    position's floor (see CALIB_KEYS — start and end stamps are never
+    cross-compared). Module-level so the contract test pins the
+    done-criterion directly: a 1.4x reading on an armed floor marks
+    the run host_throttled."""
+    return any(
+        isinstance(stamps.get(lkey), (int, float))
+        and fkey in floors
+        and stamps[lkey] > ratio * floors[fkey]
+        for lkey, fkey in CALIB_KEYS
+    )
+
+
 def _marked_dirty(parsed: dict) -> bool:
     """True when a payload carries any rerun-don't-record marker.
     Every BENCH_r*.json is DRIVER-deposited (the builder's runs live
@@ -855,21 +870,10 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — calibration must never kill the run
         spark_calib = spark_calib_shuffle = None
     calib_floors = _committed_calib_floor(here, sf)
-
-    def _throttled(stamps: dict) -> bool:
-        """Each stamp judged against ITS OWN position's floor — start
-        and end stamps are not cross-comparable (see CALIB_KEYS)."""
-        return any(
-            isinstance(stamps.get(lkey), (int, float))
-            and fkey in calib_floors
-            and stamps[lkey] > CALIB_THROTTLE_RATIO * calib_floors[fkey]
-            for lkey, fkey in CALIB_KEYS
-        )
-
-    host_throttled = _throttled({
+    host_throttled = _is_throttled({
         "spark_calib_sec": spark_calib,
         "spark_calib_shuffle_sec": spark_calib_shuffle,
-    })
+    }, calib_floors)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -955,10 +959,10 @@ def main() -> None:
         spark_calib_end, spark_calib_shuffle_end = _spark_calibration(spark)
     except Exception:  # noqa: BLE001 — calibration must never kill the run
         spark_calib_end = spark_calib_shuffle_end = None
-    host_throttled = host_throttled or _throttled({
+    host_throttled = host_throttled or _is_throttled({
         "spark_calib_end_sec": spark_calib_end,
         "spark_calib_shuffle_end_sec": spark_calib_shuffle_end,
-    })
+    }, calib_floors)
 
     payload = {
         "metric": "headline_suite_seconds",

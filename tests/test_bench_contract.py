@@ -147,6 +147,31 @@ def test_committed_bench_artifacts_are_clean_or_inert():
                 "host_throttled") or parsed.get("load_drift")
 
 
+def test_throttle_predicate_marks_positional_excess_only():
+    """The r15 done-criterion: with the committed floor armed, a 1.4x
+    calibration reading marks host_throttled — and ONLY a positional
+    excess does (an end stamp is never judged against a start floor,
+    since end-of-suite JVMs read systematically warmer)."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    floors = bench._calib_file_floor(here, 0.1)  # the committed seed
+    assert floors  # armed
+    # a 1.4x start-cpu reading trips it (1.4 > CALIB_THROTTLE_RATIO)
+    assert bench._is_throttled(
+        {"spark_calib_sec": round(1.4 * floors["cpu_sec"], 3)}, floors)
+    # an in-band reading does not
+    assert not bench._is_throttled(
+        {"spark_calib_sec": round(1.2 * floors["cpu_sec"], 3)}, floors)
+    # positional: a start stamp equal to 1.4x the END floor is NOT
+    # compared against it — only its own (start) floor judges it
+    assert not bench._is_throttled(
+        {"spark_calib_sec": round(1.4 * floors["cpu_end_sec"], 3)},
+        {"cpu_end_sec": floors["cpu_end_sec"]})
+    # disarmed floor (missing position) -> never throttled
+    assert not bench._is_throttled({"spark_calib_sec": 99.0}, {})
+
+
 def test_marked_artifacts_are_inert_in_every_scan(tmp_path):
     """A marked (throttled/contaminated/drifted) driver artifact must
     contribute NOTHING: no records, no history, no vs-prev baseline
