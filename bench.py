@@ -97,9 +97,11 @@ BASE_OVERRIDES_SPEC = {"x2_minhash_lsh": (0.926, 1.5)}  # (recorded, pin)
 # flags. The bench now refuses to START timing on a loaded box: it
 # waits (bounded) for the 1-minute loadavg to fall under the
 # threshold, and if the box never quiets it stamps
-# `"load_contaminated": true` — which tests/test_bench_contract.py
-# forbids in any committed BENCH_r*.json artifact, so a noisy run can
-# never silently become the round's record.
+# `"load_contaminated": true`. Since r15 a marked artifact is INERT
+# rather than commit-forbidden (every BENCH_r*.json is
+# driver-deposited — see _marked_dirty): its numbers never become
+# records, history, baselines, or floors, so a noisy run can never
+# silently become the round's record.
 LOAD_GATE_THRESHOLD = 2.0
 
 # The start gate can't see load that ramps up DURING the run (r11
@@ -999,9 +1001,10 @@ def main() -> None:
         },
     }
     if contaminated:
-        # Loud, test-forbidden-in-committed-artifacts marker: the box
-        # never quieted inside the wait budget, so every number above
-        # is suspect — rerun on a quiet box before recording.
+        # Loud marker: the box never quieted inside the wait budget,
+        # so every number above is suspect. A marked artifact is
+        # INERT in every scan (see _marked_dirty) — its numbers can
+        # never become records, baselines, or floors.
         payload["load_contaminated"] = True
     if host_throttled:
         # Same rerun-don't-record rule: the host is serving less
@@ -1012,9 +1015,7 @@ def main() -> None:
     la_end = payload["load_context"]["loadavg_end"]
     if la_end and la_end[0] > LOAD_DRIFT_END_THRESHOLD:
         # Load ramped up mid-run past what the bench's own work can
-        # explain — same rerun-don't-record rule as the start gate
-        # (tests/test_bench_contract.py forbids this marker in any
-        # committed BENCH_r*.json from r12 on).
+        # explain — same inert-when-marked rule as the start gate.
         payload["load_drift"] = True
     if errors:
         payload["errors"] = errors
