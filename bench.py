@@ -253,8 +253,14 @@ COMPACT_TOP_FLAGS = 2
 # band, so a pure 1.5x-record threshold (0.286) false-flags ~half of
 # honest runs. With enough committed history the guard flags only
 # above max(ratio x record, mean + 2 sigma of that history) — in-band
-# readings never flag, a true floor shift still does.
+# readings never flag, a true floor shift still does. The band term
+# is CAPPED at RECORD_BAND_MAX_RATIO x record: committed history can
+# span eras/plans (x70_kcore's mixes a pre-optimization ~3 s era with
+# its 0.655 s record, putting mean+2 sigma at 5.2x the record), and an
+# uncapped band would silently neuter the guard for exactly the
+# multi-round drift it exists to catch.
 RECORD_BAND_MIN_SAMPLES = 4
+RECORD_BAND_MAX_RATIO = 2.0
 
 
 def _spark_calibration(spark) -> tuple[float, float]:
@@ -339,20 +345,31 @@ CALIB_KEYS = (
 )
 
 
-def _calib_file_floor(here: str, sf: float) -> dict:
-    """{floor key: value} from the committed CALIB_FLOOR.json. The
-    file is keyed by str(sf); unknown/malformed entries read as
-    absent — the floor file must never be able to crash a bench run."""
+def _calib_file_floor(here: str, sf: float) -> tuple[dict, bool]:
+    """({floor key: value}, pinned) from the committed
+    CALIB_FLOOR.json. The file is keyed by str(sf); unknown/malformed
+    entries (including hand edits that replace the dict with prose)
+    read as absent — the floor file must never be able to crash a
+    bench run. ``pinned`` is the entry's "pinned": true hand-raise
+    marker: the file's floors then OVERRIDE the artifact stamps
+    instead of min-ing with them — without it, a permanently slower
+    host could never escape fast-era stamps (throttled runs are inert,
+    so the stamp window's newest round would never advance and the old
+    stamps would never retire)."""
     try:
         with open(os.path.join(here, CALIB_FLOOR_FILE)) as fh:
-            rec = (json.load(fh) or {}).get(str(sf)) or {}
+            doc = json.load(fh)
     except (OSError, ValueError):
-        return {}
-    return {
+        return {}, False
+    rec = doc.get(str(sf)) if isinstance(doc, dict) else None
+    if not isinstance(rec, dict):
+        return {}, False
+    floors = {
         fkey: rec[fkey]
         for _, fkey in CALIB_KEYS
         if isinstance(rec.get(fkey), (int, float)) and rec[fkey] > 0
     }
+    return floors, bool(rec.get("pinned"))
 
 
 def _committed_calib_floor(here: str, sf: float,
@@ -366,6 +383,12 @@ def _committed_calib_floor(here: str, sf: float,
     slowdown) cannot mark every future run host_throttled forever
     (r14 advice). A position with no floor disables detection for
     that position until one lands."""
+    file_floors, pinned = _calib_file_floor(here, sf)
+    if pinned:
+        # Hand-raised escape hatch: the file IS the floor set; stale
+        # fast-era artifact stamps are ignored entirely (see
+        # _calib_file_floor — they could otherwise never retire).
+        return file_floors
     stamps: list[tuple[int, dict]] = []
     for f in os.listdir(here):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
@@ -389,7 +412,7 @@ def _committed_calib_floor(here: str, sf: float,
         }
         if vals:
             stamps.append((int(m.group(1)), vals))
-    best = _calib_file_floor(here, sf)
+    best = file_floors
     if stamps:
         newest = max(r for r, _ in stamps)
         for r, vals in stamps:
@@ -406,9 +429,13 @@ def _maybe_update_calib_floor(here: str, sf: float, payload: dict) -> bool:
     into CALIB_FLOOR.json, per stamp position. Only a clean run (no
     contamination/drift markers) may LOWER a position's floor; the
     floor never rises automatically — a permanently slower host is a
-    hand edit with a "note" in the file (see CALIB_FLOOR_FILE
-    comment). Returns True when the file changed."""
-    if payload.get("load_contaminated") or payload.get("load_drift"):
+    hand edit with a "note" + "pinned": true in the file (see
+    _calib_file_floor). Returns True when the file changed."""
+    if _marked_dirty(payload):
+        # includes host_throttled: a throttled run's stamps must not
+        # seed floors for positions that are not armed yet (the
+        # armed-position argument — "an inflated stamp can't be lower
+        # than the floor" — doesn't hold where there IS no floor)
         return False
     lc = payload.get("load_context", {})
     fresh = {
@@ -421,10 +448,18 @@ def _maybe_update_calib_floor(here: str, sf: float, payload: dict) -> bool:
     path = os.path.join(here, CALIB_FLOOR_FILE)
     try:
         with open(path) as fh:
-            doc = json.load(fh) or {}
+            doc = json.load(fh)
     except (OSError, ValueError):
         doc = {}
-    rec = doc.get(str(sf)) or {}
+    if not isinstance(doc, dict):
+        doc = {}  # a hand edit must never crash the run
+    rec = doc.get(str(sf))
+    if not isinstance(rec, dict):
+        rec = {}
+    if rec.get("pinned"):
+        # a hand-raised entry is authoritative; automatic lowering
+        # would silently un-raise it
+        return False
     changed = False
     for key, v in fresh.items():
         old = rec.get(key)
@@ -433,9 +468,11 @@ def _maybe_update_calib_floor(here: str, sf: float, payload: dict) -> bool:
             changed = True
     if not changed:
         return False
-    rec["protocol"] = ("min of start/end _spark_calibration stamps of "
-                       "a clean bench run; write-if-better; hand-raise "
-                       "with a note if the host permanently slowed")
+    rec["protocol"] = ("per-position _spark_calibration stamps of a "
+                       "clean bench run; write-if-better; if the host "
+                       "permanently slowed, hand-raise with a note and "
+                       "set \"pinned\": true (the file then overrides "
+                       "artifact stamps and stops auto-lowering)")
     doc[str(sf)] = rec
     try:
         with open(path, "w") as fh:
@@ -604,15 +641,23 @@ def _triage_flaps(vs_prev: dict, fp_snapshot, live_fp, floor_probe,
         # (r14 advice: incrementing only on the floor leg let
         # fingerprint_changed/uncomparable flags spawn unbounded
         # plan_fps subprocesses past the budget).
+        # A missing/unstable snapshot record decides the verdict for
+        # FREE — spawning the live-fingerprint subprocess first (as
+        # the first cut of this code did) burned a budget unit and
+        # minutes of dedicated-JVM wall time on a result that was
+        # discarded unread.
+        prev_rec = (fp_snapshot or {}).get(q)
+        if not prev_rec or "err" in prev_rec or not prev_rec.get("stable"):
+            entry["verdict"] = "uncomparable"
+            triage[q] = entry
+            continue
         if probes_used >= max_probes:
             entry["verdict"] = "probe_budget_exceeded"
             triage[q] = entry
             continue
         probes_used += 1
-        prev_rec = (fp_snapshot or {}).get(q)
         now_rec = live_fp(q)
-        if (not prev_rec or not now_rec or "err" in prev_rec
-                or not prev_rec.get("stable")):
+        if not now_rec:
             entry["verdict"] = "uncomparable"
             triage[q] = entry
             continue
@@ -705,9 +750,10 @@ def _flag_vs_record(sections, record_floor, history=None,
             threshold = ratio * record
             hist = (history(q) if history else None) or []
             if len(hist) >= RECORD_BAND_MIN_SAMPLES:
+                band = statistics.mean(hist) + 2 * statistics.stdev(hist)
                 threshold = max(
                     threshold,
-                    statistics.mean(hist) + 2 * statistics.stdev(hist))
+                    min(band, RECORD_BAND_MAX_RATIO * record))
             if t > threshold:
                 out[q] = {"record": record, "record_source": src,
                           "now": t, "ratio": round(t / record, 3),
@@ -802,9 +848,14 @@ def _compact_payload(payload: dict,
         return out
     # Level 3 (disaster runs only — value is already the -1 sentinel
     # when errors exist): the minimal core the driver must always be
-    # able to parse. Timings move to the detail file; scanners skip
-    # the marker entry (non-numeric values are already filtered).
+    # able to parse. Ext timings move to the detail file (scanners
+    # skip non-numeric marker values), but load_context SURVIVES —
+    # the committed-artifact contract test requires loadavg_start and
+    # the calibration stamp on every parseable payload, and dropping
+    # them would turn a disaster run into a misleading
+    # "missing stamp" suite failure.
     core_keys = ("metric", "value", "unit", "sf", "queries",
+                 "load_context",
                  "load_contaminated", "host_throttled", "load_drift",
                  "suite_incomplete", "errors", "errors_ext", "detail")
     out = {k: out[k] for k in core_keys if k in out}

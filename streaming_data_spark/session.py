@@ -124,11 +124,21 @@ def input_bytes(spark: SparkSession, *paths: str) -> int:
         # re-raises as-is — conflating them sent remote-but-reachable
         # URIs to a local fallback that could never see them (r14
         # advice).
+        try:
+            from py4j.protocol import Py4JJavaError
+        except ImportError:  # pragma: no cover — no py4j, no Java side
+            Py4JJavaError = ()
         fs = jpath = None
         try:
             jvm = spark._jvm
             jpath = jvm.org.apache.hadoop.fs.Path(path)
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        except Py4JJavaError:
+            # The gateway is LIVE and Java itself rejected the path/
+            # scheme (no FileSystem for scheme, missing connector jar,
+            # auth init failure): that is the real diagnosis — the
+            # local fallback could only mask it as "nonexistent".
+            raise
         except Exception:  # noqa: BLE001 — gateway/py4j unavailable
             pass
         if fs is not None:

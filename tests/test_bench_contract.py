@@ -155,7 +155,7 @@ def test_throttle_predicate_marks_positional_excess_only():
     import os
 
     here = os.path.dirname(os.path.abspath(bench.__file__))
-    floors = bench._calib_file_floor(here, 0.1)  # the committed seed
+    floors, _pinned = bench._calib_file_floor(here, 0.1)  # committed seed
     assert floors  # armed
     # a 1.4x start-cpu reading trips it (1.4 > CALIB_THROTTLE_RATIO)
     assert bench._is_throttled(
@@ -445,6 +445,18 @@ def test_record_guard_band_term_tolerates_band_bottom_records():
     short = lambda q: hist[:2]  # noqa: E731
     assert set(bench._flag_vs_record(
         ({"x29": 0.30},), rf, history=short)) == {"x29"}
+    # CAP: cross-era committed history (x70_kcore's real shape — a
+    # pre-optimization ~3s era above a 0.655s record) must not widen
+    # the band past RECORD_BAND_MAX_RATIO x record, or the guard is
+    # silently neutered for exactly the drift it exists to catch
+    era_hist = [3.1, 3.0, 2.9, 0.66, 0.7, 0.655]
+    rec2 = {"x70": (0.655, "BENCH_r12.json")}
+    flagged = bench._flag_vs_record(
+        ({"x70": 1.5},), lambda q: rec2.get(q, (None, None)),
+        history=lambda q: era_hist)
+    assert set(flagged) == {"x70"}  # 1.5 > 2.0 x 0.655 = 1.31 cap
+    assert flagged["x70"]["threshold"] == round(
+        bench.RECORD_BAND_MAX_RATIO * 0.655, 3)
 
 
 def test_shared_pair_build_flag_resolves_to_named_verdict():
@@ -650,13 +662,72 @@ def test_committed_calib_floor_file_matches_scanner_shape():
     import os
 
     here = os.path.dirname(os.path.abspath(bench.__file__))
-    floors = bench._calib_file_floor(here, 0.1)
+    floors, pinned = bench._calib_file_floor(here, 0.1)
     # all four positions seeded (r15 first-hour run), positive, and
     # the end floors are the warmer (lower) ones as measured
     for _, fkey in bench.CALIB_KEYS:
         assert isinstance(floors.get(fkey), (int, float)), fkey
         assert floors[fkey] > 0
     assert floors["cpu_end_sec"] < floors["cpu_sec"]
+    assert not pinned  # the seed is a measurement, not a hand-raise
+
+
+def test_calib_floor_file_pinned_overrides_and_malformed_never_crashes(
+        tmp_path):
+    """The hand-raise escape hatch must actually work: with
+    "pinned": true the file's floors OVERRIDE artifact stamps (a
+    permanently slower host can never out-wait fast-era stamps,
+    because throttled runs are inert and the stamp window's newest
+    round stops advancing), the auto-lowerer leaves the entry alone,
+    and any hand-edit shape — prose instead of a dict, a list root —
+    reads as absent rather than crashing the run."""
+    import json
+
+    # fast-era stamp on disk...
+    (tmp_path / "BENCH_r15.json").write_text(json.dumps({
+        "parsed": {"sf": 0.1,
+                   "load_context": {"spark_calib_sec": 0.29}}}))
+    # ...un-pinned file mins with it (old behavior preserved)
+    (tmp_path / "CALIB_FLOOR.json").write_text(json.dumps(
+        {"0.1": {"cpu_sec": 0.50}}))
+    assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
+        "cpu_sec": 0.29}
+    # ...pinned file WINS outright
+    (tmp_path / "CALIB_FLOOR.json").write_text(json.dumps(
+        {"0.1": {"cpu_sec": 0.50, "pinned": True,
+                 "note": "host slowed permanently after r15"}}))
+    assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
+        "cpu_sec": 0.50}
+    # ...and write-if-better refuses to un-raise it
+    faster = {"load_context": {"spark_calib_sec": 0.30}}
+    assert not bench._maybe_update_calib_floor(str(tmp_path), 0.1, faster)
+    with open(tmp_path / "CALIB_FLOOR.json") as fh:
+        assert json.load(fh)["0.1"]["cpu_sec"] == 0.50
+    # malformed hand edits: never crash, read as absent
+    for bad in ('{"0.1": "raised - see note"}', '["not", "a", "dict"]'):
+        (tmp_path / "CALIB_FLOOR.json").write_text(bad)
+        assert bench._calib_file_floor(str(tmp_path), 0.1) == ({}, False)
+        assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
+            "cpu_sec": 0.29}  # the artifact stamp still arms detection
+        assert bench._maybe_update_calib_floor(
+            str(tmp_path), 0.1, faster)  # recovers by rewriting
+        (tmp_path / "CALIB_FLOOR.json").unlink()
+
+
+def test_dirty_runs_never_seed_calibration_floors(tmp_path):
+    """host_throttled joins contaminated/drift in the write gate: a
+    throttled run's inflated stamps must not become the FIRST floor
+    for a position that is not armed yet (the 'inflated stamps cannot
+    lower an armed floor' argument has no force where no floor
+    exists)."""
+    throttled = {"host_throttled": True,
+                 "load_context": {"spark_calib_sec": 0.9,
+                                  "spark_calib_end_sec": 0.8}}
+    assert not bench._maybe_update_calib_floor(
+        str(tmp_path), 0.1, throttled)
+    import os
+
+    assert not os.path.exists(tmp_path / "CALIB_FLOOR.json")
 
 
 def test_maybe_update_calib_floor_write_if_better_only_when_clean(
@@ -741,6 +812,21 @@ def test_triage_budget_counts_fingerprint_probes_too():
     assert triage["q2"]["verdict"] == "probe_budget_exceeded"
     assert triage["q3"]["verdict"] == "probe_budget_exceeded"
     assert demote == []
+    # a flag whose snapshot record is MISSING resolves for free —
+    # no subprocess, no budget unit (the first cut spent both on a
+    # verdict derivable from prev_rec alone)
+    fps_run.clear()
+    triage, _ = bench._triage_flaps(
+        {"q_dark": {"base": 1.0, "now": 9.0},
+         "q0": {"base": 1.0, "now": 2.0}},
+        {"q0": {"fp": "aaaa:a0", "stable": True}},  # q_dark absent
+        live_fp=live,
+        floor_probe=lambda q: {"floor": 1.0, "times": [1.0]},
+        record_floor=lambda q: (1.0, "BENCH_r01.json"),
+        max_probes=1,
+    )
+    assert triage["q_dark"]["verdict"] == "uncomparable"
+    assert fps_run == ["q0"]  # the budget went to the decidable flag
 
 
 def _worst_case_payload():
@@ -886,6 +972,24 @@ def test_compact_payload_disaster_run_degrades_but_stays_parseable():
     errs = compact["errors"]
     assert errs["count"] == len(payload["errors"])
     assert len(errs.get("names", [])) <= 3
+    # level 3 (forced via a tiny budget): the minimal core keeps
+    # load_context — the committed-artifact test requires
+    # loadavg_start and the calibration stamp on every parseable
+    # payload, so dropping them would misdiagnose a disaster run as
+    # a missing-stamp violation
+    level3 = bench._compact_payload(_worst_case_payload(), budget=1300)
+    assert import_json_len(level3) <= 1300
+    assert "load_context" in level3
+    assert level3["load_context"]["loadavg_start"]
+    assert isinstance(level3["load_context"]["spark_calib_sec"],
+                      (int, float))
+    assert level3["host_throttled"]
+
+
+def import_json_len(d):
+    import json
+
+    return len(json.dumps(d))
 
 
 def test_bench_canary_is_the_consumers_shared_build(spark, sf_small):
