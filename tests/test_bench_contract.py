@@ -122,6 +122,9 @@ def test_committed_bench_artifacts_are_clean_or_inert():
                 f"{path} has no parseable payload — the compact stdout "
                 "line must stay under the driver's capture budget")
             continue
+        assert not parsed.get("smoke_mode"), (
+            f"{path} is a SMOKE run (truncated suites, 1/100-size "
+            "calibration) — never a round record")
         la = parsed.get("load_context", {}).get("loadavg_start")
         assert la, f"{path} is missing loadavg_start"
         if 11 <= rnd <= 14:
@@ -193,7 +196,8 @@ def test_marked_artifacts_are_inert_in_every_scan(tmp_path):
     assert history == {"q": [1.0]}
     assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
         "cpu_sec": 0.30}
-    for marker in ("load_contaminated", "load_drift", "host_throttled"):
+    for marker in ("load_contaminated", "load_drift", "host_throttled",
+                   "smoke_mode"):
         assert bench._marked_dirty({marker: True})
     assert not bench._marked_dirty({"sf": 0.1})
 
@@ -990,6 +994,67 @@ def import_json_len(d):
     import json
 
     return len(json.dumps(d))
+
+
+def test_bench_main_end_to_end_smoke_prints_one_compact_line(tmp_path):
+    """The r14 incident was a main()-level contract failure no unit
+    test could see (the assembled stdout line outgrew the driver's
+    capture). This drives the REAL bench.py in a subprocess — session,
+    truncated suites, both calibrations, guards, compaction, detail
+    write, the one stdout line — in smoke mode (~1 min): two queries
+    per suite, 1/100-size calibration, and NO writes to the committed
+    floor file (smoke payloads are inert by _marked_dirty)."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    floor_path = os.path.join(here, bench.CALIB_FLOOR_FILE)
+    detail_path = os.path.join(here, bench.BENCH_DETAIL_FILE)
+    floor_before = open(floor_path).read() if os.path.exists(
+        floor_path) else None
+    detail_backup = None
+    if os.path.exists(detail_path):
+        detail_backup = str(tmp_path / "detail_backup.json")
+        shutil.copy(detail_path, detail_backup)
+    env = dict(os.environ,
+               SPARK_GRAFT_BENCH_SMOKE="1",
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_TRIAGE="0",
+               SPARK_GRAFT_LOAD_WAIT="0")
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=600)
+        assert res.returncode == 0, res.stderr[-2000:]
+        line = res.stdout.strip().splitlines()[-1]
+        assert len(line) <= bench.STDOUT_BUDGET
+        d = json.loads(line)
+        # the driver-contract keys
+        for key in ("metric", "value", "unit", "queries", "sf"):
+            assert key in d, key
+        assert d["sf"] == 0.001
+        assert d["smoke_mode"] is True
+        assert set(d["queries"]) == set(bench.HEADLINE[:2])
+        lc = d["load_context"]
+        assert isinstance(lc["spark_calib_sec"], (int, float))
+        assert isinstance(lc["spark_calib_end_sec"], (int, float))
+        # the detail file landed and matches the run
+        with open(detail_path) as fh:
+            detail = json.load(fh)
+        assert detail["smoke_mode"] is True
+        assert detail["queries"] == d["queries"]
+        # the committed floor file was NOT touched
+        floor_after = open(floor_path).read() if os.path.exists(
+            floor_path) else None
+        assert floor_after == floor_before
+    finally:
+        if detail_backup:
+            shutil.copy(detail_backup, detail_path)
+        elif os.path.exists(detail_path):
+            os.unlink(detail_path)
 
 
 def test_bench_canary_is_the_consumers_shared_build(spark, sf_small):
