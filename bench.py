@@ -389,11 +389,6 @@ def _committed_calib_floor(here: str, sf: float,
     (r14 advice). A position with no floor disables detection for
     that position until one lands."""
     file_floors, pinned = _calib_file_floor(here, sf)
-    if pinned:
-        # Hand-raised escape hatch: the file IS the floor set; stale
-        # fast-era artifact stamps are ignored entirely (see
-        # _calib_file_floor — they could otherwise never retire).
-        return file_floors
     stamps: list[tuple[int, dict]] = []
     for f in os.listdir(here):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
@@ -417,15 +412,26 @@ def _committed_calib_floor(here: str, sf: float,
         }
         if vals:
             stamps.append((int(m.group(1)), vals))
-    best = file_floors
+    stamp_floors: dict = {}
     if stamps:
         newest = max(r for r, _ in stamps)
         for r, vals in stamps:
             if r <= newest - recent_rounds:
                 continue  # auto-retired: too old to be comparable
             for fkey, v in vals.items():
-                if fkey not in best or v < best[fkey]:
-                    best[fkey] = v
+                if fkey not in stamp_floors or v < stamp_floors[fkey]:
+                    stamp_floors[fkey] = v
+    if pinned:
+        # Hand-raised escape hatch: pinned positions are authoritative
+        # (stale fast-era stamps could otherwise never retire — see
+        # _calib_file_floor), but positions the hand edit does NOT
+        # list still fall back to the stamp scan, so a partial raise
+        # (or a typo'd key) cannot silently disarm the others.
+        return {**stamp_floors, **file_floors}
+    best = dict(stamp_floors)
+    for fkey, v in file_floors.items():
+        if fkey not in best or v < best[fkey]:
+            best[fkey] = v
     return best
 
 
@@ -862,6 +868,7 @@ def _compact_payload(payload: dict,
     core_keys = ("metric", "value", "unit", "sf", "queries",
                  "load_context",
                  "load_contaminated", "host_throttled", "load_drift",
+                 "smoke_mode",  # inertness marker must survive every level
                  "suite_incomplete", "errors", "errors_ext", "detail")
     out = {k: out[k] for k in core_keys if k in out}
     if not _fits(out):
@@ -1168,7 +1175,12 @@ def main() -> None:
             # skips the (slow) probes for quick local iteration — the
             # raw flags then stand untriaged, never silently dropped.
             combined = {**vs_record, **(vs_prev or {})}
-            if combined and host_throttled:
+            if combined and smoke:
+                # smoke mode promises "~1 minute, no side effects" —
+                # the multi-minute dedicated-JVM triage subprocesses
+                # must not fire from it regardless of the TRIAGE env
+                payload["flap_triage"] = {"skipped": "smoke_mode"}
+            elif combined and host_throttled:
                 # Floor probes on a throttled host read the throttle,
                 # not the query — leave the raw flags standing and
                 # record why no verdicts exist; the host_throttled

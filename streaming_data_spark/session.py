@@ -115,6 +115,10 @@ def input_bytes(spark: SparkSession, *paths: str) -> int:
     """Total bytes under ``paths`` via the Hadoop FileSystem API (so
     HDFS/S3/file: URIs all work on a real cluster); falls back to a
     local walk for plain paths when the JVM gateway is unavailable."""
+    try:
+        from py4j.protocol import Py4JJavaError
+    except ImportError:  # pragma: no cover — no py4j, no Java side
+        Py4JJavaError = ()
     total = 0
     for path in paths:
         # Resolve the filesystem first; only a missing JVM gateway
@@ -124,10 +128,6 @@ def input_bytes(spark: SparkSession, *paths: str) -> int:
         # re-raises as-is — conflating them sent remote-but-reachable
         # URIs to a local fallback that could never see them (r14
         # advice).
-        try:
-            from py4j.protocol import Py4JJavaError
-        except ImportError:  # pragma: no cover — no py4j, no Java side
-            Py4JJavaError = ()
         fs = jpath = None
         try:
             jvm = spark._jvm

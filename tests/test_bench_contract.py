@@ -696,12 +696,20 @@ def test_calib_floor_file_pinned_overrides_and_malformed_never_crashes(
         {"0.1": {"cpu_sec": 0.50}}))
     assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
         "cpu_sec": 0.29}
-    # ...pinned file WINS outright
+    # ...pinned file WINS on the positions it lists...
     (tmp_path / "CALIB_FLOOR.json").write_text(json.dumps(
         {"0.1": {"cpu_sec": 0.50, "pinned": True,
                  "note": "host slowed permanently after r15"}}))
     assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
         "cpu_sec": 0.50}
+    # ...but positions the hand edit does NOT list still fall back to
+    # the artifact stamps — a partial raise (or a typo'd key) must not
+    # silently disarm detection elsewhere
+    (tmp_path / "BENCH_r16.json").write_text(json.dumps({
+        "parsed": {"sf": 0.1, "load_context": {
+            "spark_calib_sec": 0.28, "spark_calib_shuffle_sec": 0.30}}}))
+    assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
+        "cpu_sec": 0.50, "shuffle_sec": 0.30}
     # ...and write-if-better refuses to un-raise it
     faster = {"load_context": {"spark_calib_sec": 0.30}}
     assert not bench._maybe_update_calib_floor(str(tmp_path), 0.1, faster)
@@ -712,7 +720,8 @@ def test_calib_floor_file_pinned_overrides_and_malformed_never_crashes(
         (tmp_path / "CALIB_FLOOR.json").write_text(bad)
         assert bench._calib_file_floor(str(tmp_path), 0.1) == ({}, False)
         assert bench._committed_calib_floor(str(tmp_path), 0.1) == {
-            "cpu_sec": 0.29}  # the artifact stamp still arms detection
+            "cpu_sec": 0.28, "shuffle_sec": 0.30
+        }  # the artifact stamps still arm detection
         assert bench._maybe_update_calib_floor(
             str(tmp_path), 0.1, faster)  # recovers by rewriting
         (tmp_path / "CALIB_FLOOR.json").unlink()
@@ -980,20 +989,20 @@ def test_compact_payload_disaster_run_degrades_but_stays_parseable():
     # load_context — the committed-artifact test requires
     # loadavg_start and the calibration stamp on every parseable
     # payload, so dropping them would misdiagnose a disaster run as
-    # a missing-stamp violation
-    level3 = bench._compact_payload(_worst_case_payload(), budget=1300)
-    assert import_json_len(level3) <= 1300
+    # a missing-stamp violation — and EVERY inertness marker,
+    # including smoke_mode (a level-3 smoke payload reading as clean
+    # would let truncated timings and 1/100-size stamps into the
+    # records and floors)
+    smoke_disaster = dict(_worst_case_payload(), smoke_mode=True)
+    level3 = bench._compact_payload(smoke_disaster, budget=1300)
+    assert len(json.dumps(level3)) <= 1300
     assert "load_context" in level3
     assert level3["load_context"]["loadavg_start"]
     assert isinstance(level3["load_context"]["spark_calib_sec"],
                       (int, float))
     assert level3["host_throttled"]
-
-
-def import_json_len(d):
-    import json
-
-    return len(json.dumps(d))
+    assert level3["smoke_mode"] is True
+    assert bench._marked_dirty(level3)
 
 
 def test_bench_main_end_to_end_smoke_prints_one_compact_line(tmp_path):
@@ -1019,10 +1028,11 @@ def test_bench_main_end_to_end_smoke_prints_one_compact_line(tmp_path):
     if os.path.exists(detail_path):
         detail_backup = str(tmp_path / "detail_backup.json")
         shutil.copy(detail_path, detail_backup)
+    from conftest import SF_SMALL
+
     env = dict(os.environ,
                SPARK_GRAFT_BENCH_SMOKE="1",
-               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_TRIAGE="0",
+               SPARK_GRAFT_SF_DIR=SF_SMALL,
                SPARK_GRAFT_LOAD_WAIT="0")
     try:
         res = subprocess.run(
@@ -1035,8 +1045,11 @@ def test_bench_main_end_to_end_smoke_prints_one_compact_line(tmp_path):
         # the driver-contract keys
         for key in ("metric", "value", "unit", "queries", "sf"):
             assert key in d, key
-        assert d["sf"] == 0.001
         assert d["smoke_mode"] is True
+        # triage never fires from smoke (multi-minute subprocesses),
+        # even though this test does NOT set SPARK_GRAFT_TRIAGE=0
+        ft = d.get("flap_triage")
+        assert ft is None or ft == {"skipped": "smoke_mode"}
         assert set(d["queries"]) == set(bench.HEADLINE[:2])
         lc = d["load_context"]
         assert isinstance(lc["spark_calib_sec"], (int, float))
