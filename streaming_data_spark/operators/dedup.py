@@ -487,23 +487,52 @@ def ngram_jaccard_pairs_prefix(
     exact intersection for candidates only — two keyed joins against
     the full shingle table. At 100 TB the candidate join is the term
     that explodes; this is the standard published fix.
+
+    Dictionary encoding (r16): every shuffle DOWNSTREAM of the first
+    string-keyed join carries an 8-byte dictionary id (``_sid``)
+    instead of the ~40-byte shingle string — the window, the prefix
+    self-join, the candidate dedup, and the verification joins, i.e.
+    every term that explodes at scale (measured at x300/1.5M docs:
+    the string-keyed build spilled ~49 GB; see SCALE.md Round-16).
+    Still lossless BY CONSTRUCTION, not probabilistically: ``_sid``
+    is a unique id per distinct shingle (a dictionary, not a hash —
+    ids come from ``monotonically_increasing_id`` on the distinct
+    vocabulary, and the encoded shingle table is eagerly
+    localCheckpointed so every downstream branch sees the SAME
+    assignment instead of a nondeterministic recompute), and
+    prefix-filter correctness only
+    needs all documents to rank their shingles by ONE consistent
+    total order — (_df asc, _sid asc) is such an order, and the
+    output pair set is order-invariant (the order changes which
+    candidates are pruned, never which pairs qualify).
     """
     from pyspark.sql import Window
 
     sh = shingles(df, id_col, text_col, n)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(
-                    F.col("_df").asc(), F.col("shingle").asc()
-                )
-            ),
-        )
+    vocab = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df")
+    ).withColumn("_sid", F.monotonically_increasing_id())
+    # Materialize the dictionary-encoded shingle table ONCE (encode
+    # once, reuse everywhere — the production shape). The checkpoint
+    # does double duty: it pins the nondeterministic _sid assignment
+    # so every downstream branch sees one consistent dictionary, and
+    # it stops Spark re-paying the string-keyed encode join in each
+    # of the four branches that scan it (rank, prefix self-join a/b,
+    # verification a/b).
+    dictsh = (
+        sh.join(vocab, "shingle")
+        .select(F.col(id_col), "_sid", "_df")
+        .localCheckpoint(eager=True)
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    ranked = dictsh.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                F.col("_df").asc(), F.col("_sid").asc()
+            )
+        ),
+    )
+    sizes = dictsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # prefix length = |s| - ceil(t*|s|) + 1. The ceil must be of the
     # EXACT product: in doubles 0.29*100 = 29.000000000000004 and a
     # naive ceil() returns 30, shortening the prefix by one and
@@ -516,21 +545,24 @@ def ngram_jaccard_pairs_prefix(
     pref = (
         ranked.join(sizes, id_col)
         .filter(F.col("_rk") <= F.col("n_sh") - needed + 1)
-        .select(F.col(id_col), "shingle")
+        .select(F.col(id_col), "_sid")
     )
     cand = (
-        pref.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(pref.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        pref.select(F.col(id_col).alias("id_a"), "_sid")
+        .join(pref.select(F.col(id_col).alias("id_b"), "_sid"), "_sid")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification for candidates only
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # exact verification for candidates only — int-keyed: dictsh
+    # carries (doc, _sid) for the FULL shingle set, so the
+    # explode-by-|a| term (the widest shuffle in the whole build)
+    # moves 16 bytes of ids per row instead of the shingle string
+    a = dictsh.select(F.col(id_col).alias("id_a"), "_sid")
+    b = dictsh.select(F.col(id_col).alias("id_b"), "_sid")
     inter = (
         cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
+        .join(b, ["id_b", "_sid"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

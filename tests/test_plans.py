@@ -1253,7 +1253,12 @@ def test_wave58_exchange_budgets(spark, sf_small):
         "x90_ivf_recall_eval": 6,
         "a69_seasonality_strength": 2,
         "a70_ltv_cohort_triangle": 3,
-        "x91_threshold_sweep": 9,
+        # 9 -> 7 with the r16 dictionary-encoded pair build: x91
+        # calls ngram_jaccard_pairs_prefix directly (not via the
+        # shared-tier memo), and the eager localCheckpoint of the
+        # encoded shingle table truncates the encode join's
+        # exchanges out of the downstream plan.
+        "x91_threshold_sweep": 7,
     }
     got = {
         name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
