@@ -107,8 +107,22 @@ def get_session(
 # (AQE cannot add partitions).  This is the standard cluster knob
 # (inputs / target partition bytes); here it is automatic.
 
-_SHUFFLE_TARGET_BYTES = 128 << 20  # ~128 MB of input per shuffle partition
-_SHUFFLE_PARTITION_CAP = 8192  # runaway guard: 1 TB inputs at 128 MB
+# Target is ENCODED (parquet-on-disk) bytes per shuffle partition.
+# Parquet's dictionary/RLE + snappy encode row data ~3-5x smaller than
+# its in-memory/shuffle representation, and shuffle sort/hash volume
+# tracks ROW bytes — so 32 MB of encoded input per partition keeps the
+# in-memory partition near the classic 128 MB envelope. Measured (r16,
+# q3_shipping_priority at x1000: 12 GB encoded over 3 tables): the old
+# 128 MB-encoded target gave 128 partitions and a spill-bound 66.9 s;
+# 256 -> 41.0 s; 512 (~24 MB encoded/part) -> 32.0 s with an identical
+# plan — the same pure-spill signature as the r13 x35_lm_score finding
+# (32 parts -> 117 s, 256 -> 75 s).
+_SHUFFLE_TARGET_BYTES = 32 << 20
+# Runaway guard only: 1 TB encoded input at 32 MB/part. A real
+# 1000-executor cluster runs tens of thousands of shuffle partitions
+# routinely; the cap exists to bound a pathological byte-count, not to
+# tune.
+_SHUFFLE_PARTITION_CAP = 32768
 
 
 def input_bytes(spark: SparkSession, *paths: str) -> int:
@@ -116,9 +130,15 @@ def input_bytes(spark: SparkSession, *paths: str) -> int:
     HDFS/S3/file: URIs all work on a real cluster); falls back to a
     local walk for plain paths when the JVM gateway is unavailable."""
     try:
-        from py4j.protocol import Py4JJavaError
+        # Py4JError is the common base of Py4JJavaError (Java raised),
+        # Py4JNetworkError (gateway died mid-call), and protocol
+        # faults — ALL of which mean the gateway was LIVE enough to be
+        # the real diagnosis. Only a genuinely absent gateway
+        # (ImportError here, AttributeError/RuntimeError below) may
+        # route to the local-walk fallback (r15 advice).
+        from py4j.protocol import Py4JError
     except ImportError:  # pragma: no cover — no py4j, no Java side
-        Py4JJavaError = ()
+        Py4JError = ()
     total = 0
     for path in paths:
         # Resolve the filesystem first; only a missing JVM gateway
@@ -133,11 +153,13 @@ def input_bytes(spark: SparkSession, *paths: str) -> int:
             jvm = spark._jvm
             jpath = jvm.org.apache.hadoop.fs.Path(path)
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        except Py4JJavaError:
-            # The gateway is LIVE and Java itself rejected the path/
-            # scheme (no FileSystem for scheme, missing connector jar,
-            # auth init failure): that is the real diagnosis — the
-            # local fallback could only mask it as "nonexistent".
+        except Py4JError:
+            # The gateway is LIVE and the py4j call itself failed —
+            # Java rejected the path/scheme (no FileSystem for scheme,
+            # missing connector jar, auth init failure) or the
+            # connection faulted mid-call: that is the real diagnosis;
+            # the local fallback could only mask it as "nonexistent"
+            # or, worse, return a coincidental local path's bytes.
             raise
         except Exception:  # noqa: BLE001 — gateway/py4j unavailable
             pass
