@@ -56,7 +56,21 @@ SEM_PLANES = 4  # LSH sub-blocking inside clusters; see x7_near_dup_lsh
 # at every scale. SEM_N0 = 2048 keeps planes = 4 at all test SFs
 # (max 2000 embeddings), i.e. behavior at driver scales is unchanged.
 SEM_N0 = 2048
-SEM_PLANES_MAX = 12
+# Cap raised 12 -> 16 (r16): the r16 x1000 chain (the first TRUE
+# x1000 embeddings fan, 2M vectors) hit the cap's quadratic regime —
+# past n = SEM_N0 * 2^(16-4-4)... i.e. once ceil(log2(n/2048)) > the
+# cap's headroom, occupancy grows linearly with the corpus again and
+# pair work quadratically (the x1000 leg ran >39 min/rep where the
+# occupancy formula predicts seg ~50; with 14 effective planes at 2M
+# vectors the same formula predicts occupancy ~12/block and a
+# near-linear leg). 16 keeps the quadratic onset past 8.4M vectors
+# per centroid family; at real 100 TB scale the CLUSTER count (here
+# frozen to the label vocabulary by the data model) is the other
+# factor to grow — SemDeDup production configs scale k with corpus.
+# The bucket id stays well inside int32 and the oracle's masked
+# SEM_PLANES_MAX-bit bucket tracks the new cap automatically (same
+# f-string constant).
+SEM_PLANES_MAX = 16
 
 
 def _sem_planes(n: int) -> int:
