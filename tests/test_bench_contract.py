@@ -175,6 +175,30 @@ def test_throttle_predicate_marks_positional_excess_only():
     assert not bench._is_throttled({"spark_calib_sec": 99.0}, {})
 
 
+def test_throttle_predicate_warm_box_corroboration_closes_blind_band():
+    """The r16 done-criterion (r15 verdict "what's wrong" #4): the
+    1.29-1.35x band was blind. A synthetic warm-box fixture — calib
+    1.3x its floor, loadavg5 12 on 32 cpus — now gets the marker,
+    while the SAME 1.3x stamp on a quiet box (loadavg5 0.5, the r16
+    fresh-session host-era reading) stays clean, and an in-band 1.1x
+    stamp never trips even warm."""
+    floors = {"cpu_sec": 0.29}
+    stamp = {"spark_calib_sec": round(1.3 * floors["cpu_sec"], 3)}
+    # warm box corroborates the elevated stamp -> marked
+    assert bench._is_throttled(stamp, floors, loadavg5=12.0, cpus=32)
+    # quiet box: same stamp is host-era drift, not load -> clean
+    assert not bench._is_throttled(stamp, floors, loadavg5=0.5, cpus=32)
+    # no loadavg available -> unconditional threshold only
+    assert not bench._is_throttled(stamp, floors)
+    # a genuinely in-band stamp stays clean even on a warm box
+    ok = {"spark_calib_sec": round(1.1 * floors["cpu_sec"], 3)}
+    assert not bench._is_throttled(ok, floors, loadavg5=12.0, cpus=32)
+    # an explicit ratio BELOW the warm ratio is never loosened by it
+    tight = {"spark_calib_sec": round(1.15 * floors["cpu_sec"], 3)}
+    assert bench._is_throttled(tight, floors, ratio=1.1,
+                               loadavg5=12.0, cpus=32)
+
+
 def test_marked_artifacts_are_inert_in_every_scan(tmp_path):
     """A marked (throttled/contaminated/drifted) driver artifact must
     contribute NOTHING: no records, no history, no vs-prev baseline
@@ -957,6 +981,10 @@ def test_compact_payload_shape_preserves_scanned_sections():
     assert "quiet_gate" not in lc and "spark_calib_floors" not in lc
     assert "methodology" not in compact
     assert compact["detail"] == bench.BENCH_DETAIL_FILE
+    # a smoke payload's compact line points readers at the SMOKE
+    # detail file — the one the smoke run actually wrote (r15 advice)
+    smoke_compact = bench._compact_payload(dict(payload, smoke_mode=True))
+    assert smoke_compact["detail"] == bench.BENCH_DETAIL_SMOKE_FILE
     n_flags = len(payload["regressions_vs_record"])
     vs_rec = compact["regressions_vs_record"]
     assert vs_rec["count"] == n_flags
@@ -1015,19 +1043,19 @@ def test_bench_main_end_to_end_smoke_prints_one_compact_line(tmp_path):
     floor file (smoke payloads are inert by _marked_dirty)."""
     import json
     import os
-    import shutil
     import subprocess
     import sys
 
     here = os.path.dirname(os.path.abspath(bench.__file__))
     floor_path = os.path.join(here, bench.CALIB_FLOOR_FILE)
     detail_path = os.path.join(here, bench.BENCH_DETAIL_FILE)
+    smoke_detail_path = os.path.join(here, bench.BENCH_DETAIL_SMOKE_FILE)
     floor_before = open(floor_path).read() if os.path.exists(
         floor_path) else None
-    detail_backup = None
-    if os.path.exists(detail_path):
-        detail_backup = str(tmp_path / "detail_backup.json")
-        shutil.copy(detail_path, detail_backup)
+    # r15 advice: smoke runs must not touch the REAL detail file at
+    # all — pin its bytes rather than backup/restore around the run.
+    detail_before = open(detail_path).read() if os.path.exists(
+        detail_path) else None
     from conftest import SF_SMALL
 
     env = dict(os.environ,
@@ -1054,20 +1082,25 @@ def test_bench_main_end_to_end_smoke_prints_one_compact_line(tmp_path):
         lc = d["load_context"]
         assert isinstance(lc["spark_calib_sec"], (int, float))
         assert isinstance(lc["spark_calib_end_sec"], (int, float))
-        # the detail file landed and matches the run
-        with open(detail_path) as fh:
+        # the detail payload landed at the SMOKE path (r15 advice:
+        # smoke never overwrites the round's real full payload) and
+        # the compact line points readers at that same file
+        assert d["detail"] == bench.BENCH_DETAIL_SMOKE_FILE
+        with open(smoke_detail_path) as fh:
             detail = json.load(fh)
         assert detail["smoke_mode"] is True
         assert detail["queries"] == d["queries"]
-        # the committed floor file was NOT touched
+        # neither the committed floor file nor the real detail file
+        # was touched
         floor_after = open(floor_path).read() if os.path.exists(
             floor_path) else None
         assert floor_after == floor_before
+        detail_after = open(detail_path).read() if os.path.exists(
+            detail_path) else None
+        assert detail_after == detail_before
     finally:
-        if detail_backup:
-            shutil.copy(detail_backup, detail_path)
-        elif os.path.exists(detail_path):
-            os.unlink(detail_path)
+        if os.path.exists(smoke_detail_path):
+            os.unlink(smoke_detail_path)
 
 
 def test_bench_canary_is_the_consumers_shared_build(spark, sf_small):
