@@ -170,24 +170,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT27_QUERIES,
         **EXT28_QUERIES,
     }
-    front = [n for n in _R15_WINDOW + _R15_TAIL if n in merged]
+    front = [n for n in _R16_WINDOW + _R16_TAIL if n in merged]
     return {**{n: merged[n] for n in front}, **merged}
 
 
-# Round-15 driver window (the grading driver oracle-checks the FIRST
-# 50 entries in insertion order). Generated by `python
-# tools/freshness.py --window 50 --front auto --upto 14` over the
-# r1..r14 driver history + the PLAN_FPS_r14 snapshot. `--front auto`
-# emits ZERO fronts (the r14 verdict predicted this: PLAN_FPS_r14 is
-# fingerprint-identical to r13 for all 221 carried queries and the
-# EXT65 trio got its driver rows in r14, so no fingerprint postdates
-# its owner's last driver row). The window is therefore the pure
-# oldest-first body: the 24 remaining r10-stale entries
-# (x33_centroid_classify first) then the 26 oldest r11 entries —
-# exactly the r14 tail block, as the rotation invariant requires.
-# Because every r10-stale query is inside this window, the freshness
-# floor advances from r10 to r11 when the r15 driver records these
-# rows; the r16 body starts r11-stale.
+# Round-15 driver window, kept for provenance (CORRECTNESS_r15 went
+# 50/50 against exactly these names). Generated at upto=14; see
+# _R16_WINDOW for the live ordering.
 _R15_WINDOW = [
     "x33_centroid_classify",
     "cdc_snapshot_diff", "a21_candle_resample", "f_variant_json",
@@ -208,11 +197,20 @@ _R15_WINDOW = [
     "x53_mutual_info", "a38_rfm_segments", "x54_auc",
 ]
 
-# The generator's FULL next block (50 queries) — the r16 rotation
-# starts here (oldest-first invariant, same generator; the length is
-# pinned by tests/test_freshness.py, r9 advice: the literal and the
-# claim "exactly what the generator emits" must agree).
-_R15_TAIL = [
+# Round-16 driver window (the grading driver oracle-checks the FIRST
+# 50 entries in insertion order). Generated by `python
+# tools/freshness.py --window 50 --front auto --upto 15` over the
+# r1..r15 driver history + the PLAN_FPS_r15 snapshot. `--front auto`
+# emits ZERO fronts (the r15 verdict predicted this: r15 made zero
+# registry/operator changes, so no fingerprint postdates its owner's
+# last driver row). The window is therefore the pure oldest-first
+# body: the 24 remaining r11-stale entries (x55_winsorize first) then
+# the 26 oldest r12 entries — exactly the r15 tail block, as the
+# rotation invariant requires. Because every r11-stale query is
+# inside this window, the freshness floor advances from r11 to r12
+# when the r16 driver records these rows; the r17 body starts
+# r12-stale.
+_R16_WINDOW = [
     "x55_winsorize",
     "x57_triangles", "a39_seasonal_dow", "x58_knn_classify",
     "a40_anomaly_mad", "a41_ab_welch", "x60_benford",
@@ -234,6 +232,32 @@ _R15_TAIL = [
     "a76_capped_balance", "x93_readability", "x94_spearman_supplier",
     "x95_cramers_v", "a78_kaplan_meier", "a47_entry_bounce",
     "x67_lexical_richness", "x69_dedup_impact",
+]
+
+# The generator's FULL next block (50 queries) — the r17 rotation
+# starts here (oldest-first invariant, same generator; the length is
+# pinned by tests/test_freshness.py, r9 advice: the literal and the
+# claim "exactly what the generator emits" must agree).
+_R16_TAIL = [
+    "x71_lsh_recall_eval", "a54_priority_sla", "a58_daily_peak_hour",
+    "x80_minhash_recall_eval", "a60_return_cohort",
+    "x82_vocab_coverage", "a66_new_vs_returning",
+    "x86_dup_family_hist", "x89_split_leakage", "x91_threshold_sweep",
+    "x98_containment_pairs", "x99_rrf_fusion",
+    "a77_open_order_backlog", "x100_kmv_distinct",
+    "x101_bloom_filter_eval", "a80_holt_winters", "x102_ndcg_eval",
+    "x103_hubness_koccurrence", "a81_decile_migration",
+    "a10_percentiles", "a11_cube_counts", "j5_interval_join",
+    "q10_returned_items", "q14_promo_revenue", "q16_supplier_cnt",
+    "q18_large_orders", "q19_disjunctive_revenue", "q22_idle_customers",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "x11_train_test_split", "x14_chunk_documents", "x15_pack_sequences",
+    "x16_decontaminate", "x17_tfidf_terms", "x18_vocab_top_tokens",
+    "x19_stratified_sample", "x1_exact_dedup", "x20_source_quota",
+    "x2_minhash_lsh", "x2_ngram_jaccard", "x2_ngram_jaccard_capped",
+    "x4_simhash", "x5_signlsh_topk", "a12_profile_customer",
+    "x70_kcore", "x92_dup_clustering_coeff", "x96_adamic_adar",
+    "x97_degree_assortativity",
 ]
 
 

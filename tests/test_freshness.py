@@ -270,18 +270,41 @@ def test_auto_front_for_r15_at_r14_snapshots_is_empty():
 
 
 def test_r15_window_is_generator_output_from_r14_data():
-    """_R15_WINDOW == the oldest-first body from the r1..r14 driver
-    history (zero fronts — see the previous test): the 24 remaining
-    r10-stale entries (x33_centroid_classify first) then the 26
-    oldest r11 entries — exactly the r14 tail block, as the rotation
-    invariant requires. _R15_TAIL is the FULL next block of that same
-    order (r9 advice: the literal is exactly what the generator
-    emits, length included)."""
+    """_R15_WINDOW (kept for provenance — CORRECTNESS_r15 went 50/50
+    against these names) == the oldest-first body from the r1..r14
+    driver history (zero fronts — see the previous test): the 24
+    remaining r10-stale entries (x33_centroid_classify first) then
+    the 26 oldest r11 entries."""
     order = [n for n, _ in oldest_first(upto=14)]
     assert entry_mod._R15_WINDOW == order[:50]
-    assert entry_mod._R15_TAIL == order[50:100]
-    assert len(entry_mod._R15_TAIL) == 50
     assert entry_mod._R15_WINDOW[0] == "x33_centroid_classify"
+
+
+def test_auto_front_for_r16_at_r15_snapshots_is_empty():
+    """`--front auto` at upto=15 emits ZERO fronts (the r15 verdict
+    pre-ran the generator and predicted exactly this): r15 made zero
+    registry or operator-source changes — PLAN_FPS_r15 diffs 225/0/0
+    against r14 — so no fingerprint postdates its owner's last driver
+    row. Zero uncomparable, as every round since the action-count
+    metric landed."""
+    front, uncomparable = auto_front(upto=15)
+    assert front == []
+    assert uncomparable == []
+
+
+def test_r16_window_is_generator_output_from_r15_data():
+    """_R16_WINDOW == the oldest-first body from the r1..r15 driver
+    history (zero fronts — see the previous test): the 24 remaining
+    r11-stale entries (x55_winsorize first) then the 26 oldest r12
+    entries — exactly the r15 tail block, as the rotation invariant
+    requires. _R16_TAIL is the FULL next block of that same order
+    (r9 advice: the literal is exactly what the generator emits,
+    length included)."""
+    order = [n for n, _ in oldest_first(upto=15)]
+    assert entry_mod._R16_WINDOW == order[:50]
+    assert entry_mod._R16_TAIL == order[50:100]
+    assert len(entry_mod._R16_TAIL) == 50
+    assert entry_mod._R16_WINDOW[0] == "x55_winsorize"
 
 
 def test_window_covers_registry_and_leads_queries():
@@ -289,10 +312,10 @@ def test_window_covers_registry_and_leads_queries():
     driver-checked size (50), and queries() iteration order leads with
     the window (the driver checks the FIRST 50 entries)."""
     names = list(entry_mod.queries())
-    assert len(entry_mod._R15_WINDOW) == 50
-    assert names[:50] == entry_mod._R15_WINDOW
-    assert set(entry_mod._R15_TAIL) <= set(names)
-    assert len(set(entry_mod._R15_WINDOW)) == 50  # no double-counted slots
+    assert len(entry_mod._R16_WINDOW) == 50
+    assert names[:50] == entry_mod._R16_WINDOW
+    assert set(entry_mod._R16_TAIL) <= set(names)
+    assert len(set(entry_mod._R16_WINDOW)) == 50  # no double-counted slots
 
 
 def test_staleness_accounting_matches_registry():
