@@ -17,6 +17,8 @@ contaminate the next query's timing — the r12 x41 protocol):
 
     python tools/scale_probe_100x.py replicate 10
     python tools/scale_probe_100x.py replicate 100
+    python tools/scale_probe_100x.py replicate 1000
+    python tools/scale_probe_100x.py embeddings1000   # true x1000 embeddings fan
     python tools/scale_probe_100x.py run <query> [<query> ...]
     python tools/scale_probe_100x.py autoplanes
 
@@ -56,10 +58,22 @@ SCALES = (("sf0.1", SRC), ("x10", X10), ("x100", X100), ("x1000", X1000))
 def _session():
     from streaming_data_spark.session import get_session
 
+    extra = {}
+    codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
+    if codec:
+        # Probe-level shuffle/spill codec override. The x1000 doc-graph
+        # legs (5M docs: shared pair build) spill ~2x the sandbox's
+        # ~60 GB free disk under the lz4 default; zstd roughly halves
+        # spill bytes on text and is the knob a real cluster would turn
+        # for this workload. Plan-invariant (codec is not part of any
+        # plan fingerprint), so probe numbers remain plan-comparable;
+        # the env var keeps the product default untouched.
+        extra["spark.io.compression.codec"] = codec
     return get_session(
         app_name="scale-probe-100x",
         # shuffle partitions: session default (4x cores, AQE coalesces)
         # unless SPARK_GRAFT_SHUFFLE_PARTITIONS pins it via autosize.
+        extra_conf=extra,
     )
 
 
@@ -75,15 +89,17 @@ def _replicate(copies: int) -> None:
     spark.stop()
 
 
-def _replicate_1000() -> None:
-    """Third decade: fan the x100 replica 10x (two-stage, so Catalyst
-    never sees a 1000-child union). Only the fact/doc tables the
-    x1000 spot-check reads are fanned; dims and embeddings are copied
-    1x (the embeddings orthogonal-transform family does not compose
-    collision-free across stages, and no embedding query is probed at
-    this scale). Stage-2 key stride 1e9 clears stage 1's 99*10M
-    ceiling; document text gains a second per-copy suffix so
-    vocabulary keeps growing with the corpus."""
+def _replicate_stage2(copies: int, out: str) -> None:
+    """Stage-2 fan of the x100 replica (two-stage, so Catalyst never
+    sees a 1000-child union). copies=10 -> the x1000 third decade;
+    copies=3 -> the x300 half-decade point for the doc-graph tier
+    (whose x1000 pair-build spill exceeds this sandbox's ~60 GB free
+    disk — the x300 point keeps the tier's growth curve measured
+    instead of extrapolated). Fact/doc tables fan; dims and
+    embeddings are copied 1x (embeddings can be upgraded to a true
+    fan afterwards by the embeddings1000 stage). Stage-2 key stride
+    1e9 clears stage 1's 99*10M ceiling; document text gains a second
+    per-copy suffix so vocabulary keeps growing with the corpus."""
     from pyspark.sql import functions as F
 
     spark = _session()
@@ -92,14 +108,20 @@ def _replicate_1000() -> None:
                  "embeddings"]
     for t in copy_once:
         spark.read.parquet(f"{X100}/{t}.parquet").write.mode(
-            "overwrite").parquet(f"{X1000}/{t}.parquet")
+            "overwrite").parquet(f"{out}/{t}.parquet")
+    # this stage writes a 1x embeddings copy — a marker left behind by
+    # a previous embeddings1000 fan would now be a lie
+    marker = os.path.join(out, EMB_FAN_MARKER)
+    if os.path.exists(marker):
+        os.unlink(marker)
+    _X1000_SAFE_CACHE.clear()
 
     def fan(df, build):
-        out = None
-        for i in range(10):
+        acc = None
+        for i in range(copies):
             c = build(df, i)
-            out = c if out is None else out.unionByName(c)
-        return out
+            acc = c if acc is None else acc.unionByName(c)
+        return acc
 
     stride = 1_000_000_000
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -110,7 +132,7 @@ def _replicate_1000() -> None:
             df = spark.read.parquet(f"{X100}/{tbl}.parquet")
             fan(df, lambda d, i, k=key: d.withColumn(
                 k, F.col(k) + F.lit(i * stride))) \
-                .write.mode("overwrite").parquet(f"{X1000}/{tbl}.parquet")
+                .write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
     finally:
         spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
 
@@ -118,33 +140,116 @@ def _replicate_1000() -> None:
     fan(docs, lambda d, i: d
         .withColumn("doc_id", F.col("doc_id") + F.lit(i * stride))
         .withColumn("text", F.regexp_replace("text", r"(\S+)", rf"$1d{i}"))) \
-        .write.mode("overwrite").parquet(f"{X1000}/documents.parquet")
-    print(json.dumps({"replicated": "x1000", "dir": X1000,
+        .write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    print(json.dumps({"replicated": f"x{copies * 100}", "dir": out,
                       "sec": round(time.time() - t0, 1)}))
     spark.stop()
 
 
+def _replicate_1000() -> None:
+    _replicate_stage2(10, X1000)
+
+
 _X1000_SAFE_CACHE: dict[str, bool] = {}
+# Sidecar written by the embeddings1000 stage: its presence means the
+# x1000 dir's embeddings table is a TRUE x1000 fan (Walsh signed-
+# permutation family, see _replicate_embeddings_1000), lifting the
+# embedding-query exclusion below.
+EMB_FAN_MARKER = "EMBEDDINGS_X1000_FANNED.json"
 
 
 def _x1000_safe(name, fn, spark) -> bool:
-    """The x1000 replica fans orders/lineitem/events/documents only;
-    embeddings are a 1x copy of the x100 replica, so a query whose
-    plan scans embeddings.parquet would report a meaningless x1000
-    ratio. Until r14 this exclusion lived only in docstrings (r13
-    ADVICE); now it is detected from the query's own scan set, not a
-    hand list — a query that fails to build is conservatively
-    unsafe."""
+    """The x1000 replica fans orders/lineitem/events/documents in the
+    base stages; embeddings start as a 1x copy of the x100 replica, so
+    a query whose plan scans embeddings.parquet would report a
+    meaningless x1000 ratio — UNLESS the embeddings1000 stage has
+    since replaced that copy with a true fan (marker sidecar). Until
+    r14 this exclusion lived only in docstrings (r13 ADVICE); now it
+    is detected from the query's own scan set, not a hand list — a
+    query that fails to build is conservatively unsafe."""
     if name not in _X1000_SAFE_CACHE:
         try:
             from streaming_data_spark import plans
 
             _X1000_SAFE_CACHE[name] = (
-                "embeddings.parquet" not in plans.explain_str(fn(spark, SRC))
+                os.path.exists(os.path.join(X1000, EMB_FAN_MARKER))
+                or "embeddings.parquet"
+                not in plans.explain_str(fn(spark, SRC))
             )
         except Exception:
             _X1000_SAFE_CACHE[name] = False
     return _X1000_SAFE_CACHE[name]
+
+
+def _replicate_embeddings_1000() -> None:
+    """True x1000 embeddings fan, built in ONE stage from the BASE
+    table with a 1024-member signed-permutation family — the 30x
+    tool's cyclic-shift+mod-3-sign family caps at lcm(dim, 3) = 192
+    distinct copies (dim 64), which is why the two-stage fact fan left
+    embeddings at 1x (orthogonal transforms there don't compose
+    collision-free across stages).
+
+    Copy i -> shift s = i % dim composed with Walsh sign mask
+    q = i // dim:  T_i(v)[j] = v[k] * (-1)^popcount(q & k) with
+    k = (j + s) % dim.  Every T_i is a signed permutation (orthogonal:
+    within-copy cosines preserved EXACTLY, so each copy replicates the
+    base similarity structure).  Two copies share a transform only at
+    identical (s, q) — i.e. never for i != i' < dim * dim.  For equal
+    shifts and q != q', the pointwise sign product is the Walsh
+    function W_{q xor q'}, balanced over [0, dim) (q xor q' < dim), so
+    cross-copy cosines are Walsh-modulated correlations ~= 0 and
+    near-dup pair volume grows LINEARLY with copies — the same honesty
+    requirement the 30x family meets for its 30/100 copies.
+
+    vec_id offsets mirror the documents two-stage fan exactly
+    (a * 10M for a = i % 100, b * 1e9 for b = i // 100), so
+    doc⋈embedding joins stay aligned per copy."""
+    from pyspark.sql import functions as F
+
+    spark = _session()
+    t0 = time.time()
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    first = emb.select("embedding").first()
+    if first is None or first[0] is None:
+        raise SystemExit(f"embeddings table at {SRC} is empty")
+    dim = len(first[0])
+    copies = 1000
+    if dim * dim < copies or (copies + dim - 1) // dim > dim:
+        raise SystemExit(
+            f"embedding dim {dim}: Walsh family supports dim^2 = "
+            f"{dim * dim} copies < {copies}")
+    cp = F.col("copy")
+    s = (cp % dim).cast("int")
+    q = (cp / dim).cast("int")
+    j = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def _elem(jj):
+        k = ((jj + s) % dim).cast("int")
+        sign = F.when(F.bit_count(q.bitwiseAND(k)) % 2 == 1,
+                      F.lit(-1.0)).otherwise(F.lit(1.0))
+        return F.element_at("embedding", k + 1) * sign
+
+    fanned = (
+        emb.crossJoin(F.broadcast(
+            spark.range(copies).select(F.col("id").alias("copy"))))
+        .withColumn("vec_id",
+                    F.col("vec_id")
+                    + (cp % 100) * F.lit(10_000_000)
+                    + (cp / 100).cast("long") * F.lit(1_000_000_000))
+        .withColumn("embedding",
+                    F.transform(j, _elem).cast("array<float>"))
+        .drop("copy")
+    )
+    fanned.write.mode("overwrite").parquet(f"{X1000}/embeddings.parquet")
+    meta = {"family": "walsh_signed_permutation", "copies": copies,
+            "dim": dim, "source": SRC,
+            "vec_id_strides": [10_000_000, 1_000_000_000]}
+    with open(os.path.join(X1000, EMB_FAN_MARKER), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    _X1000_SAFE_CACHE.clear()
+    print(json.dumps({"replicated": "x1000-embeddings", "dir": X1000,
+                      "sec": round(time.time() - t0, 1), **meta}))
+    spark.stop()
 
 
 def _run(names: list[str]) -> None:
@@ -184,6 +289,8 @@ def _run(names: list[str]) -> None:
                 best = min(best, time.time() - t0)
             times[label] = round(best, 3)
             times[f"parts_{label}"] = parts
+            print(f"{name} @{label}: {times[label]}s (parts={parts})",
+                  file=sys.stderr, flush=True)
         if "x10" in times and "sf0.1" in times:
             times["ratio_x10"] = round(times["x10"] / times["sf0.1"], 2)
         if "x100" in times and "sf0.1" in times:
@@ -244,7 +351,15 @@ def main() -> None:
     stage = sys.argv[1] if len(sys.argv) > 1 else "run"
     if stage == "replicate":
         n = int(sys.argv[2])
-        _replicate_1000() if n == 1000 else _replicate(n)
+        if n == 1000:
+            _replicate_1000()
+        elif n == 300:
+            _replicate_stage2(3, os.environ.get(
+                "SPARK_GRAFT_X300_DIR", "/tmp/sfx300"))
+        else:
+            _replicate(n)
+    elif stage == "embeddings1000":
+        _replicate_embeddings_1000()
     elif stage == "autoplanes":
         _autoplanes()
     else:
