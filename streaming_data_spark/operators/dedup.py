@@ -214,6 +214,11 @@ def minhash_lsh_pairs(
     # result goes out of scope — an explicit persist here leaked cache
     # across repeated invocations in a long-lived session.
     sig = minhash_signatures(df, id_col, text_col, n, k, base_hash).localCheckpoint(eager=True)
+    # Band key is a FLAT STRUCT of the r signature longs (r16): struct
+    # equality is exactly concat-string equality here (long→string is
+    # injective under the "," separator the old form used), but the
+    # join key is 4 longs instead of a per-row built string — no
+    # string materialization, cheaper hashing, narrower exchange.
     banded = sig.select(
         F.col(id_col),
         F.col("sig"),
@@ -221,7 +226,7 @@ def minhash_lsh_pairs(
             F.array(*[
                 F.struct(
                     F.lit(bi).alias("band"),
-                    F.concat_ws(",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]).alias("key"),
+                    *[F.col("sig")[bi * r + j].alias(f"k{j}") for j in range(r)],
                 )
                 for bi in range(bands)
             ])
@@ -229,17 +234,21 @@ def minhash_lsh_pairs(
     )
     a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "bk")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "bk")
-    cand = (
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    # Score and THRESHOLD-FILTER each candidate instance BEFORE the
+    # pair dedup (r16, guide §2.3): est_jaccard is a deterministic
+    # function of the two signatures, so filter-then-dedup emits the
+    # identical pair set, while the dedup exchange now moves only
+    # (id_a, id_b, est) for pairs that ALREADY passed the threshold —
+    # the old shape shuffled both full signature arrays for every
+    # sub-threshold candidate just to drop them afterwards.
+    return (
         a.join(b, ["bk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-    return (
-        cand.withColumn("est_jaccard", F.round(agree / F.lit(float(k)), 6))
+        .withColumn("est_jaccard", F.round(agree / F.lit(float(k)), 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -407,9 +416,17 @@ def connected_components_star(
         return all_nodes.withColumn("cluster_id", F.col("id"))
     for _ in range(max_iter):
         # ---- large-star ----
-        sym = e.select(F.col("big").alias("u"), F.col("small").alias("v")).union(
-            e.select(F.col("small").alias("u"), F.col("big").alias("v"))
-        )
+        # symmetrize in ONE pass over e (r16): explode emits both
+        # directions per row instead of the union's two scans of the
+        # checkpointed edge set.
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("big").alias("u"), F.col("small").alias("v")),
+                    F.struct(F.col("small").alias("u"), F.col("big").alias("v")),
+                )
+            ).alias("_d")
+        ).select("_d.u", "_d.v")
         m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         large = (
             sym.filter(F.col("v") > F.col("u"))
@@ -418,12 +435,32 @@ def connected_components_star(
             .distinct()
         )
         # ---- small-star (input already directed big->small) ----
+        # Both emitted edge families come from the SAME large⋈m2 join;
+        # the previous union of two copies of that join evaluated it
+        # twice (only its exchanges were reused). One join, explode
+        # the two outputs per row (r16). The big != small filter only
+        # ever removes rows of the first family — the second family's
+        # small = min over a set of values all < big — so filtering
+        # after the explode is equivalent to the old per-branch shape.
         m2 = large.groupBy("big").agg(F.min("small").alias("m"))
         stepped = (
             large.join(m2, "big")
-            .select(F.col("small").alias("big"), F.col("m").alias("small"))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("small").alias("big"),
+                            F.col("m").alias("small"),
+                        ),
+                        F.struct(
+                            F.col("big").alias("big"),
+                            F.col("m").alias("small"),
+                        ),
+                    )
+                ).alias("_s")
+            )
+            .select("_s.big", "_s.small")
             .filter(F.col("big") != F.col("small"))
-            .union(large.join(m2, "big").select("big", F.col("m").alias("small")))
             .distinct()
             .localCheckpoint(eager=True)
         )
@@ -513,26 +550,29 @@ def ngram_jaccard_pairs_prefix(
         F.count(F.lit(1)).alias("_df")
     ).withColumn("_sid", F.monotonically_increasing_id())
     # Materialize the dictionary-encoded shingle table ONCE (encode
-    # once, reuse everywhere — the production shape). The checkpoint
-    # does double duty: it pins the nondeterministic _sid assignment
-    # so every downstream branch sees one consistent dictionary, and
-    # it stops Spark re-paying the string-keyed encode join in each
-    # of the four branches that scan it (rank, prefix self-join a/b,
-    # verification a/b).
-    dictsh = (
+    # once, reuse everywhere — the production shape), WITH its prefix
+    # rank and per-doc set size already attached (r16, guide §2.4):
+    # the rank window and the size aggregate ride the SAME
+    # partitioning, so computing them before the checkpoint costs one
+    # exchange total, where the previous shape re-ran the rank window
+    # in each prefix self-join branch (2×) and re-aggregated sizes in
+    # three more branches (the pref gate + both jaccard joins). The
+    # checkpoint still pins the nondeterministic _sid assignment so
+    # every downstream branch sees one consistent dictionary.
+    w_doc = Window.partitionBy(id_col)
+    ranked = (
         sh.join(vocab, "shingle")
         .select(F.col(id_col), "_sid", "_df")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                w_doc.orderBy(F.col("_df").asc(), F.col("_sid").asc())
+            ),
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+        .drop("_df")
         .localCheckpoint(eager=True)
     )
-    ranked = dictsh.withColumn(
-        "_rk",
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy(
-                F.col("_df").asc(), F.col("_sid").asc()
-            )
-        ),
-    )
-    sizes = dictsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # prefix length = |s| - ceil(t*|s|) + 1. The ceil must be of the
     # EXACT product: in doubles 0.29*100 = 29.000000000000004 and a
     # naive ceil() returns 30, shortening the prefix by one and
@@ -542,11 +582,9 @@ def ngram_jaccard_pairs_prefix(
     # (the true product is a rational ≥ 0.01 away from the next-lower
     # integer unless it IS an integer).
     needed = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
-    pref = (
-        ranked.join(sizes, id_col)
-        .filter(F.col("_rk") <= F.col("n_sh") - needed + 1)
-        .select(F.col(id_col), "_sid")
-    )
+    pref = ranked.filter(
+        F.col("_rk") <= F.col("n_sh") - needed + 1
+    ).select(F.col(id_col), "_sid")
     cand = (
         pref.select(F.col(id_col).alias("id_a"), "_sid")
         .join(pref.select(F.col(id_col).alias("id_b"), "_sid"), "_sid")
@@ -554,21 +592,31 @@ def ngram_jaccard_pairs_prefix(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification for candidates only — int-keyed: dictsh
+    # exact verification for candidates only — int-keyed: ranked
     # carries (doc, _sid) for the FULL shingle set, so the
     # explode-by-|a| term (the widest shuffle in the whole build)
-    # moves 16 bytes of ids per row instead of the shingle string
-    a = dictsh.select(F.col(id_col).alias("id_a"), "_sid")
-    b = dictsh.select(F.col(id_col).alias("id_b"), "_sid")
+    # moves ids + one set-size int per row instead of the shingle
+    # string; carrying n_a/n_b through the verification joins (group
+    # constants, folded with max) replaces the two doc-keyed size
+    # joins of the previous shape outright.
+    a = ranked.select(
+        F.col(id_col).alias("id_a"), "_sid", F.col("n_sh").alias("n_a")
+    )
+    b = ranked.select(
+        F.col(id_col).alias("id_b"), "_sid", F.col("n_sh").alias("n_b")
+    )
     inter = (
         cand.join(a, "id_a")
         .join(b, ["id_b", "_sid"])
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
     )
     return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        inter
         .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -143,11 +143,15 @@ def kcore_peel(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
-        sym = e.select(F.col("a").alias("id")).union(
-            e.select(F.col("b").alias("id"))
+    def _endpoints(edges_df: DataFrame) -> DataFrame:
+        # both endpoints in ONE pass over the (checkpointed) edge set
+        # (r16) — the union form scanned it twice per round
+        return edges_df.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("id")
         )
-        deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+
+    for _ in range(rounds):
+        deg = _endpoints(e).groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
         survivors = deg.filter(F.col("deg") >= k).select("id")
         e = (
             e.join(survivors.withColumnRenamed("id", "a"), "a", "left_semi")
@@ -155,7 +159,4 @@ def kcore_peel(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-    sym = e.select(F.col("a").alias("id")).union(
-        e.select(F.col("b").alias("id"))
-    )
-    return sym.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return _endpoints(e).groupBy("id").agg(F.count(F.lit(1)).alias("degree"))

@@ -168,7 +168,19 @@ def lm_scores(
         id_col, F.explode(F.when(F.size(toks) >= 2, grams)).alias("g")
     ).select(id_col, "g.w1", "g.w2")
     big = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
-    ctx = inst.groupBy("w1").agg(F.count(F.lit(1)).alias("n_ctx"))
+    # The bigram table feeds every derived quantity below (ctx, the
+    # probability table, the hot threshold) — materialize it ONCE.
+    # O(vocab) rows, bounded by the dictionary, never by corpus volume
+    # (the same double-compute guard as dedup's MinHash signatures).
+    # r16: previously ctx was a SECOND full groupBy over the instance
+    # stream and the hot-path total a separate documents scan; both
+    # are exact re-aggregations of `big` (n_ctx(w1) = Σ_{w2} n_bigram;
+    # N = Σ n_bigram), so deriving them here removes one full
+    # explode+shuffle pass over the corpus and one documents scan
+    # (guide §2.3 — aggregate before you shuffle, then reuse the
+    # aggregate). One corpus pass builds the LM; one scores against it.
+    big = big.localCheckpoint()
+    ctx = big.groupBy("w1").agg(F.sum("n_bigram").alias("n_ctx"))
     probs = big.join(ctx, "w1").select(
         "w1", "w2", "n_bigram",
         (F.col("n_bigram") / F.col("n_ctx")).alias("p_cond"),
@@ -176,12 +188,9 @@ def lm_scores(
     if hot_frac is None:
         scored = inst.join(probs.drop("n_bigram"), ["w1", "w2"])
     else:
-        # N = Σ max(|toks|-1, 0) straight off the documents scan — one
-        # shuffle-free map-side agg, NOT a recompute of the bigram
-        # groupBy lineage (same value: every doc emits |toks|-1 grams).
-        total = df.agg(
-            F.sum(F.greatest(m, F.lit(0))).alias("n_total")
-        )
+        # N = Σ n_bigram over the checkpointed vocab table — exactly
+        # Σ max(|toks|-1, 0), at vocab cost instead of a corpus scan.
+        total = big.agg(F.sum("n_bigram").alias("n_total"))
         probs_t = probs.crossJoin(F.broadcast(total)).select(
             "w1",
             "w2",
@@ -189,11 +198,8 @@ def lm_scores(
             "p_cond",
         )
         # The split consumes probs twice (hot slice + cold slice);
-        # without a checkpoint each filter re-runs the corpus-wide
-        # bigram aggregation. Materializing here is O(vocab) rows —
-        # bounded by the dictionary, never by corpus volume (the same
-        # double-compute guard as dedup's MinHash signatures).
-        probs_t = probs_t.localCheckpoint()
+        # both re-derive from the checkpointed `big` — vocab-sized
+        # joins, no corpus recompute, no second checkpoint job.
         scored = skew_split_inner_join(
             inst, probs_t, ["w1", "w2"], is_hot="__is_hot", salt=salt
         )

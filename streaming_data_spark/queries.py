@@ -170,14 +170,23 @@ GROUP BY l_returnflag, l_linestatus
 
 def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + agg + top-k (TPC-H Q3 shape): broadcast dim filter, one
-    shuffle agg, global top-10 by revenue."""
+    shuffle agg, global top-10 by revenue.
+
+    Join ORDER (r16, guide §3.1/§2.3): the customer segment filter is
+    applied to orders FIRST (a broadcast join, no shuffle), so the
+    orders side entering the lineitem join is already ~1/5 its size —
+    the previous (lineitem⋈orders)⋈customer order shuffled/broadcast
+    the FULL orders table and only then dropped 80% of the joined
+    rows. Inner-join reordering; result identical (same oracle)."""
     customer = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    building_orders = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        lineitem.join(building_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))

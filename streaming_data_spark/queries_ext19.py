@@ -93,14 +93,22 @@ def q_x30_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
     )
+    # r16: df = size of the SAME distinct set the postings column
+    # already aggregates — a separate countDistinct forced Spark's
+    # two-phase distinct-aggregate rewrite (an extra Expand +
+    # re-aggregation exchange) for a value the collect_set state
+    # provides for free. One groupBy, one exchange; identical values.
     return (
         toks.groupBy("token")
         .agg(
-            F.countDistinct("doc_id").alias("df"),
             F.count(F.lit(1)).alias("tf"),
-            F.array_join(
-                F.slice(F.sort_array(F.collect_set("doc_id")), 1, POSTINGS_K), ","
-            ).alias("postings"),
+            F.sort_array(F.collect_set("doc_id")).alias("_set"),
+        )
+        .select(
+            "token",
+            F.size("_set").alias("df"),
+            "tf",
+            F.array_join(F.slice("_set", 1, POSTINGS_K), ",").alias("postings"),
         )
     )
 

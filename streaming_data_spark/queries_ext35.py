@@ -56,16 +56,36 @@ def q_x30_inverted_index_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
     )
-    stats = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df"),
-        F.count(F.lit(1)).alias("tf"),
+    # r16: ONE (token, doc_id) grouped pass feeds BOTH branches. The
+    # old shape ran the explode twice — once through countDistinct's
+    # two-phase distinct-aggregate rewrite for stats, once through
+    # toks.distinct() for the postings stream — as structurally
+    # different subtrees Spark could not share (and plain
+    # exchange-reuse can't either: column pruning drops `_c` from the
+    # postings branch, so the two exchanges never canonicalize equal
+    # — verified in plans/r16). The eager localCheckpoint is what
+    # actually makes it ONE corpus explode+shuffle: downstream stats
+    # and postings both read the materialized (token, doc_id) table,
+    # which is the dedup'd postings stream — the same
+    # bounded-intermediate grain the prefix-pair build checkpoints
+    # (dedup.py dictsh). Aggregation state stays bounded: counts
+    # only, no collect over unbounded sets.
+    pairs = (
+        toks.groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    stats = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("_c").alias("tf"),
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     stats = stats.crossJoin(F.broadcast(n_docs))
     hot = stats.filter(F.col("df") > MAX_DF_RATIO * F.col("n_docs")).select("token")
     kept = stats.filter(F.col("df") <= MAX_DF_RATIO * F.col("n_docs"))
-    pairs = toks.distinct()
-    cold_pairs = pairs.join(F.broadcast(hot), "token", "left_anti")
+    cold_pairs = pairs.select("token", "doc_id").join(
+        F.broadcast(hot), "token", "left_anti"
+    )
     w = Window.partitionBy("token").orderBy(F.col("doc_id").asc())
     ranked = (
         cold_pairs.withColumn("rn", F.row_number().over(w))

@@ -172,9 +172,18 @@ def q_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_nationkey", "n_name")
 
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Join ORDER (r16, guide §2.3/§2.4): orders⋈customer FIRST — that
+    # shuffle moves the date-filtered orders (~1/7 of the table, 2
+    # narrow columns out) and customer, instead of the previous
+    # (lineitem⋈orders)⋈customer order whose second exchange re-shuffled
+    # the WIDE joined-lineitem intermediate on custkey. lineitem-derived
+    # bytes now cross exactly one exchange. Inner-join reordering;
+    # result identical (same oracle).
+    orders_cust = orders.join(
+        customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "c_nationkey")
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        lineitem.join(orders_cust, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))

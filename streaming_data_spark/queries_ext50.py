@@ -168,8 +168,14 @@ def q_x63_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > BOILER_FRAC * F.col("n_docs"))
         .select("shingle", F.lit(True).alias("_b"))
     )
+    # broadcast is SAFE at any corpus size (r16): boilerplate shingles
+    # are those with df > BOILER_FRAC·n_docs, so by pigeonhole there
+    # are at most avg_shingles_per_doc / BOILER_FRAC of them —
+    # bounded by document length, independent of corpus rows. The
+    # explicit hint pins the plan (no estimate-driven SMJ fallback of
+    # the corpus-sized left side at scale).
     return (
-        sh.join(boiler, "shingle", "left")
+        sh.join(F.broadcast(boiler), "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -954,8 +954,13 @@ def test_wave47_exchange_budgets(spark, sf_small):
     the forced broadcast of the O(corpus) dropped set was removed —
     AQE localizes it at runtime when it actually fits); the
     cluster-block pair join may legitimately sort-merge (cluster
-    blocks are fact-derived at scale). a40: two keyed median passes
-    + the user-grain broadcasts back — 3, no sort-merge anywhere."""
+    blocks are fact-derived at scale). (An r16 rewrite to
+    driver-collected centroid literals — the ivf_topk protocol, 2
+    exchanges — was tried and REVERTED: the 640-literal argmin
+    expression cost ~3s of per-invocation construction/analysis and
+    benched 5-6s vs this shape's 2.8-3.0s in the warm bench JVM.)
+    a40: two keyed median passes + the user-grain broadcasts back —
+    3, no sort-merge anywhere."""
     import __spark_entry__ as entry
 
     budgets = {"x58_knn_classify": 3, "x59_semdedup": 4, "a40_anomaly_mad": 3}
@@ -1257,8 +1262,14 @@ def test_wave58_exchange_budgets(spark, sf_small):
         # calls ngram_jaccard_pairs_prefix directly (not via the
         # shared-tier memo), and the eager localCheckpoint of the
         # encoded shingle table truncates the encode join's
-        # exchanges out of the downstream plan.
-        "x91_threshold_sweep": 7,
+        # exchanges out of the downstream plan. 7 -> 2 with the r16
+        # optimization pass: the prefix rank window and per-doc set
+        # size moved BEFORE the checkpoint (one exchange, shared by
+        # every downstream branch) and the two doc-keyed size joins
+        # were replaced by carrying n_a/n_b through the verification
+        # joins — the 2 survivors are the candidate dedup and the
+        # verification groupBy.
+        "x91_threshold_sweep": 2,
     }
     got = {
         name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
