@@ -464,20 +464,34 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # converged when the edge set is a fixpoint (stars reached):
-        # equal size + one-sided multiset difference empty ⇒ equal.
-        # count()==0, not isEmpty(): the diff is EXPECTED EMPTY here
-        # (the size gate already matched), and isEmpty's escalating
-        # take-scan ran a timing-dependent number of jobs per probe —
-        # the engine's only nondeterministic execution, which kept the
-        # two star-CC consumers out of the plan-fingerprint diff
-        # (plan_fps.py). A single count job over an empty diff costs
-        # the same and is reproducible to the job.
-        n_stepped = stepped.count()
-        if n_stepped == n_e and stepped.exceptAll(e).count() == 0:
-            e = stepped
+        # Convergence (r16): the loop's fixpoint is EXACTLY the edge
+        # set being a star partition — every `big` appears in one edge
+        # and no center (`small`) is itself a `big`. Proof both ways:
+        # on such a set both star steps are the identity (each center
+        # c is the min of its own neighborhood — all its leaves are
+        # bigger by the (big, small) orientation — so every leaf
+        # re-attaches to c and c to itself); conversely a small that
+        # is also a big re-attaches its leaf to a strictly smaller
+        # node next round, and a big with two smalls gets its larger
+        # small rewired to the min one — either way the set changes.
+        # Testing the star property on `stepped` DIRECTLY therefore
+        # replaces the old equal-size + exceptAll protocol, which
+        # could only detect the fixpoint by paying one extra FULL
+        # confirming round (at sf0.1 the x41 graph converges after
+        # round 0: the old shape ran round 1 + a diff — 2.0 s of the
+        # 3.0 s row — just to observe nothing changed). Both probe
+        # jobs run on the freshly checkpointed, contraction-shrunken
+        # edge set; count()-style jobs, not isEmpty (job-count
+        # reproducibility for plan_fps.py, as before).
+        row = stepped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("big").alias("nb"),
+        ).first()
+        e = stepped
+        if row["n"] == row["nb"] and stepped.join(
+            stepped.select(F.col("big").alias("small")), "small", "left_semi"
+        ).count() == 0:
             break
-        e, n_e = stepped, n_stepped
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"

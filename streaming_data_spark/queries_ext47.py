@@ -156,81 +156,156 @@ WHERE p.rk = 1
 def q_x59_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster, dropped): nearest-centroid cluster per vector
     and whether a smaller-id cluster-mate within cosine >= 0.45 marks
-    it a semantic duplicate."""
+    it a semantic duplicate.
+
+    r16 optimization round: the centroid argmin, normalization, plane
+    projection and per-block cosine all run in numpy (the x7
+    cosine_near_dup recipe, guide §4.2) — the previous shape's
+    posexplode⋈centroid distance pipeline (an n×d×L-row intermediate
+    through two grouped exchanges) and the interpreted per-pair HOF
+    cosine fold dominated the row (phase-profiled at sf0.1: 0.9 s
+    assignment + 1.1 s sign_bucket folds + 1.4 s pair tail). Emitted
+    pairs are STILL exactly those with hamming(home_a, home_b) <= 1
+    over the corpus-derived plane count with cosine >= threshold, so
+    the oracle reproduces the blocking bit-for-bit (frozen md5-derived
+    hyperplanes, identical count(*)-driven plane formula, same sign
+    convention as similarity.sign_bucket). A/B same-session at sf0.1:
+    min 1.37 s vs 3.32 s; value-exact vs the DuckDB oracle at
+    sf0.001/0.01/0.1."""
+    import numpy as np  # noqa: F401 — worker closures import their own
+
+    from streaming_data_spark.operators.similarity import (
+        _MAX_DIMS,
+        _plane_component,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
-    pos = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-    cent = pos.join(
-        emb.select("vec_id", "label"), "vec_id"
-    ).groupBy(F.col("label").alias("clabel"), "pos").agg(
-        F.avg("x").alias("c")
+    # Label centroids: ONE n×d-row posexplode + one grouped exchange
+    # (label rides the select — the old shape paid a vec_id self-join
+    # to attach it), collected as a bounded L×d driver scalar (the
+    # ivf_topk centroid protocol; L = label vocabulary, never corpus).
+    crows = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.avg("x").alias("c"))
+        .collect()
     )
-    dist = (
-        pos.join(cent, "pos")
-        .groupBy("vec_id", "clabel")
-        .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
+    labels = sorted({r.clabel for r in crows})
+    lidx = {lab: i for i, lab in enumerate(labels)}
+    dim = max(r.pos for r in crows) + 1
+    cent_mat = np.zeros((len(labels), dim), dtype=np.float64)
+    for r in crows:
+        cent_mat[lidx[r.clabel], r.pos] = r.c
+    lab_arr = np.array(labels, dtype=np.int32)
+    # The count() is one bounded driver scalar on a columnar scan.
+    planes = _sem_planes(emb.count())
+    plane_mat = np.array(
+        [[_plane_component(p, d) for d in range(_MAX_DIMS)] for p in range(planes)],
+        dtype=np.float64,
     )
-    # assignment feeds both pair-join sides AND the final flag join —
-    # materialize once (id→cluster rows) or the posexplode/centroid
-    # pipeline replays three times.
-    assigned = (
-        dist.groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("d2"), F.col("clabel"))).alias("best"))
-        .select("vec_id", F.col("best.clabel").alias("cluster"))
+    thr = float(SEM_THRESHOLD)
+
+    def _bucketize(batches):
+        # One vectorized pass per Arrow batch: cluster argmin (ties ->
+        # lowest label, numpy argmin picks the first = label-ascending
+        # index, matching min(struct(d2, clabel))), raw-vector plane
+        # signs (sign_bucket's convention: projection >= 0 sets 2^p),
+        # and unit vectors for the pair matmul.
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = pa.table(batch)
+            col = tbl.column("embedding").combine_chunks()
+            arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+            flat = np.asarray(arr.values, dtype=np.float64)
+            offs = np.asarray(arr.offsets)
+            widths = np.diff(offs)
+            if len(arr) and (widths == widths[0]).all():
+                mat = flat.reshape(len(arr), widths[0])
+            else:  # ragged corpus fallback (not hit by the data model)
+                mat = np.zeros((len(arr), widths.max() if len(arr) else 0))
+                for i in range(len(arr)):
+                    mat[i, : widths[i]] = flat[offs[i]:offs[i + 1]]
+            d2 = (
+                (mat * mat).sum(1, keepdims=True)
+                - 2.0 * mat @ cent_mat.T
+                + (cent_mat * cent_mat).sum(1)[None, :]
+            )
+            cl = lab_arr[d2.argmin(1)]
+            pm = plane_mat[:, : mat.shape[1]]
+            bits = (mat @ pm.T) >= 0
+            home = (bits * (1 << np.arange(planes))).sum(1).astype("int64")
+            units = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            out = pd.DataFrame({
+                "vec_id": np.asarray(tbl.column("vec_id")),
+                "cluster": cl,
+                "_u": list(units),
+                "home": home,
+            })
+            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    # vecs feeds the probe explode AND the final flag join — ONE eager
+    # checkpoint (1× corpus rows; the probe fan stays a cheap scalar
+    # explode downstream of it) or the mapInArrow pipeline replays per
+    # consumer.
+    vecs = (
+        emb.select("vec_id", "embedding")
+        .mapInArrow(
+            _bucketize,
+            "vec_id long, cluster int, _u array<double>, home long",
+        )
         .localCheckpoint(eager=True)
     )
     # Pairwise work is blocked on (cluster, sign-LSH bucket) with
     # 1-bit multiprobe — the x7 recipe. A cluster-only join is
     # quadratic in cluster size once the corpus outgrows the fixed
     # centroid count (the 47x cliff the x10 probe caught); the LSH
-    # sub-block keys the join on bucket occupancy instead, and the
+    # sub-block keys the work on bucket occupancy instead, and the
     # plane count SCALES with the corpus (_sem_planes) so occupancy
     # stays bounded as the corpus outgrows cluster x bucket count.
-    # Emitted pairs are exactly those with hamming(home_a, home_b)
-    # <= 1 over the corpus-derived plane count, so the oracle
-    # reproduces the blocking bit-for-bit (frozen md5-derived
-    # hyperplanes + the identical count(*)-driven plane formula).
-    # The count() is one bounded driver scalar on a columnar scan.
-    planes = _sem_planes(emb.count())
-    vecs = emb.join(assigned, "vec_id").select(
-        "vec_id",
-        "cluster",
-        "embedding",
-        similarity.sign_bucket(F.col("embedding"), planes).alias("home"),
-    ).localCheckpoint(eager=True)
     probes = F.array(
         F.col("home"),
-        *[
-            F.col("home").bitwiseXOR(F.lit(2 ** p))
-            for p in range(planes)
-        ],
+        *[F.col("home").bitwiseXOR(F.lit(2 ** p)) for p in range(planes)],
     )
-    a = vecs.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        F.explode(probes).alias("pb"),
+    exploded = vecs.select(
+        "vec_id", "cluster", "_u", "home", F.explode(probes).alias("bucket")
     )
-    b = vecs.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("home").alias("pb"),
+
+    def _block_pairs(pdf):
+        # Probe rows of the block × its home rows through one BLAS
+        # matmul; a pair survives when cosine >= threshold. Emitting
+        # max(id_a, id_b) reproduces the old join's id_a < id_b
+        # probe-vs-home filter exactly: for any qualifying pair the
+        # probe-side id < home-side id in exactly one orientation, and
+        # the emitted member is always the larger id.
+        import numpy as np
+        import pandas as pd
+
+        mat = np.stack(pdf["_u"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        is_home = (pdf["home"] == pdf["bucket"]).to_numpy()
+        if not is_home.any():
+            return pd.DataFrame({"vec_id": ids[:0]})
+        sims = mat @ mat[is_home].T
+        ia, ib = np.nonzero(sims >= thr)
+        id_a, id_b = ids[ia], ids[is_home][ib]
+        hi = np.maximum(id_a, id_b)
+        keep = np.minimum(id_a, id_b) < hi
+        return pd.DataFrame({"vec_id": np.unique(hi[keep])})
+
+    dropped = (
+        exploded.groupBy("cluster", "bucket")
+        .applyInPandas(_block_pairs, "vec_id long")
+        .distinct()
     )
-    dup_pairs = (
-        a.join(b, ["cluster", "pb"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos", similarity._cosine(F.col("va"), F.col("vb"))
-        )
-        .filter(F.col("cos") >= SEM_THRESHOLD)
-    )
-    dropped = dup_pairs.select(F.col("id_b").alias("vec_id")).distinct()
     # NO broadcast hint here (r6 verdict item 1): SemDeDup at
     # production thresholds drops 20-50% of the corpus, so `dropped`
     # is O(corpus) — a forced broadcast is an OOM cliff at 100x. A
     # plain keyed left join lets AQE pick broadcast only when the
     # runtime size actually fits (plan-gated in tests/test_plans.py).
-    return assigned.join(
+    return vecs.select("vec_id", "cluster").join(
         dropped.withColumn("_d", F.lit(True)), "vec_id", "left"
     ).select(
         "vec_id", "cluster", F.coalesce(F.col("_d"), F.lit(False)).alias("dropped")

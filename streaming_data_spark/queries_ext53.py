@@ -60,9 +60,19 @@ def q_x75_tfidf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= TFIDF_DF_CAP)
     )
-    # the weight table feeds THREE consumers (norms + both pair-join
-    # sides) — materialize it once or the tf/df chains replay per
-    # consumer (20 exchanges -> 6; the x56/x59 reuse rule)
+    # the weight table feeds BOTH pair-join sides — materialize it
+    # once or the tf/df chains replay per consumer (20 exchanges -> 6;
+    # the x56/x59 reuse rule). r16 optimization round: the per-doc
+    # NORM is attached here, BEFORE the checkpoint (one doc-keyed
+    # window exchange at construction), and carried through the pair
+    # join as a group constant folded with max() — the shared_pair_
+    # build n_a/n_b trick. The previous shape recomputed the norms
+    # aggregate in TWO post-checkpoint branches and joined them back
+    # onto the pair table by da then db: at scale that re-shuffles the
+    # (da, db)-keyed PAIR table twice by doc keys; locally it ran two
+    # redundant norm subtrees (plan: 4 -> 3 real exchanges, the two
+    # norm-branch exchanges and both post-dots joins gone, one
+    # doc-keyed window exchange added before the checkpoint).
     w = (
         tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))
@@ -74,27 +84,36 @@ def q_x75_tfidf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.log(F.col("n_docs") / F.col("df"))
             ).alias("w"),
         )
+        .withColumn(
+            "norm",
+            F.sqrt(
+                F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc_id"))
+            ),
+        )
         .localCheckpoint(eager=True)
     )
-    norms = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    a = w.select(
+        "term", F.col("doc_id").alias("da"), F.col("w").alias("wa"),
+        F.col("norm").alias("na"),
     )
-    a = w.select("term", F.col("doc_id").alias("da"), F.col("w").alias("wa"))
-    b = w.select("term", F.col("doc_id").alias("db"), F.col("w").alias("wb"))
+    b = w.select(
+        "term", F.col("doc_id").alias("db"), F.col("w").alias("wb"),
+        F.col("norm").alias("nb"),
+    )
     dots = (
         a.join(b, "term")
         .filter(F.col("da") != F.col("db"))
         .groupBy("da", "db")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
-    cos = (
-        dots.join(norms.select(F.col("doc_id").alias("da"), F.col("norm").alias("na")), "da")
-        .join(norms.select(F.col("doc_id").alias("db"), F.col("norm").alias("nb")), "db")
-        .select(
-            F.col("da").alias("doc_id"),
-            F.col("db").alias("neighbor_id"),
-            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
         )
+    )
+    cos = dots.select(
+        F.col("da").alias("doc_id"),
+        F.col("db").alias("neighbor_id"),
+        (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
     )
     rk = Window.partitionBy("doc_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")

@@ -948,22 +948,23 @@ def test_wave47_exchange_budgets(spark, sf_small):
     """x58: probe set and queries×k results ride broadcasts (the
     cross join against the broadcast probe set is the sanctioned ANN
     NLJ from x5) — the 3 exchanges are the vote/rank keyed hops.
-    x59: assignment and cluster-keyed vectors are each materialized
-    once (localCheckpoint); 3 exchanges are the centroid/distance
-    groupBys and the 4th is the hint-free dropped-flag join (r7:
-    the forced broadcast of the O(corpus) dropped set was removed —
-    AQE localizes it at runtime when it actually fits); the
-    cluster-block pair join may legitimately sort-merge (cluster
-    blocks are fact-derived at scale). (An r16 rewrite to
-    driver-collected centroid literals — the ivf_topk protocol, 2
-    exchanges — was tried and REVERTED: the 640-literal argmin
-    expression cost ~3s of per-invocation construction/analysis and
-    benched 5-6s vs this shape's 2.8-3.0s in the warm bench JVM.)
+    x59 (r16 optimization round, numpy/x7-recipe shape): the
+    checkpointed mapInArrow bucketize truncates the centroid pipeline
+    out of the plan; the 2 in-plan exchanges are the (cluster, bucket)
+    applyInPandas block groupBy and the dropped-set distinct, with the
+    hint-free dropped-flag join left to AQE (r7: the forced broadcast
+    of the O(corpus) dropped set was removed — AQE localizes it at
+    runtime when it actually fits). (Two earlier r16 attempts are on
+    record: driver-collected centroid LITERALS — the 640-literal
+    argmin expression cost ~3s of per-invocation construction/analysis
+    and benched 5-6s vs the old shape's 2.8-3.0s, REVERTED; the final
+    numpy form instead ships the collected centroid MATRIX into a
+    mapInArrow closure — no literal tree, A/B min 1.37s vs 3.32s.)
     a40: two keyed median passes + the user-grain broadcasts back —
     3, no sort-merge anywhere."""
     import __spark_entry__ as entry
 
-    budgets = {"x58_knn_classify": 3, "x59_semdedup": 4, "a40_anomaly_mad": 3}
+    budgets = {"x58_knn_classify": 3, "x59_semdedup": 2, "a40_anomaly_mad": 3}
     qs = entry.queries()
     got = {
         name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
@@ -1122,9 +1123,14 @@ def test_x71_sample_swap_invariant():
 
 def test_wave53_exchange_budgets(spark, sf_small):
     """x75: the tf-idf weight table is materialized ONCE (it feeds
-    norms and both pair-join sides; unmaterialized the tf/df chains
-    replayed per consumer — 20 exchanges); the remaining 4 are the
-    dot groupBy, norm joins and the doc-keyed top-k window. x79: the
+    both pair-join sides; unmaterialized the tf/df chains replayed
+    per consumer — 20 exchanges). r16 optimization round: the per-doc
+    norm is computed on one doc-keyed window BEFORE the checkpoint
+    and folded through the pair join as a max() group constant, so
+    the two post-checkpoint norm branches and both post-dots doc-keyed
+    joins are gone — the remaining 2 at this scale are the dot groupBy
+    and the doc-keyed top-k window (the pair join broadcasts one
+    checkpoint side at sf_small). x79: the
     (source, shingle) distinct set likewise materialized once; 5 =
     counts + pair join + count joins. a54: fact-fact join folded into
     one |priorities|-bounded agg. a58: (day,hour) cells + day-keyed
@@ -1132,7 +1138,7 @@ def test_wave53_exchange_budgets(spark, sf_small):
     import __spark_entry__ as entry
 
     budgets = {
-        "x75_tfidf_topk_pairs": 4,
+        "x75_tfidf_topk_pairs": 2,
         "x79_source_overlap": 5,
         "a54_priority_sla": 1,
         "a58_daily_peak_hour": 4,
@@ -1678,10 +1684,11 @@ def test_x75_weight_table_materializes_once(spark, sf_small, monkeypatch):
 
 def test_x59_assignment_and_vecs_materialize_once(spark, sf_small,
                                                   monkeypatch):
-    """x59 SemDeDup's assignment frame feeds both pair-join sides AND
-    the final flag join; the vecs frame feeds both probe sides. The
-    two localCheckpoints at queries_ext47.py keep the
-    posexplode/centroid pipeline from replaying per consumer."""
+    """x59 SemDeDup's bucketized vecs frame feeds the pair-block
+    explode AND the final flag join; the single eager localCheckpoint
+    at queries_ext47.py keeps the mapInArrow bucketize pipeline from
+    replaying per consumer (r16 shape — previously two checkpoints
+    guarded the posexplode/centroid pipeline the same way)."""
     from streaming_data_spark import queries_ext47
 
     n = __import__("streaming_data_spark.schemas", fromlist=["load_table"]) \
