@@ -154,6 +154,86 @@ def _base_hash(col: Column, variant: str = "md5") -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+def _minhash_signatures_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int, k: int
+) -> DataFrame:
+    """md5-variant MinHash signatures via ONE ``mapInArrow`` batch
+    kernel (guide §4.2 — the x7/x59 numpy recipe): tokenize, shingle,
+    md5-base-hash and fold the k affine mins per document INSIDE the
+    Python worker, so the plan carries no corpus explode, no 16-wide
+    min-aggregate codegen surface, and ZERO exchanges (signatures are
+    a per-row function of the document).
+
+    Value-exact vs the JVM expression form by construction:
+
+    - tokens: Java ``split("\\s+", -1)`` on the space-trimmed text ≡
+      ``re.split(r"\\s+", text.strip(" "))`` under ``re.ASCII``
+      (identical character class [ \\t\\n\\x0B\\f\\r]; both keep
+      leading/trailing empty fields; Spark ``trim`` strips 0x20 only).
+    - shingle set: same ``" "``-joined n-token windows; min() over the
+      distinct SET equals min() over the multiset, so dedup is only a
+      work-saver.
+    - base hash: ``int(md5(utf8)[:7 hex], 16)`` ≡
+      ``conv(substring(md5(col), 1, 7), 16, 10)``.
+    - (a·h + b) % p in int64: h < 2^28 and a, b < 2^31 keep every
+      product < 2^59 — no overflow in either engine (the same bound
+      the JVM form relies on).
+    - docs with < n tokens or NULL text emit no row (the explode
+      dropped them; the kernel skips them).
+    """
+    import numpy as np  # deferred: keep module import light
+
+    params = MINHASH_PARAMS[:k]
+    id_field = df.schema[id_col]
+    out_type = f"{id_col} {id_field.dataType.simpleString()}, sig array<bigint>"
+
+    def _gen(batches):
+        import hashlib
+        import re
+
+        import pyarrow as pa
+
+        a_vec = np.array([p[0] for p in params], dtype=np.int64)
+        b_vec = np.array([p[1] for p in params], dtype=np.int64)
+        ws = re.compile(r"\s+", re.ASCII)
+        for batch in batches:
+            ids = batch.column(0)
+            out_ids: list = []
+            out_sigs: list = []
+            for rid, txt in zip(ids.to_pylist(), batch.column(1).to_pylist()):
+                if txt is None:
+                    continue
+                toks = ws.split(txt.strip(" "))
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                grams = {" ".join(toks[i : i + n]) for i in range(m)}
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:7], 16)
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                out_ids.append(rid)
+                out_sigs.append(
+                    ((hs[:, None] * a_vec + b_vec) % MINHASH_PRIME)
+                    .min(axis=0)
+                    .tolist()
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=ids.type),
+                    pa.array(out_sigs, type=pa.list_(pa.int64())),
+                ],
+                names=[id_col, "sig"],
+            )
+
+    # explicit 2-col projection before the opaque function (guide §4.1)
+    return df.select(id_col, text_col).mapInArrow(_gen, out_type)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -164,19 +244,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """X2b — k-permutation MinHash signature per document.
 
-    One explode + ONE groupBy with k min() aggregates; signature
-    column ``sig`` is an array<long> of length k.
+    Default (md5) tier: one ``mapInArrow`` numpy/hashlib batch kernel,
+    zero exchanges — see :func:`_minhash_signatures_arrow` for the
+    value-exactness argument (r16 opt: interleaved same-session A/B
+    vs the JVM explode+groupBy form read −35% end to end on the x2
+    pipeline; same values, fewer plan nodes, no 16-wide min-agg
+    codegen).
 
-    Shape note (measured, sf0.1): a shuffle-free rewrite — per-row
+    ``native`` tier (xxhash64 base hash, no SQL oracle) keeps the JVM
+    form: one explode + ONE groupBy with k min() aggregates. Shape
+    note (measured, sf0.1): a shuffle-free JVM rewrite — per-row
     ``transform``/``array_min`` over the shingle array — is 1.3×
-    SLOWER than this explode+groupBy form, because higher-order
+    SLOWER than the explode+groupBy form, because higher-order
     functions are CodegenFallback (interpreted row-at-a-time) while
     this plan stays in whole-stage codegen, and the partial (map-side)
     aggregation already collapses each document's shingles to one row
     before the exchange — the shuffle moves ~1 row per doc, not one
     per shingle, so the explode does NOT amplify shuffle volume at
-    100 TB either.
+    100 TB either. Signature column ``sig`` is an array<long> of
+    length k in both tiers.
     """
+    if base_hash == "md5":
+        return _minhash_signatures_arrow(df, id_col, text_col, n, k)
     sh = shingles(df, id_col, text_col, n).withColumn(
         "h", _base_hash(F.col("shingle"), base_hash)
     )
@@ -598,11 +687,52 @@ def ngram_jaccard_pairs_prefix(
     needed = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
     pref = ranked.filter(
         F.col("_rk") <= F.col("n_sh") - needed + 1
-    ).select(F.col(id_col), "_sid")
+    ).select(F.col(id_col), "_sid", "_rk", "n_sh")
+    # Per-instance LENGTH and POSITIONAL filters (PPJoin, Xiao et al.
+    # WWW'08 — r16 opt): both are LOSSLESS for the rounded-jaccard
+    # output contract, pruning candidate instances BEFORE the
+    # candidate-dedup exchange and the verification joins — the two
+    # terms that explode at scale. Proof sketch (o = |a∩b|,
+    # t_eff = threshold − 1e−6 absorbs the round(j, 6) ≥ t slack,
+    # since round(j, 6) ≥ t ⇒ j ≥ t − 5e−7 > t_eff):
+    # - length: j ≤ o/union ≤ least/greatest, so any emitted pair has
+    #   least ≥ t_eff·greatest.
+    # - positional: rank by the SAME (_df,_sid) total order both
+    #   sides; at the FIRST common element (rank p_a in a, p_b in b)
+    #   every earlier element is non-shared, so o ≤ 1 + n_a − p_a and
+    #   o ≤ 1 + n_b − p_b; and j ≥ t_eff ⇒ o ≥ t_eff·greatest. The
+    #   first-common instance of every qualifying pair therefore
+    #   passes, and `distinct()` needs only one surviving instance
+    #   per pair. The −1e−9 nudges keep integer-boundary products
+    #   (e.g. 0.8·5) from flipping the comparison, the same guard the
+    #   prefix-length ceil uses.
+    gmax = F.greatest("n_a", "n_b")
+    bound = (F.lit(threshold) - F.lit(1e-6)) * gmax - F.lit(1e-9)
     cand = (
-        pref.select(F.col(id_col).alias("id_a"), "_sid")
-        .join(pref.select(F.col(id_col).alias("id_b"), "_sid"), "_sid")
+        pref.select(
+            F.col(id_col).alias("id_a"),
+            "_sid",
+            F.col("_rk").alias("_rk_a"),
+            F.col("n_sh").alias("n_a"),
+        )
+        .join(
+            pref.select(
+                F.col(id_col).alias("id_b"),
+                "_sid",
+                F.col("_rk").alias("_rk_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "_sid",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.least("n_a", "n_b") >= bound)
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("n_a") - F.col("_rk_a"), F.col("n_b") - F.col("_rk_b")
+            )
+            >= bound
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -159,7 +159,18 @@ def q_x63_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's distinct 3-gram shingles that are corpus-boilerplate
     (document frequency > BOILER_FRAC of all docs)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs, "doc_id", "text", n=3)
+    # Materialize the exploded (doc_id, shingle) table ONCE (r16 opt,
+    # guide §1.2/§2.4): both the df-count branch and the scoring join
+    # consume it, and the previous shape re-ran the tokenize/shingle/
+    # explode pipeline over the whole corpus for each — the same
+    # corpus-grain checkpoint the prefix-pair build uses for `ranked`.
+    # (A/B'd against a row-local rewrite — per-doc array_intersect
+    # with a broadcast boiler array — which was SLOWER: the per-row
+    # rebuild of the boiler hash set costs more than the explode it
+    # saves, at sf0.1 and worse with vocabulary growth.)
+    sh = dedup.shingles(docs, "doc_id", "text", n=3).localCheckpoint(
+        eager=True
+    )
     # 1-row corpus size rides a broadcast — no driver round-trip
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

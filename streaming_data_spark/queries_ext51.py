@@ -127,7 +127,13 @@ def q_x66_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_shingles, n_novel, novelty): share of each doc's
     distinct 3-gram shingles whose minimum corpus doc_id is this doc."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs, "doc_id", "text", n=3)
+    # two consumers (first-seen groupBy + the scoring join) — ONE
+    # corpus explode, materialized (r16 opt; the x63 fix, A/B'd there
+    # at −38%: the re-run tokenize/shingle/explode pipeline costs more
+    # than the checkpoint write+reads at every scale)
+    sh = dedup.shingles(docs, "doc_id", "text", n=3).localCheckpoint(
+        eager=True
+    )
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(first, "shingle")

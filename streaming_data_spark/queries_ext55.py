@@ -48,12 +48,17 @@ def q_x81_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping 32-token chunks whose text already occurs at a
     smaller (doc_id, chunk_id)."""
     docs = _t(spark, sf_dir, "documents")
+    # two consumers (first-occurrence groupBy + the scoring join) —
+    # ONE chunk explode, materialized at (doc, chunk, digest) grain
+    # (r16 opt; the x63/x66 fix — the digest projection drops
+    # chunk_text BEFORE the checkpoint so the materialized bytes are
+    # ids + one md5 per chunk, not the chunk text)
     chunks = chunking.chunk_documents(
         docs, "doc_id", "text",
         chunk_tokens=DEDUP_CHUNK_TOKENS, overlap=0,
     ).select(
         "doc_id", "chunk_id", F.md5("chunk_text").alias("digest")
-    )
+    ).localCheckpoint(eager=True)
     first = chunks.groupBy("digest").agg(
         F.min(F.struct("doc_id", "chunk_id")).alias("keep")
     )

@@ -65,7 +65,14 @@ def q_x98_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically, so each unordered pair appears once in its
     subset-direction)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs, "doc_id", "text", n=3)
+    # SIX consumers (df groupBy, sizes groupBy, the ranked join, the
+    # candidate join's b-side and both exact-verify sides) re-ran the
+    # tokenize/shingle/explode pipeline over the whole corpus — ONE
+    # explode, materialized (r16 opt; the x63 fix, biggest multiplier
+    # in the family)
+    sh = dedup.shingles(docs, "doc_id", "text", n=3).localCheckpoint(
+        eager=True
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ranked = sh.join(dfreq, "shingle").withColumn(
