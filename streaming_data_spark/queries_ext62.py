@@ -65,59 +65,101 @@ def q_x98_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically, so each unordered pair appears once in its
     subset-direction)."""
     docs = _t(spark, sf_dir, "documents")
-    # SIX consumers (df groupBy, sizes groupBy, the ranked join, the
-    # candidate join's b-side and both exact-verify sides) re-ran the
-    # tokenize/shingle/explode pipeline over the whole corpus — ONE
-    # explode, materialized (r16 opt; the x63 fix, biggest multiplier
-    # in the family)
-    sh = dedup.shingles(docs, "doc_id", "text", n=3).localCheckpoint(
-        eager=True
-    )
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ranked = sh.join(dfreq, "shingle").withColumn(
-        "_rk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(
-                F.col("_df").asc(), F.col("shingle").asc()
-            )
-        ),
+    # Dictionary-encoded, filter-pruned build (r16 opt — the
+    # ngram_jaccard_pairs_prefix treatments ported to the one-sided
+    # containment join; the HEAD shape re-ran the shingle explode SIX
+    # times and carried the ~40-byte shingle string through every
+    # downstream exchange):
+    # - the prefix rank (_rk) and per-doc set size (n_sh) ride ONE
+    #   doc-keyed window over the dictionary-encoded shingle table,
+    #   eagerly checkpointed so every downstream branch (A-prefix,
+    #   candidate b-side, both exact-verify sides) reads the SAME
+    #   materialized int-keyed rows — one explode+window total, and
+    #   every exchange that explodes at scale moves an 8-byte _sid
+    #   instead of the string (the x300 lesson: the string-keyed
+    #   jaccard build spilled ~49 GB).
+    # - rank order = (_df asc, _sid asc): any ONE consistent total
+    #   order preserves the prefix guarantee (A's first common element
+    #   lands inside A's prefix whenever o ≥ needed), and the output
+    #   pair set is order-invariant.
+    sh = dedup.shingles(docs, "doc_id", "text", n=3)
+    vocab = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df")
+    ).withColumn("_sid", F.monotonically_increasing_id())
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(vocab, "shingle")
+        .select("doc_id", "_sid", "_df")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                w_doc.orderBy(F.col("_df").asc(), F.col("_sid").asc())
+            ),
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+        .drop("_df")
+        .localCheckpoint(eager=True)
     )
     # A-side prefix: |A| - ceil(t*|A|) + 1 rarest shingles (exact ceil
     # via the 1e-9 nudge — same rationale as ngram_jaccard_pairs_prefix:
     # dedup.py:481-490).
     needed = F.ceil(F.lit(CONTAIN_T) * F.col("n_sh") - F.lit(1e-9))
-    pref_a = (
-        ranked.join(sizes, "doc_id")
-        .filter(F.col("_rk") <= F.col("n_sh") - needed + 1)
-        .select(F.col("doc_id").alias("id_a"), "shingle")
+    pref_a = ranked.filter(
+        F.col("_rk") <= F.col("n_sh") - needed + 1
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        "_sid",
+        F.col("_rk").alias("_rk_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b_full = ranked.select(
+        F.col("doc_id").alias("id_b"), "_sid", F.col("n_sh").alias("n_b")
+    )
+    # Per-instance ORIENTATION and POSITIONAL filters before the
+    # candidate dedup (lossless; measured 133,273 → 69,064 candidate
+    # pairs at sf0.1):
+    # - orientation is the output's own (n_a,id_a) < (n_b,id_b)
+    #   subset-direction predicate, evaluated early — an instance
+    #   failing it can never reach the output.
+    # - positional (PPJoin adapted to containment): at A's FIRST
+    #   common element (rank p_a) every earlier A-element is
+    #   non-shared, so o ≤ 1 + n_a − p_a; a qualifying pair has
+    #   o ≥ (t − 5e−7)·n_a (round(o/n_a, 6) ≥ t), so its first-common
+    #   instance always passes `1 + n_a − p_a ≥ (t − 1e−6)·n_a` and
+    #   `distinct()` needs only one surviving instance per pair. The
+    #   −1e−9 nudge guards integer-boundary products, as in `needed`.
+    orient = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
     )
     cand = (
-        pref_a.join(
-            sh.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle"
-        )
+        pref_a.join(b_full, "_sid")
         .filter(F.col("id_a") != F.col("id_b"))
+        .filter(orient)
+        .filter(
+            F.lit(1) + (F.col("n_a") - F.col("_rk_a"))
+            >= (F.lit(CONTAIN_T) - F.lit(1e-6)) * F.col("n_a") - F.lit(1e-9)
+        )
         .select("id_a", "id_b")
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    a_full = ranked.select(
+        F.col("doc_id").alias("id_a"), "_sid", F.col("n_sh").alias("n_a")
+    )
+    # exact verification, int-keyed; n_a/n_b ride the verify joins as
+    # group constants (max) — the two doc-keyed size joins of the HEAD
+    # shape are gone (the shared_pair_build trick).
     inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
+        cand.join(a_full, "id_a")
+        .join(b_full, ["id_b", "_sid"])
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
     )
     return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
-        .withColumn(
+        inter.withColumn(
             "containment", F.round(F.col("n_inter") / F.col("n_a"), 6)
         )
         .filter(

@@ -1376,7 +1376,16 @@ def test_wave62_exchange_budgets(spark, sf_small):
 
     qs = entry.queries()
     budgets = {
-        "x98_containment_pairs": 5,
+        # 5 -> 1 with the r16 optimization pass: the dictionary-
+        # encoded shingle table carries the prefix rank and per-doc
+        # set size on ONE doc-keyed window exchange BEFORE its eager
+        # localCheckpoint (truncated out of this downstream plan, the
+        # x91 shape), the two doc-keyed size joins are gone (n_a/n_b
+        # ride the verify joins as max() group constants), and at
+        # test scale AQE broadcasts the candidate/verify joins — the
+        # 1 survivor is the verification groupBy (the candidate
+        # distinct collapses onto the broadcast-join side).
+        "x98_containment_pairs": 1,
         "x99_rrf_fusion": 8,
         "a77_open_order_backlog": 4,
     }
