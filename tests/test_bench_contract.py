@@ -93,6 +93,69 @@ def test_await_quiet_waits_then_passes_and_stops_at_budget():
     assert la[0] == 9.9 and waited >= 45
 
 
+def test_await_quiet_also_waits_on_the_5min_term():
+    """r16 verdict item 1: BENCH_r16 passed the 1-min gate at 1.99 with
+    5-min loadavg 14.6 and recorded a 4-6x inflated headline. With
+    load5_limit set, the gate must keep waiting while the 5-min term is
+    hot even though the 1-min term is quiet — and the limit is wired in
+    main() to the same CALIB_WARM_LOAD5_FRAC fraction the throttle
+    stamp corroborates on."""
+    # 1-min quiet, 5-min hot: waits until the 5-min term drains
+    readings = iter([[1.0, 14.6, 12.0], [1.0, 9.0, 10.0], [1.0, 7.9, 9.0]])
+    slept = []
+    la, waited = bench._await_quiet(
+        2.0, 600, poll_s=15, loadavg=lambda: next(readings),
+        sleep=slept.append, load5_limit=8.0)
+    assert la[1] == 7.9 and waited == 30.0 and slept == [15, 15]
+
+    # load5_limit=None keeps the historical 1-min-only behavior
+    la, waited = bench._await_quiet(
+        2.0, 600, poll_s=15, loadavg=lambda: [1.0, 14.6, 12.0],
+        sleep=lambda s: (_ for _ in ()).throw(AssertionError("slept")))
+    assert waited == 0.0
+
+
+def test_calibrate_start_retries_while_throttled_within_budget():
+    """r16 verdict item 1 (second half): a throttled START stamp must be
+    re-run under a bounded backoff budget, not recorded. First retry is
+    immediate (the calibration job is itself the warm-up on this host's
+    cold-ramp era); later retries sleep; the budget bounds total wait;
+    the returned loadavg5 is the one read at the FINAL stamp."""
+    floors = {"cpu_sec": 0.2, "shuffle_sec": 0.3}
+
+    # throttled twice, then clean: three attempts, first retry free,
+    # later retries back off (30 then 60)
+    stamps = iter([(0.9, 0.3), (0.5, 0.3), (0.21, 0.3)])
+    la5s = iter([14.6, 9.0, 0.5])
+    slept = []
+    cpu, shuf, attempts, waited, la5 = bench._calibrate_start_with_retry(
+        lambda: next(stamps), floors, lambda: next(la5s), 32,
+        budget_s=600.0, sleep=slept.append)
+    assert (cpu, shuf) == (0.21, 0.3)
+    assert attempts == 3 and slept == [30.0, 60.0] and waited == 90.0
+    assert la5 == 0.5  # corroboration reads the final stamp's box state
+
+    # never clean: stops at the budget, returns the last (bad) stamp
+    cpu, shuf, attempts, waited, la5 = bench._calibrate_start_with_retry(
+        lambda: (0.9, 0.9), floors, lambda: 14.6, 32,
+        budget_s=40.0, sleep=lambda s: None)
+    assert cpu == 0.9 and attempts == 2 and waited == 30.0
+
+    # clean box: exactly one attempt, zero waiting
+    cpu, shuf, attempts, waited, la5 = bench._calibrate_start_with_retry(
+        lambda: (0.21, 0.3), floors, lambda: 0.5, 32,
+        budget_s=600.0,
+        sleep=lambda s: (_ for _ in ()).throw(AssertionError("slept")))
+    assert attempts == 1 and waited == 0.0
+
+    # a calibration crash returns Nones instead of raising
+    def _boom():
+        raise RuntimeError("gateway died")
+    cpu, shuf, attempts, waited, la5 = bench._calibrate_start_with_retry(
+        _boom, floors, lambda: 0.5, 32, budget_s=600.0, sleep=lambda s: None)
+    assert cpu is None and shuf is None and attempts == 1
+
+
 def test_committed_bench_artifacts_are_clean_or_inert():
     """Every BENCH_r*.json is DRIVER-deposited (r14 lesson — the
     builder's runs live in SCALE.md), so the builder cannot "rerun
