@@ -173,13 +173,31 @@ def _minhash_signatures_arrow(
     - shingle set: same ``" "``-joined n-token windows; min() over the
       distinct SET equals min() over the multiset, so dedup is only a
       work-saver.
-    - base hash: ``int(md5(utf8)[:7 hex], 16)`` ≡
-      ``conv(substring(md5(col), 1, 7), 16, 10)``.
+    - base hash: ``int.from_bytes(md5(utf8).digest()[:4], "big") >> 4``
+      — the first 4 digest bytes big-endian are the first 8 hex chars,
+      so shifting out the low nibble leaves exactly the first 7, ≡
+      ``int(md5(utf8).hexdigest()[:7], 16)`` ≡
+      ``conv(substring(md5(col), 1, 7), 16, 10)`` (property-tested in
+      tests; avoids building the 32-char hex string + the base-16
+      string parse per shingle).
     - (a·h + b) % p in int64: h < 2^28 and a, b < 2^31 keep every
       product < 2^59 — no overflow in either engine (the same bound
       the JVM form relies on).
     - docs with < n tokens or NULL text emit no row (the explode
       dropped them; the kernel skips them).
+
+    r17 (guide §4.2, second half — batch the digests): the per-row
+    numpy fold is batched — every document's base hashes land in ONE
+    flat int64 array per Arrow batch, the k affine products run as a
+    single (N_shingles × k) vectorized op, and the per-document mins
+    come from ``np.minimum.reduceat`` over the doc-boundary offsets,
+    so the Python-interpreter share per batch is the tokenize/shingle
+    loop plus one dict lookup per shingle. A per-task digest memo
+    (bounded, cleared past 1M entries) amortizes md5 across repeated
+    shingles — near-dup corpora repeat shingles heavily, and the
+    digest is the kernel's dominant term (min unaffected: the memo
+    only dedups identical strings, and min over a multiset with
+    duplicated values equals min over the set).
     """
     import numpy as np  # deferred: keep module import light
 
@@ -196,10 +214,22 @@ def _minhash_signatures_arrow(
         a_vec = np.array([p[0] for p in params], dtype=np.int64)
         b_vec = np.array([p[1] for p in params], dtype=np.int64)
         ws = re.compile(r"\s+", re.ASCII)
+        md5 = hashlib.md5
+
+        class _DigestMemo(dict):
+            def __missing__(self, g):
+                v = int.from_bytes(md5(g.encode("utf-8")).digest()[:4], "big") >> 4
+                self[g] = v
+                return v
+
+        memo = _DigestMemo()
         for batch in batches:
+            if len(memo) > 1_000_000:  # bound worker RSS per task
+                memo.clear()
             ids = batch.column(0)
             out_ids: list = []
-            out_sigs: list = []
+            starts: list = []
+            flat: list = []
             for rid, txt in zip(ids.to_pylist(), batch.column(1).to_pylist()):
                 if txt is None:
                     continue
@@ -208,20 +238,17 @@ def _minhash_signatures_arrow(
                 if m <= 0:
                     continue
                 grams = {" ".join(toks[i : i + n]) for i in range(m)}
-                hs = np.fromiter(
-                    (
-                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:7], 16)
-                        for g in grams
-                    ),
-                    dtype=np.int64,
-                    count=len(grams),
-                )
                 out_ids.append(rid)
-                out_sigs.append(
-                    ((hs[:, None] * a_vec + b_vec) % MINHASH_PRIME)
-                    .min(axis=0)
-                    .tolist()
-                )
+                starts.append(len(flat))
+                flat.extend(memo[g] for g in grams)
+            if out_ids:
+                hs = np.array(flat, dtype=np.int64)
+                vals = (hs[:, None] * a_vec + b_vec) % MINHASH_PRIME
+                out_sigs = np.minimum.reduceat(
+                    vals, np.array(starts, dtype=np.intp), axis=0
+                ).tolist()
+            else:
+                out_sigs = []
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_ids, type=ids.type),
@@ -598,6 +625,85 @@ def connected_components_star(
     return labeled.union(singletons)
 
 
+def ranked_encoded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, _sid, _rk, n_sh): the hash-encoded, prefix-ranked shingle
+    table every PPJoin-family build starts from — NOT checkpointed
+    (callers `.localCheckpoint(eager=True)` it; returning the lazy
+    plan keeps it dumpable for the plan-diff deliverables).
+
+    Hash encoding (r17, replacing the r16 string-keyed dictionary):
+    ``_sid = xxhash64(shingle)`` is computed in the projection right
+    after the explode, so the ~40-byte shingle STRING dies before any
+    exchange, and the document frequency ``_df`` rides a window over
+    the same ``_sid`` partitioning — ONE int-keyed corpus exchange
+    where the dictionary shape paid a string-keyed groupBy exchange
+    PLUS a string-keyed corpus-side join exchange (guide §2.3/§2.4;
+    the r16 x300 probe measured the string-keyed build spilling
+    ~49 GB, and the vocab join was the last corpus-scale string
+    exchange in the repo's hot paths). Two corpus exchanges total:
+    hash(_sid) for _df, hash(id) for the rank window + set size.
+
+    Deterministic and collision-GUARDED, not collision-assumed:
+
+    - ``xxhash64`` is a pure function of the shingle, so a shuffle
+      fetch-failure stage retry reassigning ids (the
+      monotonically_increasing_id hazard: indeterminate-stage
+      rollback does not pin AQE-free window plans) cannot produce two
+      different encodings of one shingle.
+    - a SECOND, algorithmically independent 32-bit hash (``_chk`` =
+      murmur3 via ``F.hash``) rides the same ``_sid`` window;
+      ``min(_chk) != max(_chk)`` inside an ``_sid`` partition proves
+      two DISTINCT shingles collided on xxhash64, and ``raise_error``
+      aborts the job rather than emit a silently wrong pair set. A
+      real collision escapes only if both hashes collide for the same
+      pair (~2^-96 per shingle pair); detection costs zero extra
+      exchanges (min/max share the _df window) and zero extra jobs.
+
+    Rank order = (_df asc, _sid asc): prefix-filter correctness only
+    needs ONE consistent total order over shingles (any deterministic
+    injective key qualifies — collision-guarded xxhash64 is one), and
+    the emitted pair set is order-invariant (the order changes which
+    candidates are pruned, never which pairs qualify — verification
+    is exact).
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, n)
+    w_sid = Window.partitionBy("_sid")
+    w_doc = Window.partitionBy(id_col)
+    return (
+        sh.select(
+            F.col(id_col),
+            F.xxhash64("shingle").alias("_sid"),
+            F.hash("shingle").alias("_chk"),
+        )
+        .withColumn(
+            "_df",
+            F.when(
+                F.min("_chk").over(w_sid) == F.max("_chk").over(w_sid),
+                F.count(F.lit(1)).over(w_sid),
+            ).otherwise(
+                F.raise_error(F.lit(
+                    "xxhash64 shingle-id collision detected: two distinct "
+                    "shingles share an _sid; rerun this build with a "
+                    "string-keyed dictionary encoding"
+                ))
+            ),
+        )
+        .select(F.col(id_col), "_sid", "_df")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                w_doc.orderBy(F.col("_df").asc(), F.col("_sid").asc())
+            ),
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+        .drop("_df")
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,
@@ -628,63 +734,40 @@ def ngram_jaccard_pairs_prefix(
     the full shingle table. At 100 TB the candidate join is the term
     that explodes; this is the standard published fix.
 
-    Dictionary encoding (r16): every shuffle DOWNSTREAM of the first
-    string-keyed join carries an 8-byte dictionary id (``_sid``)
-    instead of the ~40-byte shingle string — the window, the prefix
-    self-join, the candidate dedup, and the verification joins, i.e.
-    every term that explodes at scale (measured at x300/1.5M docs:
-    the string-keyed build spilled ~49 GB; see SCALE.md Round-16).
-    Still lossless BY CONSTRUCTION, not probabilistically: ``_sid``
-    is a unique id per distinct shingle (a dictionary, not a hash —
-    ids come from ``monotonically_increasing_id`` on the distinct
-    vocabulary, and the encoded shingle table is eagerly
-    localCheckpointed so every downstream branch sees the SAME
-    assignment instead of a nondeterministic recompute), and
-    prefix-filter correctness only
-    needs all documents to rank their shingles by ONE consistent
-    total order — (_df asc, _sid asc) is such an order, and the
-    output pair set is order-invariant (the order changes which
-    candidates are pruned, never which pairs qualify).
+    Hash encoding (r17, replacing the r16 string-keyed dictionary):
+    every shuffle in the build carries an 8-byte ``_sid =
+    xxhash64(shingle)`` instead of the ~40-byte shingle string — the
+    string now dies at the projection right after the explode and
+    never crosses ANY exchange (the r16 dictionary still shuffled
+    strings twice to build the vocabulary). Deterministic and
+    collision-guarded, not collision-assumed — see
+    :func:`ranked_encoded_shingles` for the guard construction and
+    the order-invariance argument. The encoded table is eagerly
+    localCheckpointed with its prefix rank and per-doc set size
+    already attached (one doc-keyed exchange, r16 shape), so every
+    downstream branch reads the same materialized int-keyed rows.
     """
-    from pyspark.sql import Window
-
-    sh = shingles(df, id_col, text_col, n)
-    vocab = sh.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("_df")
-    ).withColumn("_sid", F.monotonically_increasing_id())
-    # Materialize the dictionary-encoded shingle table ONCE (encode
-    # once, reuse everywhere — the production shape), WITH its prefix
-    # rank and per-doc set size already attached (r16, guide §2.4):
-    # the rank window and the size aggregate ride the SAME
-    # partitioning, so computing them before the checkpoint costs one
-    # exchange total, where the previous shape re-ran the rank window
-    # in each prefix self-join branch (2×) and re-aggregated sizes in
-    # three more branches (the pref gate + both jaccard joins). The
-    # checkpoint still pins the nondeterministic _sid assignment so
-    # every downstream branch sees one consistent dictionary.
-    w_doc = Window.partitionBy(id_col)
-    ranked = (
-        sh.join(vocab, "shingle")
-        .select(F.col(id_col), "_sid", "_df")
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                w_doc.orderBy(F.col("_df").asc(), F.col("_sid").asc())
-            ),
-        )
-        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
-        .drop("_df")
-        .localCheckpoint(eager=True)
+    ranked = ranked_encoded_shingles(df, id_col, text_col, n).localCheckpoint(
+        eager=True
     )
-    # prefix length = |s| - ceil(t*|s|) + 1. The ceil must be of the
-    # EXACT product: in doubles 0.29*100 = 29.000000000000004 and a
-    # naive ceil() returns 30, shortening the prefix by one and
-    # silently dropping qualifying pairs — which would break the
-    # lossless guarantee. Nudging down by 1e-9 before ceil restores
-    # exactness for every threshold with < ~8 significant digits
-    # (the true product is a rational ≥ 0.01 away from the next-lower
-    # integer unless it IS an integer).
-    needed = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    # prefix length = |s| - ceil(t_eff*|s|) + 1. Two exactness notes:
+    # - The ceil must be of the EXACT product: in doubles 0.29*100 =
+    #   29.000000000000004 and a naive ceil() returns 30, shortening
+    #   the prefix by one and silently dropping qualifying pairs.
+    #   Nudging down by 1e-9 before ceil restores exactness for every
+    #   threshold with < ~8 significant digits.
+    # - t_eff = threshold - 1e-6, NOT threshold (r16 advice): the
+    #   output contract is round(jaccard, 6) >= t, which admits pairs
+    #   with true overlap as low as (t - 5e-7)*n — the same slack the
+    #   per-instance filters below already absorb. With exact-t the
+    #   prefix length is one too short for docs past ~2e6 distinct
+    #   shingles whenever (t - 5e-7)*n crosses an integer below t*n;
+    #   at any tested SF ceil(t_eff*n) == ceil(t*n) (the 1e-6*n slack
+    #   is far below 1), so the emitted candidate set is unchanged
+    #   there — this closes the asymptotic edge only.
+    needed = F.ceil(
+        (F.lit(threshold) - F.lit(1e-6)) * F.col("n_sh") - F.lit(1e-9)
+    )
     pref = ranked.filter(
         F.col("_rk") <= F.col("n_sh") - needed + 1
     ).select(F.col(id_col), "_sid", "_rk", "n_sh")

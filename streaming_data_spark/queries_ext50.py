@@ -159,25 +159,56 @@ def q_x63_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's distinct 3-gram shingles that are corpus-boilerplate
     (document frequency > BOILER_FRAC of all docs)."""
     docs = _t(spark, sf_dir, "documents")
-    # Materialize the exploded (doc_id, shingle) table ONCE (r16 opt,
-    # guide §1.2/§2.4): both the df-count branch and the scoring join
+    # Materialize the exploded shingle table ONCE (r16 opt, guide
+    # §1.2/§2.4): both the df-count branch and the scoring join
     # consume it, and the previous shape re-ran the tokenize/shingle/
-    # explode pipeline over the whole corpus for each — the same
-    # corpus-grain checkpoint the prefix-pair build uses for `ranked`.
-    # (A/B'd against a row-local rewrite — per-doc array_intersect
-    # with a broadcast boiler array — which was SLOWER: the per-row
-    # rebuild of the boiler hash set costs more than the explode it
-    # saves, at sf0.1 and worse with vocabulary growth.)
-    sh = dedup.shingles(docs, "doc_id", "text", n=3).localCheckpoint(
-        eager=True
+    # explode pipeline over the whole corpus for each. (A/B'd against
+    # a row-local rewrite — per-doc array_intersect with a broadcast
+    # boiler array — which was SLOWER: the per-row rebuild of the
+    # boiler hash set costs more than the explode it saves.)
+    # r17 (r16 advice item 3): the checkpoint materializes
+    # (doc_id, _sid=xxhash64(shingle), _chk) — ~20 B/row instead of
+    # the raw ~50-byte shingle string, so executor-local storage no
+    # longer holds a multiple of the corpus text and both branches
+    # shuffle 8-byte ids. Collision-GUARDED like
+    # dedup.ranked_encoded_shingles (x63 has no exact-verification
+    # stage to absorb a merged df): min(_chk) != max(_chk) inside an
+    # _sid group proves two distinct shingles collided on xxhash64
+    # and raise_error aborts instead of emitting a wrong boiler set;
+    # the df branch sees every shingle, so its guard covers the
+    # scoring join's key too.
+    enc = (
+        dedup.shingles(docs, "doc_id", "text", n=3)
+        .select(
+            "doc_id",
+            F.xxhash64("shingle").alias("_sid"),
+            F.hash("shingle").alias("_chk"),
+        )
+        .localCheckpoint(eager=True)
     )
     # 1-row corpus size rides a broadcast — no driver round-trip
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    df_counts = (
+        enc.groupBy("_sid")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("_chk").alias("_lo"),
+            F.max("_chk").alias("_hi"),
+        )
+        .select(
+            "_sid",
+            F.when(F.col("_lo") == F.col("_hi"), F.col("_n"))
+            .otherwise(F.raise_error(F.lit(
+                "xxhash64 shingle-id collision detected in x63; rerun "
+                "with a string-keyed build"
+            )))
+            .alias("df"),
+        )
+    )
     boiler = (
         df_counts.crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") > BOILER_FRAC * F.col("n_docs"))
-        .select("shingle", F.lit(True).alias("_b"))
+        .select("_sid", F.lit(True).alias("_b"))
     )
     # broadcast is SAFE at any corpus size (r16): boilerplate shingles
     # are those with df > BOILER_FRAC·n_docs, so by pigeonhole there
@@ -186,7 +217,7 @@ def q_x63_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit hint pins the plan (no estimate-driven SMJ fallback of
     # the corpus-sized left side at scale).
     return (
-        sh.join(F.broadcast(boiler), "shingle", "left")
+        enc.join(F.broadcast(boiler), "_sid", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -127,16 +127,39 @@ def q_x66_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_shingles, n_novel, novelty): share of each doc's
     distinct 3-gram shingles whose minimum corpus doc_id is this doc."""
     docs = _t(spark, sf_dir, "documents")
-    # two consumers (first-seen groupBy + the scoring join) — ONE
-    # corpus explode, materialized (r16 opt; the x63 fix, A/B'd there
-    # at −38%: the re-run tokenize/shingle/explode pipeline costs more
-    # than the checkpoint write+reads at every scale)
-    sh = dedup.shingles(docs, "doc_id", "text", n=3).localCheckpoint(
-        eager=True
+    # ONE corpus explode, materialized (r16 opt; the x63 fix, A/B'd
+    # there at −38%). r17 (r16 advice item 3 + guide §2.4): the
+    # checkpoint materializes (doc_id, _sid=xxhash64(shingle), _chk)
+    # — ~20 B/row instead of the raw shingle string — and first-seen
+    # becomes min(doc_id) OVER the _sid partition instead of a
+    # vocab-grain groupBy joined back onto the corpus: the old shape
+    # paid groupBy(shingle) + both SMJ sides of the join (3
+    # corpus/vocab-scale string-keyed exchanges at 100 TB, where the
+    # first table is NOT broadcastable); the window pays exactly ONE
+    # int-keyed exchange. Collision-GUARDED like
+    # dedup.ranked_encoded_shingles (a merged _sid would fake novelty):
+    # min(_chk) != max(_chk) inside an _sid partition aborts via
+    # raise_error; the window sees every shingle, so the guard is
+    # corpus-complete.
+    enc = (
+        dedup.shingles(docs, "doc_id", "text", n=3)
+        .select(
+            "doc_id",
+            F.xxhash64("shingle").alias("_sid"),
+            F.hash("shingle").alias("_chk"),
+        )
+        .localCheckpoint(eager=True)
     )
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    w_sid = Window.partitionBy("_sid")
+    first_doc = F.when(
+        F.min("_chk").over(w_sid) == F.max("_chk").over(w_sid),
+        F.min("doc_id").over(w_sid),
+    ).otherwise(F.raise_error(F.lit(
+        "xxhash64 shingle-id collision detected in x66; rerun with a "
+        "string-keyed build"
+    )))
     return (
-        sh.join(first, "shingle")
+        enc.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

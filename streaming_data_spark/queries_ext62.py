@@ -65,45 +65,30 @@ def q_x98_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically, so each unordered pair appears once in its
     subset-direction)."""
     docs = _t(spark, sf_dir, "documents")
-    # Dictionary-encoded, filter-pruned build (r16 opt — the
-    # ngram_jaccard_pairs_prefix treatments ported to the one-sided
-    # containment join; the HEAD shape re-ran the shingle explode SIX
-    # times and carried the ~40-byte shingle string through every
-    # downstream exchange):
-    # - the prefix rank (_rk) and per-doc set size (n_sh) ride ONE
-    #   doc-keyed window over the dictionary-encoded shingle table,
-    #   eagerly checkpointed so every downstream branch (A-prefix,
-    #   candidate b-side, both exact-verify sides) reads the SAME
-    #   materialized int-keyed rows — one explode+window total, and
-    #   every exchange that explodes at scale moves an 8-byte _sid
-    #   instead of the string (the x300 lesson: the string-keyed
-    #   jaccard build spilled ~49 GB).
-    # - rank order = (_df asc, _sid asc): any ONE consistent total
-    #   order preserves the prefix guarantee (A's first common element
-    #   lands inside A's prefix whenever o ≥ needed), and the output
-    #   pair set is order-invariant.
-    sh = dedup.shingles(docs, "doc_id", "text", n=3)
-    vocab = sh.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("_df")
-    ).withColumn("_sid", F.monotonically_increasing_id())
-    w_doc = Window.partitionBy("doc_id")
-    ranked = (
-        sh.join(vocab, "shingle")
-        .select("doc_id", "_sid", "_df")
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                w_doc.orderBy(F.col("_df").asc(), F.col("_sid").asc())
-            ),
-        )
-        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
-        .drop("_df")
-        .localCheckpoint(eager=True)
+    # Hash-encoded, filter-pruned build (r16 ported the
+    # ngram_jaccard_pairs_prefix treatments to the one-sided
+    # containment join; r17 swapped the string-keyed dictionary for
+    # the collision-guarded xxhash64 encoding — see
+    # dedup.ranked_encoded_shingles for the guard construction, the
+    # determinism fix and the order-invariance argument): the prefix
+    # rank (_rk) and per-doc set size (n_sh) ride the encoded table,
+    # eagerly checkpointed so every downstream branch (A-prefix,
+    # candidate b-side, both exact-verify sides) reads the SAME
+    # materialized int-keyed rows, and the ~40-byte shingle string
+    # dies at the post-explode projection without crossing any
+    # exchange (the x300 lesson: the string-keyed jaccard build
+    # spilled ~49 GB).
+    ranked = dedup.ranked_encoded_shingles(
+        docs, "doc_id", "text", n=3
+    ).localCheckpoint(eager=True)
+    # A-side prefix: |A| - ceil(t_eff*|A|) + 1 rarest shingles. Exact
+    # ceil via the 1e-9 nudge, and t_eff = CONTAIN_T - 1e-6 because
+    # the output contract is round(o/n_a, 6) >= t (admits o as low as
+    # (t - 5e-7)*n_a) — same rationale and same tested-SF inertness as
+    # ngram_jaccard_pairs_prefix's `needed` (dedup.py).
+    needed = F.ceil(
+        (F.lit(CONTAIN_T) - F.lit(1e-6)) * F.col("n_sh") - F.lit(1e-9)
     )
-    # A-side prefix: |A| - ceil(t*|A|) + 1 rarest shingles (exact ceil
-    # via the 1e-9 nudge — same rationale as ngram_jaccard_pairs_prefix:
-    # dedup.py:481-490).
-    needed = F.ceil(F.lit(CONTAIN_T) * F.col("n_sh") - F.lit(1e-9))
     pref_a = ranked.filter(
         F.col("_rk") <= F.col("n_sh") - needed + 1
     ).select(

@@ -247,6 +247,39 @@ def test_minhash_native_hash_tier(spark, sf_oracle):
         assert pairs[p] == 1.0
 
 
+def test_minhash_md5_kernel_matches_jvm_expression_form(spark, sf_oracle):
+    """The batched mapInArrow md5 kernel (r16 kernel; r17 batches the
+    digests through a memo + folds every doc's affine mins in one
+    reduceat) must stay value-identical to the JVM explode+groupBy
+    expression form it replaced — same split/trim, same md5 hex-prefix
+    base hash, same (a*h+b) % p mins. Also pins the digest-slice
+    identity: int.from_bytes(md5[:4], 'big') >> 4 == first 7 hex chars."""
+    import hashlib
+
+    for g in ["alpha beta gamma", "", "a", "été café €"]:
+        d = hashlib.md5(g.encode("utf-8"))
+        assert (int.from_bytes(d.digest()[:4], "big") >> 4
+                ) == int(d.hexdigest()[:7], 16)
+
+    docs = load_table(spark, sf_oracle, "documents").limit(300)
+    kernel = {
+        r.doc_id: list(r.sig)
+        for r in dedup.minhash_signatures(docs, "doc_id", "text").collect()
+    }
+    sh = dedup.shingles(docs, "doc_id", "text").withColumn(
+        "h", dedup._base_hash(F.col("shingle"), "md5")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % dedup.MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(dedup.MINHASH_PARAMS[:16])
+    ]
+    jvm = {
+        r.doc_id: [r[f"mh{i}"] for i in range(16)]
+        for r in sh.groupBy("doc_id").agg(*aggs).collect()
+    }
+    assert kernel == jvm
+
+
 def test_ivf_topk_within_cell_matches_exact_on_cell(spark, sf_oracle):
     """IVF with one probe returns the exact top-k restricted to the
     query's cell — ranks are consistent and cosines match cosine_topk

@@ -1057,7 +1057,9 @@ def test_wave50_exchange_budgets(spark, sf_small):
 def test_wave51_exchange_budgets(spark, sf_small):
     """a47: one keyed window partition + the session/entry groupBys
     collapse onto the same user-keyed exchange; |types|-bounded final
-    agg. x66: shingle-keyed min + doc re-agg (the x63 shape). x67:
+    agg. x66: first-seen rides ONE _sid-keyed window on the hashed
+    checkpoint (r17; the old vocab groupBy + join-back is gone) + doc
+    re-agg. x67:
     token-cell groupBy + doc re-agg. a49: one keyed window pass + the
     |types|^3-bounded count, and the top-20 MUST compile to
     TakeOrderedAndProject (never a global sort). x69: digest groupBy
@@ -1376,16 +1378,6 @@ def test_wave62_exchange_budgets(spark, sf_small):
 
     qs = entry.queries()
     budgets = {
-        # 5 -> 1 with the r16 optimization pass: the dictionary-
-        # encoded shingle table carries the prefix rank and per-doc
-        # set size on ONE doc-keyed window exchange BEFORE its eager
-        # localCheckpoint (truncated out of this downstream plan, the
-        # x91 shape), the two doc-keyed size joins are gone (n_a/n_b
-        # ride the verify joins as max() group constants), and at
-        # test scale AQE broadcasts the candidate/verify joins — the
-        # 1 survivor is the verification groupBy (the candidate
-        # distinct collapses onto the broadcast-join side).
-        "x98_containment_pairs": 1,
         "x99_rrf_fusion": 8,
         "a77_open_order_backlog": 4,
     }
@@ -1393,7 +1385,25 @@ def test_wave62_exchange_budgets(spark, sf_small):
         name: plans.shuffle_count(qs[name](spark, sf_small)) for name in budgets
     }
     assert got == budgets, got
-    for name in budgets:
+    # x98's budget is pinned at the AQE-INDEPENDENT worst case (r16
+    # advice item 4: the observed best case — 1, the verification
+    # groupBy, everything else broadcast or truncated behind the
+    # encoded checkpoint — depends on AQE choosing broadcast for the
+    # candidate/verify joins at test scale, so a fixture-size or
+    # threshold change would flap it). With auto-broadcast disabled
+    # the plan is deterministic: candidate self-join (2) + candidate
+    # distinct (1) + verify joins (4: both SMJ sides re-keyed) +
+    # verification groupBy (1) = 8, every one int-keyed downstream of
+    # the checkpoint.
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        worst = plans.shuffle_count(
+            qs["x98_containment_pairs"](spark, sf_small))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    assert worst == 8, worst
+    for name in [*budgets, "x98_containment_pairs"]:
         t = plans.explain_str(qs[name](spark, sf_small))
         assert "CartesianProduct" not in t, (name, t)
     # the dense side of the fusion must be the 3-query broadcast loop,
