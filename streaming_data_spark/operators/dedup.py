@@ -186,18 +186,23 @@ def _minhash_signatures_arrow(
     - docs with < n tokens or NULL text emit no row (the explode
       dropped them; the kernel skips them).
 
-    r17 (guide §4.2, second half — batch the digests): the per-row
-    numpy fold is batched — every document's base hashes land in ONE
-    flat int64 array per Arrow batch, the k affine products run as a
-    single (N_shingles × k) vectorized op, and the per-document mins
-    come from ``np.minimum.reduceat`` over the doc-boundary offsets,
-    so the Python-interpreter share per batch is the tokenize/shingle
-    loop plus one dict lookup per shingle. A per-task digest memo
-    (bounded, cleared past 1M entries) amortizes md5 across repeated
-    shingles — near-dup corpora repeat shingles heavily, and the
-    digest is the kernel's dominant term (min unaffected: the memo
-    only dedups identical strings, and min over a multiset with
-    duplicated values equals min over the set).
+    r17 (guide §4.2, second half — cheapen the digests): the base
+    hash comes from the raw digest bytes instead of the hex string,
+    and a per-task digest memo (bounded, cleared past 1M entries)
+    amortizes md5 across repeated shingles — near-dup corpora repeat
+    shingles heavily, and the digest is the kernel's dominant term
+    (min unaffected: the memo only dedups identical strings, and min
+    over a multiset with duplicated values equals min over the set).
+    Measured at the x10 replica, interleaved same-session A/B: old
+    kernel median 1.166 s / floor 0.974; this shape median 0.972 /
+    floor 0.817 (−16%), stable rep-to-rep. A FULLY batched fold
+    (per-Arrow-batch flat hash array + k-wide vectorized products +
+    per-doc ``np.minimum.reduceat``) was A/B'd and REJECTED: its
+    floor was marginally better (0.78) but reps spiked 2.5–8.5 s
+    (median 2.5, 2× WORSE than the old kernel; spikes persisted with
+    gc disabled — the per-task tens-of-MB ndarray temporaries ×32
+    concurrent workers, not collector pressure). Recorded so round
+    18+ doesn't retry it.
     """
     import numpy as np  # deferred: keep module import light
 
@@ -228,8 +233,7 @@ def _minhash_signatures_arrow(
                 memo.clear()
             ids = batch.column(0)
             out_ids: list = []
-            starts: list = []
-            flat: list = []
+            out_sigs: list = []
             for rid, txt in zip(ids.to_pylist(), batch.column(1).to_pylist()):
                 if txt is None:
                     continue
@@ -238,17 +242,15 @@ def _minhash_signatures_arrow(
                 if m <= 0:
                     continue
                 grams = {" ".join(toks[i : i + n]) for i in range(m)}
+                hs = np.fromiter(
+                    (memo[g] for g in grams), dtype=np.int64, count=len(grams)
+                )
                 out_ids.append(rid)
-                starts.append(len(flat))
-                flat.extend(memo[g] for g in grams)
-            if out_ids:
-                hs = np.array(flat, dtype=np.int64)
-                vals = (hs[:, None] * a_vec + b_vec) % MINHASH_PRIME
-                out_sigs = np.minimum.reduceat(
-                    vals, np.array(starts, dtype=np.intp), axis=0
-                ).tolist()
-            else:
-                out_sigs = []
+                out_sigs.append(
+                    ((hs[:, None] * a_vec + b_vec) % MINHASH_PRIME)
+                    .min(axis=0)
+                    .tolist()
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_ids, type=ids.type),
