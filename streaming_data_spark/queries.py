@@ -174,10 +174,28 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Join ORDER (r16, guide §3.1/§2.3): the customer segment filter is
     applied to orders FIRST (a broadcast join, no shuffle), so the
-    orders side entering the lineitem join is already ~1/5 its size —
-    the previous (lineitem⋈orders)⋈customer order shuffled/broadcast
-    the FULL orders table and only then dropped 80% of the joined
-    rows. Inner-join reordering; result identical (same oracle)."""
+    orders side entering the lineitem join is already ~1/5 its size.
+
+    PRE-AGGREGATION (r17, guide §2.3 — aggregate before you shuffle):
+    lineitem is summed per l_orderkey BEFORE the orders join. The big
+    exchange then carries one partial-agged row per (map partition,
+    orderkey) — ~4x fewer rows, 2 narrow columns — instead of every
+    raw lineitem row, and the orderkey-hash partitioning the aggregate
+    establishes is reused by the join (no re-shuffle of the agg side).
+    Sparks's runtime Bloom filter cannot fire here (the creation side
+    is a join, not a filter-over-scan) and a broadcast semi-join
+    prefilter hits the broadcast cap at true 100 TB (~30B building
+    orderkeys), so shrinking the shuffle via the aggregate is the
+    shape that survives every scale. Value-identical: revenue groups
+    are orderkey-grain either way (o_orderdate/o_orderpriority are
+    functions of the orderkey), each surviving group sums the SAME
+    lineitem row set with the same partial-per-scan-partition
+    structure (the join never filtered lineitems WITHIN a building
+    order), and non-building groups are simply dropped by the join
+    after the fact. Measured (interleaved A/B, x1000 replica):
+    83.7 -> 53.6 s floor (-36%), identical top-10 at sf0.1/x100/x1000,
+    flat at sf0.1 (1.671 vs 1.690) where the agg covers 5x the groups
+    but the volume is trivial."""
     customer = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
@@ -185,10 +203,12 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     building_orders = orders.join(
         F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.round(F.sum(revenue), 2).alias("revenue")
+    )
     return (
-        lineitem.join(building_orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        per_order.join(building_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
