@@ -307,15 +307,85 @@ def test_r16_window_is_generator_output_from_r15_data():
     assert entry_mod._R16_WINDOW[0] == "x55_winsorize"
 
 
+# `--front auto` at upto=16: every r16-touched query whose plan
+# fingerprint postdates its last driver row — exactly the list the
+# r16 verdict item 3 asked the r17 rotation to front.
+R17_AUTO_FRONT = [
+    "x80_minhash_recall_eval", "x89_split_leakage",
+    "x91_threshold_sweep", "x98_containment_pairs", "x2_minhash_lsh",
+    "x70_kcore", "x92_dup_clustering_coeff", "x96_adamic_adar",
+    "x97_degree_assortativity", "q5_regional_revenue",
+    "x13_dup_clusters_star", "x59_semdedup",
+    "x41_canonical_by_quality", "x30_inverted_index",
+    "x2_ngram_jaccard_prefix", "x35_lm_score",
+    "x30_inverted_index_capped",
+]
+
+# The r17 front = the auto findings + the three queries ROUND 17
+# itself changed after their r16 driver rows (q3 pre-aggregation,
+# x63/x66 hashed checkpoints — the r10 precedent: the upto=16
+# snapshots predate the current round's own edits, so auto cannot see
+# them; PLAN_FPS_r17 records the new fingerprints). Appended in
+# _R16_WINDOW order — the staleness-tie order is that round's driver
+# file order.
+R17_FRONT = [
+    *R17_AUTO_FRONT,
+    "q3_shipping_priority", "x63_boilerplate_ngrams",
+    "x66_ngram_novelty",
+]
+
+
+def test_auto_front_for_r17_at_r16_snapshots():
+    front, uncomparable = auto_front(upto=16)
+    assert front == R17_AUTO_FRONT
+    assert uncomparable == []
+
+
+def test_r17_front_extension_matches_plan_fps_diff():
+    """The three hand-fronted names are EXACTLY the registry queries
+    whose fingerprint changed between the committed PLAN_FPS_r16 and
+    PLAN_FPS_r17 snapshots and that auto (upto=16) could not see —
+    pinning the r10-precedent judgment to the committed data."""
+    import json
+
+    with open(REPO / "PLAN_FPS_r16.json") as fh:
+        q16 = json.load(fh)["queries"]
+    with open(REPO / "PLAN_FPS_r17.json") as fh:
+        q17 = json.load(fh)["queries"]
+    changed = {
+        q for q in q17
+        if q in q16 and q16[q] != q17[q] and q in entry_mod.queries()
+    }
+    assert changed - set(R17_AUTO_FRONT) == {
+        "q3_shipping_priority", "x63_boilerplate_ngrams",
+        "x66_ngram_novelty",
+    }, changed
+
+
+def test_r17_window_is_generator_output_from_r16_data():
+    """_R17_WINDOW == R17_FRONT + the oldest-first body (minus the
+    front) from the r1..r16 driver history; _R17_TAIL is the full
+    next block of that same order (the literal is exactly what
+    `tools/freshness.py --window 50 --upto 16 --front <R17_FRONT>`
+    emits, length included)."""
+    order = [n for n in (x for x, _ in oldest_first(upto=16))]
+    body = [n for n in order if n not in set(R17_FRONT)]
+    expect = R17_FRONT + body
+    assert entry_mod._R17_WINDOW == expect[:50]
+    assert entry_mod._R17_TAIL == (body[50 - len(R17_FRONT):])[:50]
+    assert len(entry_mod._R17_TAIL) == 50
+    assert entry_mod._R17_WINDOW[0] == "x80_minhash_recall_eval"
+
+
 def test_window_covers_registry_and_leads_queries():
     """Window/tail names are real registry queries, the window is the
     driver-checked size (50), and queries() iteration order leads with
     the window (the driver checks the FIRST 50 entries)."""
     names = list(entry_mod.queries())
-    assert len(entry_mod._R16_WINDOW) == 50
-    assert names[:50] == entry_mod._R16_WINDOW
-    assert set(entry_mod._R16_TAIL) <= set(names)
-    assert len(set(entry_mod._R16_WINDOW)) == 50  # no double-counted slots
+    assert len(entry_mod._R17_WINDOW) == 50
+    assert names[:50] == entry_mod._R17_WINDOW
+    assert set(entry_mod._R17_TAIL) <= set(names)
+    assert len(set(entry_mod._R17_WINDOW)) == 50  # no double-counted slots
 
 
 def test_staleness_accounting_matches_registry():
