@@ -184,10 +184,20 @@ RECORD_OVERRIDES_SPEC = {
     # x2's r01 number timed a run against leaked block-manager-cached
     # signatures (persist bug fixed in r2 — the SAME artifact
     # BASE_OVERRIDES_SPEC corrects for the vs-baseline gate); its
-    # comparable record is 1.174 (BENCH_r06), the committed minimum of
-    # the post-fix steady state (1.17-1.93 across r2-r13; r15 read
-    # 1.408 — NOT era-shifted, so the committed number stands).
-    "x2_minhash_lsh": (0.926, "BENCH_r01.json", 1.174),
+    # comparable record was 1.174 (BENCH_r06), the committed minimum
+    # of the post-fix steady state. r17 re-probe (verdict item 8): the
+    # round-close in-suite min-of-5 read 1.004 on a host_throttled-
+    # stamped run — a throttled box can only INFLATE a reading (the
+    # a17 precedent), so the pin TIGHTENS to that fresh upper bound on
+    # the true floor; it reflects the r17 Arrow-kernel digest-memo win
+    # (sf0.1 signature floor -24% interleaved). The dedicated
+    # fresh-JVM probe read 1.201 the same hour — on this host's
+    # cold-ramp era dedicated floors land ABOVE warmed in-suite
+    # minima, so the in-suite number is the binding one. x5_cosine_topk
+    # was re-probed the same way (in-suite 0.489, dedicated 0.713 vs
+    # record 0.435 r07): no pin — it is not era-shifted past the flag
+    # band, the committed record stands.
+    "x2_minhash_lsh": (0.926, "BENCH_r01.json", 1.004),
     # --- r15 era-shift pins (rationale above; x29 + a17 re-probed
     # r16 with dedicated floors — a throttled box can only INFLATE a
     # reading, so "not back in the old band" is conclusive even on a

@@ -598,13 +598,16 @@ def test_x35_record_override_applies_and_self_retires():
     stale, artifact, pinned = bench.RECORD_OVERRIDES_SPEC["x35_lm_score"]
     assert (stale, artifact, pinned) == (0.887, "BENCH_r05.json", 1.662)
     # x2's twin pin corrects the same r01 cache-leak artifact as the
-    # vs-baseline override, against its post-fix committed minimum.
+    # vs-baseline override; the comparable tightened 1.174 -> 1.004 at
+    # the r17 close (in-suite min-of-5 on a throttled-stamped run — an
+    # upper bound on the true floor, the a17 tightening precedent —
+    # after the r17 Arrow-kernel digest-memo win).
     x2 = bench.RECORD_OVERRIDES_SPEC["x2_minhash_lsh"]
-    assert x2 == (0.926, "BENCH_r01.json", 1.174)
+    assert x2 == (0.926, "BENCH_r01.json", 1.004)
     assert bench._record_floor(here, 0.1, "x2_minhash_lsh") == (
         0.926, "BENCH_r01.json")
     b2, s2 = bench._record_floor_comparable(here, 0.1, "x2_minhash_lsh")
-    assert b2 == 1.174 and "BENCH_r01.json" in s2
+    assert b2 == 1.004 and "BENCH_r01.json" in s2
     # the stale record is still what the artifact says AND the scan's min
     with open(os.path.join(here, artifact)) as fh:
         parsed = json.load(fh)["parsed"]

@@ -1029,7 +1029,7 @@ def test_wave50_exchange_budgets(spark, sf_small):
     AQE. a44: ONE lineitem groupBy; the order join broadcasts at test
     scale and becomes a keyed SMJ past the 10MB crossover (the
     measured 3.6x probe ratio is exactly that plan transition, linear
-    on both sides of it). x63: shingle df groupBy + boiler-marker join
+    on both sides of it). x63: _sid df groupBy + boiler-marker join
     + doc re-agg; the 1-row corpus count rides a broadcast NLJ
     (sanctioned single-row shape, same as x56's n_orders). a46: one
     keyed window pass + the |types| stats groupBy. x64: the centroid/
